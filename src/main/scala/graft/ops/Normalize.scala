@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Key-normalization kit (SURVEY.md §2.8). The reference's core idiom is
+  * "normalize → join": trim/upper keys before every equi-join
+  * (reference `delinquent_data_submitters.py:42-45`). Pure `Column`
+  * functions, all codegen'd built-ins.
+  */
+object Normalize {
+
+  /** trim + uppercase — the standard join-key cleanup. */
+  def cleanKey(c: Column): Column = upper(trim(c))
+
+  /** trim + lowercase — the standard email cleanup. */
+  def cleanEmail(c: Column): Column = lower(trim(c))
+
+  /** zero-pad to `n` chars (reference `unreg_presc.py:47` zfill). */
+  def zfill(c: Column, n: Int): Column = lpad(c, n, "0")
+
+  /** strip one trailing suffix from a fixed list, longest-first
+    * (reference `mm1.py:35-56` iterated strip_suffix over degree list).
+    */
+  def stripSuffixes(c: Column, suffixes: Seq[String]): Column = {
+    val pattern = suffixes.sortBy(-_.length)
+      .map(java.util.regex.Pattern.quote)
+      .mkString("(?:", "|", ")$")
+    regexp_replace(c, pattern, "")
+  }
+
+  /** collapse internal whitespace runs to single spaces + trim. */
+  def cleanWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** empty-string-or-null predicate — the reference checks both states
+    * explicitly ('' is not falsey in Polars; SURVEY.md §7 trap (a)).
+    */
+  def isBlank(c: Column): Column = c.isNull || trim(c) === lit("")
+
+  /** parse int, null on failure (Polars `str.to_integer(strict=False)`). */
+  def toIntLenient(c: Column): Column = trim(c).cast("int")
+
+  /** 1 -> "1st", 2 -> "2nd", ... (reference `mu_extras.py:140` ordinal
+    * map_elements UDF) — pure Column expression, no UDF.
+    */
+  def ordinal(n: Column): Column = {
+    val mod100 = n % 100
+    val mod10 = n % 10
+    val suffix = when(mod100.between(11, 13), "th")
+      .when(mod10 === 1, "st")
+      .when(mod10 === 2, "nd")
+      .when(mod10 === 3, "rd")
+      .otherwise("th")
+    concat(n.cast("string"), suffix)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational combinators (SURVEY.md §2.2/2.3/2.5/2.6/2.7) — the
+  * `DataFrame => DataFrame` building blocks the reference pipelines
+  * compose. All shapes are scale-aware: keyed dedup is a single window
+  * shuffle, membership tests are semi/anti joins (broadcastable) rather
+  * than collected value lists, fallback matching stages anti-join between
+  * branches so one shuffle plan covers both stages.
+  */
+object Relational {
+
+  /** Keyed keep-first dedup with explicit priority order (reference
+    * `mm2.py:37-38`: sort by Active desc + unique(keep='first')).
+    * Deterministic: callers must pass a total order (add a tiebreaker
+    * column if the priority key has duplicates — SURVEY.md §7 trap (b)).
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Top-k by order — Spark plans TakeOrderedAndProject (no full sort /
+    * single-partition shuffle of everything; reference `mu_extras.py:99`).
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** value_counts(sort=True) (reference `unreg_presc.py:165`). Ties
+    * broken by value for determinism.
+    */
+  def valueCounts(df: DataFrame, c: String): DataFrame =
+    df.groupBy(c).agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), col(c))
+
+  /** Rows where the per-group count equals the global max count
+    * (reference `error_pharmacies.py:35-43` pharmacy-with-most-errors).
+    * Single-pass: window max over the grouped result, no self-join.
+    */
+  def argmaxCount(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val counted = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("count"))
+    counted
+      .withColumn("__max", max(col("count")).over(Window.partitionBy()))
+      .filter(col("count") === col("__max"))
+      .drop("__max")
+  }
+
+  /** Membership filter against another frame's key column (reference
+    * `is_in(list)` pattern, P7) — as a semi join so it stays distributed
+    * and broadcastable instead of collecting to the driver.
+    */
+  def semiByKey(df: DataFrame, keyCol: String, lookup: DataFrame, lookupCol: String): DataFrame =
+    df.join(broadcast(lookup.select(col(lookupCol).as(keyCol)).distinct()),
+      Seq(keyCol), "left_semi")
+
+  /** Negated membership (`is_in(...).not_()`) as an anti join. */
+  def antiByKey(df: DataFrame, keyCol: String, lookup: DataFrame, lookupCol: String): DataFrame =
+    df.join(broadcast(lookup.select(col(lookupCol).as(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+
+  /** Two-stage fallback matching (reference `mm1.py:58-88`,
+    * `unreg_presc.py:278-301`, J7): try the exact key first; rows that
+    * miss fall back to a secondary key; union the two matched branches.
+    * The fallback branch is `left_anti` against stage-1 hits, so no row
+    * can match twice.
+    */
+  def fallbackMatch(
+      left: DataFrame,
+      right: DataFrame,
+      primaryKey: (String, String),
+      fallbackKey: (String, String)): DataFrame = {
+    val stage1 = left.join(right,
+      left(primaryKey._1) === right(primaryKey._2), "inner")
+    val missed = left.join(right,
+      left(primaryKey._1) === right(primaryKey._2), "left_anti")
+    val stage2 = missed.join(right,
+      missed(fallbackKey._1) === right(fallbackKey._2), "inner")
+    stage1.unionByName(stage2)
+  }
+
+  /** Horizontal concat of single-row frames (reference `scorecard.py:70`,
+    * J8/U2) — cross join of 1-row frames is exact and cheap.
+    */
+  def horizontalConcat(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_.crossJoin(_))
+
+  /** Exact-n deterministic pseudo-sample: stable hash order, first n
+    * (the reference's `df.sample(20)` at `check_masked.py:73` is a
+    * human-eyeball sample; determinism matters more than entropy here).
+    */
+  def sampleN(df: DataFrame, n: Int, seedCols: Seq[String]): DataFrame =
+    df.orderBy(xxhash64(seedCols.map(col): _*)).limit(n)
+}

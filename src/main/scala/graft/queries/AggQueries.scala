@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** Aggregations, windows, sorts, top-k (SURVEY.md §2.4/2.5/2.6).
+  * Spark's hash aggregate gives partial (map-side) + final aggregation
+  * for free — one shuffle of the already-combined partials, which is the
+  * shape that survives a 100 TB fact table. Double-typed sums are
+  * rounded in BOTH engines so accumulation order can't flip a bit.
+  */
+object AggQueries {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A1: group count (reference `error_pharmacies.py:35-39`)
+    QueryDef("q_group_count",
+      Some("""SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+                     count(*) AS n
+              FROM lineitem GROUP BY 1, 2 ORDER BY rflag, lstatus"""),
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("rflag", "lstatus")),
+
+    // A2/A6: group max/min (reference `mu_extras.py:130-134`)
+    QueryDef("q_group_minmax",
+      Some("""SELECT o_orderpriority AS prio,
+                     min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+                     min(CAST(o_orderdate AS DATE)) AS first_date,
+                     max(CAST(o_orderdate AS DATE)) AS last_date
+              FROM orders GROUP BY 1 ORDER BY prio"""),
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"),
+          min(to_date(col("o_orderdate"))).as("first_date"),
+          max(to_date(col("o_orderdate"))).as("last_date"))
+        .orderBy("prio")),
+
+    // A3: group sum (reference `scorecard.py:60-61`); quantities are
+    // integer-valued doubles -> order-independent exact sums; prices
+    // rounded on both sides
+    QueryDef("q_group_sum",
+      Some("""SELECT l_returnflag AS rflag, sum(l_quantity) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_price
+              FROM lineitem GROUP BY 1 ORDER BY rflag"""),
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("rflag")),
+
+    // A4: collect-to-list agg (reference `awarxe_cleanup.py:264-265`);
+    // sorted + string-joined so the comparison is order-insensitive
+    QueryDef("q_collect_list",
+      Some("""SELECT o_custkey AS ckey,
+                     array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+              FROM orders GROUP BY 1 ORDER BY ckey"""),
+      (s, d) => orders(s, d)
+        .groupBy(col("o_custkey").as("ckey"))
+        .agg(array_join(sort_array(collect_list("o_orderkey")), ",").as("order_keys"))
+        .orderBy("ckey")),
+
+    // A5: value_counts sorted (reference `unreg_presc.py:165`)
+    QueryDef("q_value_counts",
+      Some("""SELECT o_orderpriority, count(*) AS count FROM orders
+              GROUP BY 1 ORDER BY count DESC, o_orderpriority"""),
+      (s, d) => Relational.valueCounts(orders(s, d), "o_orderpriority")),
+
+    // A7: argmax-by-count selection (reference `error_pharmacies.py:43`)
+    QueryDef("q_argmax_count",
+      Some("""WITH counted AS (
+                SELECT o_custkey AS ckey, count(*) AS count FROM orders GROUP BY 1)
+              SELECT * FROM counted
+              WHERE count = (SELECT max(count) FROM counted)
+              ORDER BY ckey"""),
+      (s, d) => Relational.argmaxCount(
+        orders(s, d).withColumnRenamed("o_custkey", "ckey"), Seq("ckey"))
+        .orderBy("ckey")),
+
+    // A8: descriptive stats (reference `techs.py:56-57` describe())
+    QueryDef("q_summary",
+      Some("""SELECT count(l_quantity) AS n,
+                     round(avg(l_quantity), 6) AS mean,
+                     round(stddev_samp(l_quantity), 6) AS std,
+                     min(l_quantity) AS min_v, max(l_quantity) AS max_v
+              FROM lineitem"""),
+      (s, d) => lineitem(s, d).agg(
+        count("l_quantity").as("n"),
+        round(avg("l_quantity"), 6).as("mean"),
+        round(stddev_samp(col("l_quantity")), 6).as("std"),
+        min("l_quantity").as("min_v"), max("l_quantity").as("max_v"))),
+
+    // A9: distinct count (reference `mm2.py:52`)
+    QueryDef("q_count_distinct",
+      Some("""SELECT l_returnflag AS rflag,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT l_partkey) AS n_part
+              FROM lineitem GROUP BY 1 ORDER BY rflag"""),
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct("l_partkey").as("n_part"))
+        .orderBy("rflag")),
+
+    // W1: count over partition (reference `awarxe_cleanup.py:216-219`)
+    QueryDef("q_window_count",
+      Some("""SELECT o_orderkey AS okey, o_custkey AS ckey,
+                     count(*) OVER (PARTITION BY o_custkey) AS orders_per_cust
+              FROM orders ORDER BY okey"""),
+      (s, d) => orders(s, d).select(
+        col("o_orderkey").as("okey"), col("o_custkey").as("ckey"),
+        count(lit(1)).over(Window.partitionBy("o_custkey")).as("orders_per_cust"))
+        .orderBy("okey")),
+
+    // O1/O3: multi-col sort + top-k -> TakeOrderedAndProject
+    // (reference `mu_extras.py:99-100`, TOP_PRESCRIBERS=40)
+    QueryDef("q_topk",
+      Some("""SELECT o_orderkey AS okey, o_totalprice AS price FROM orders
+              ORDER BY price DESC, okey LIMIT 40"""),
+      (s, d) => Relational.topK(
+        orders(s, d).select(col("o_orderkey").as("okey"),
+          col("o_totalprice").as("price")),
+        40, col("price").desc, col("okey").asc)),
+
+    // O2: sort by expression (reference `awarxe_cleanup.py:139`)
+    QueryDef("q_sort_expr",
+      Some("""SELECT p_partkey AS pkey, p_name AS pname FROM part
+              ORDER BY length(p_name) DESC, pkey LIMIT 100"""),
+      (s, d) => part(s, d)
+        .select(col("p_partkey").as("pkey"), col("p_name").as("pname"))
+        .orderBy(length(col("pname")).desc, col("pkey").asc)
+        .limit(100))
+  )
+}

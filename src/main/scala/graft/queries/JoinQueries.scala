@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.JaroWinkler
+import graft.ops.Relational
+
+/** Join operators (SURVEY.md §2.3). Dimension sides are explicitly
+  * `broadcast(...)` where the reference joins small lookup tables — at
+  * 100 TB the fact side never shuffles for these.
+  */
+object JoinQueries {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J1: left equi-join, small dim broadcast
+    // (reference `delinquent_data_submitters.py:88`)
+    QueryDef("q_join_left",
+      Some("""SELECT o.o_orderkey AS okey, o.o_totalprice AS price, c.c_name AS cname
+              FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              ORDER BY okey"""),
+      (s, d) => orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey").as("okey"), col("o_totalprice").as("price"),
+          col("c_name").as("cname"))
+        .orderBy("okey")),
+
+    // J2/J5: inner equi-join on differing key names
+    // (reference `mu_extras.py:158` left_on/right_on)
+    QueryDef("q_join_inner",
+      Some("""SELECT l.l_orderkey AS okey, l.l_linenumber AS line,
+                     p.p_name AS pname, p.p_brand AS brand
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              ORDER BY okey, line"""),
+      (s, d) => lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"), "inner")
+        .select(col("l_orderkey").as("okey"), col("l_linenumber").as("line"),
+          col("p_name").as("pname"), col("p_brand").as("brand"))
+        .orderBy("okey", "line")),
+
+    // J3: anti join (reference `delinquent_data_submitters.py:90`)
+    QueryDef("q_join_anti",
+      Some("""SELECT c_custkey AS ckey, c_name AS cname FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+              ORDER BY ckey"""),
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("ckey"), col("c_name").as("cname"))
+        .orderBy("ckey")),
+
+    // J4/P7: semi join — frame-derived membership, broadcast
+    // (reference `unreg_presc.py:119` is_in(collected list); Spark-first
+    // form keeps it distributed)
+    QueryDef("q_join_semi",
+      Some("""SELECT s_suppkey AS skey, s_name AS sname FROM supplier
+              WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 45)
+              ORDER BY skey"""),
+      (s, d) => Relational.semiByKey(
+        supplier(s, d).withColumnRenamed("s_suppkey", "skey"), "skey",
+        lineitem(s, d).filter(col("l_quantity") > 45), "l_suppkey")
+        .select(col("skey"), col("s_name").as("sname"))
+        .orderBy("skey")),
+
+    // J6: fuzzy join — equi-join on a blocking key, then Jaro-Winkler
+    // similarity filter (reference `od.py:79-105`: DOB equi-key + name
+    // similarity >= 0.8). Blocking key here: nationkey.
+    QueryDef("q_fuzzy_join",
+      Some("""SELECT c.c_custkey AS ckey, su.s_suppkey AS skey,
+                     round(jaro_winkler_similarity(c.c_name, su.s_name), 4) AS sim
+              FROM customer c JOIN supplier su ON c.c_nationkey = su.s_nationkey
+              WHERE jaro_winkler_similarity(c.c_name, su.s_name) >= 0.78
+              ORDER BY ckey, skey"""),
+      (s, d) => customer(s, d)
+        .join(broadcast(supplier(s, d)), col("c_nationkey") === col("s_nationkey"))
+        .filter(JaroWinkler(col("c_name"), col("s_name")) >= 0.78)
+        .select(col("c_custkey").as("ckey"), col("s_suppkey").as("skey"),
+          round(JaroWinkler(col("c_name"), col("s_name")), 4).as("sim"))
+        .orderBy("ckey", "skey")),
+
+    // J7: two-stage fallback matching — exact key, else fallback key,
+    // anti-join between stages (reference `mm1.py:58-88`)
+    QueryDef("q_fallback_match",
+      Some("""WITH stage1 AS (
+                SELECT c.c_custkey AS ckey, n.n_name AS matched, 1 AS stage
+                FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                WHERE n.n_nationkey < 10
+              ), missed AS (
+                SELECT * FROM customer
+                WHERE c_nationkey NOT IN
+                  (SELECT n_nationkey FROM nation WHERE n_nationkey < 10)
+              ), stage2 AS (
+                SELECT m.c_custkey AS ckey, r.r_name AS matched, 2 AS stage
+                FROM missed m
+                JOIN nation n2 ON m.c_nationkey = n2.n_nationkey
+                JOIN region r ON n2.n_regionkey = r.r_regionkey
+              )
+              SELECT * FROM stage1 UNION ALL SELECT * FROM stage2
+              ORDER BY ckey, stage"""),
+      (s, d) => {
+        val c = customer(s, d)
+        val primary = broadcast(nation(s, d).filter(col("n_nationkey") < 10))
+        val fallback = broadcast(nation(s, d)
+          .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("fb_key"), col("r_name").as("fb_name")))
+        val stage1 = c.join(primary, col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("ckey"), col("n_name").as("matched"),
+            lit(1).as("stage"))
+        val stage2 = c
+          .join(primary, col("c_nationkey") === col("n_nationkey"), "left_anti")
+          .join(fallback, col("c_nationkey") === col("fb_key"))
+          .select(col("c_custkey").as("ckey"), col("fb_name").as("matched"),
+            lit(2).as("stage"))
+        stage1.unionByName(stage2).orderBy("ckey", "stage")
+      }),
+
+    // J8/U2: horizontal concat of 1-row frames (reference `scorecard.py:70`)
+    QueryDef("q_horizontal_concat",
+      Some("""SELECT (SELECT count(*) FROM customer) AS n_cust,
+                     (SELECT count(*) FROM orders) AS n_orders,
+                     (SELECT sum(l_quantity) FROM lineitem) AS total_qty"""),
+      (s, d) => Relational.horizontalConcat(Seq(
+        customer(s, d).agg(count(lit(1)).as("n_cust")),
+        orders(s, d).agg(count(lit(1)).as("n_orders")),
+        lineitem(s, d).agg(sum("l_quantity").as("total_qty"))))),
+
+    // U1: vertical concat / union all by name (reference `mm1.py:88`)
+    QueryDef("q_union",
+      Some("""SELECT * FROM (
+                SELECT o_orderkey AS okey, 'urgent' AS bucket FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                UNION ALL
+                SELECT o_orderkey AS okey, 'low' AS bucket FROM orders
+                WHERE o_orderpriority = '5-LOW'
+              ) ORDER BY okey, bucket"""),
+      (s, d) => {
+        val o = orders(s, d)
+        val a = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("okey"), lit("urgent").as("bucket"))
+        val b = o.filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_orderkey").as("okey"), lit("low").as("bucket"))
+        a.unionByName(b).orderBy("okey", "bucket")
+      })
+  )
+}

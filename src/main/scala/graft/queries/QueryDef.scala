@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered operator query: a Spark DataFrame program plus (when
+  * SQL-expressible) an equivalent DuckDB SQL oracle over the same parquet
+  * tables. Column names and row order must match the oracle exactly —
+  * every computed column is aliased identically on both sides and every
+  * query ends in a total ORDER BY so the comparison is deterministic.
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)
+
+/** Parquet fixture tables (TESTDATA.md). */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to `private[sql]` Column <-> Expression conversion (Spark 4
+  * split the public Column API from Catalyst; `classic.ExpressionUtils`
+  * is the supported internal path). Lives in the org.apache.spark.sql
+  * package purely for access; our code is all under `graft.*`.
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
