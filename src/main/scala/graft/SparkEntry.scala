@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered operator queries, in registration order. */
   val allDefs: Seq[QueryDef] =
     Flagship.defs ++ CoreQueries.defs ++ JoinQueries.defs ++
-      AggQueries.defs ++ StringArrayQueries.defs ++ DateMathQueries.defs
+      AggQueries.defs ++ StringArrayQueries.defs ++ DateMathQueries.defs ++
+      ExtQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,139 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication kit for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Designed for the 100 TB shape:
+  *
+  *  - exact dedup is one hash-partitioned window (no driver state);
+  *  - MinHash/LSH never compares all pairs — each doc emits `bands`
+  *    bucket keys, candidate pairs only form inside a bucket (the
+  *    classic shingle→minhash→band→bucket-join), so the join fans out
+  *    per-bucket, not O(n²);
+  *  - hashes are md5-based (not xxhash) so signatures are reproducible
+  *    in any engine — the DuckDB oracle computes the very same buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical value of
+    * `textCol` (hash-groupBy semantics via one window shuffle).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word n-shingles of the text, sorted (set semantics). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = TextAnalysis.tokens(text)
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(array())
+    sort_array(array_distinct(grams))
+  }
+
+  /** MinHash signature: k lexicographic minima of seeded md5 over the
+    * shingle set. md5 is uniform enough for Jaccard estimation and is
+    * bit-identical across engines (vs engine-private xxhash).
+    */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(sequence(lit(1), lit(k)),
+      seed => array_min(transform(shingleSet,
+        s => md5(concat(seed.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys: split the k-length signature into `bands` bands of
+    * k/bands rows each; band key = md5 of the concatenated band slice.
+    */
+  def lshBands(signature: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    require(bands * r == k, s"bands=$bands must divide k=$k")
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|", slice(signature, b * lit(r) + 1, lit(r)))))
+  }
+
+  /** MinHash+LSH near-duplicate pairs over `df(idCol, textCol)`:
+    * candidates from shared LSH buckets, verified with exact Jaccard on
+    * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 16, bands: Int = 8, threshold: Double = 0.3): DataFrame = {
+    val withSig = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("bandkeys", lshBands(col("sig"), k, bands))
+    val buckets = withSig.select(col("id"), col("sh"),
+      posexplode(col("bandkeys")).as(Seq("band", "bucket")))
+    val a = buckets.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash from per-token md5 nibble MSBs: dimension i gets
+    * +1 when nibble i of md5(token) is >= 8, else -1; bit i of the
+    * sketch is the sign of the sum. Returns array<int> of 16 bits.
+    */
+  def simhashBits(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    transform(sequence(lit(1), lit(16)), i =>
+      when(aggregate(toks, lit(0), (acc, t) =>
+        acc + when(instr(lit("89abcdef"), substring(md5(t), 1, 16).substr(i, lit(1))) > 0, 1)
+          .otherwise(-1)) > 0, 1).otherwise(0))
+  }
+
+  /** SimHash near-duplicate pairs: block on the two 8-bit half-sketches
+    * (a pair must agree on at least one half to be a candidate — the
+    * band trick again), verify Hamming distance <= maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withBits = df.select(col(idCol).as("id"),
+      simhashBits(col(textCol)).as("bits"))
+      .withColumn("bandkeys", array(
+        concat_ws("", slice(col("bits"), 1, 8)),
+        concat(lit("h2:"), concat_ws("", slice(col("bits"), 9, 8)))))
+    val buckets = withBits.select(col("id"), col("bits"),
+      explode(col("bandkeys")).as("bucket"))
+    val a = buckets.select(col("bucket"), col("id").as("id_a"), col("bits").as("bits_a"))
+    val b = buckets.select(col("bucket"), col("id").as("id_b"), col("bits").as("bits_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("bits_a"), col("bits_b"),
+          (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Direct n-gram Jaccard similarity join within a blocking key
+    * (compare only within block — at 100 TB the blocking key is what
+    * keeps this from being O(n²); reference analog: the DOB equi-key
+    * in the od.py fuzzy join).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 2, threshold: Double = 0.2): DataFrame = {
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+
+/** North-star extension ops (SURVEY.md §7 step 8): dedup family,
+  * similarity search, text analysis over the `documents` /
+  * `embeddings` fixtures. The hash-bearing pipelines use md5-derived
+  * values so the DuckDB oracle reproduces signatures bit-for-bit;
+  * vector scores use an explicit left-to-right double fold on both
+  * engines for bit-identical ranking.
+  */
+object ExtQueries {
+  import Tables._
+
+  /** DuckDB fragment: distinct sorted word-2-shingles of `text`. */
+  private val shinglesSql =
+    """list_sort(list_distinct(CASE WHEN len(toks) >= 2 THEN
+       list_transform(range(0, len(toks) - 1), i ->
+         array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))
+       ELSE [] END))"""
+
+  /** DuckDB fragment: left-to-right double dot product of a and b. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- text analysis ----
+    QueryDef("q_text_analysis",
+      Some("""WITH t AS (SELECT doc_id, text,
+                string_split_regex(trim(text), '\s+') AS toks,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+              FROM documents),
+              scored AS (SELECT doc_id, text, toks, norm,
+                len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS en_hits,
+                len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','zu','mit'], x))) AS de_hits,
+                len(list_filter(toks, x -> list_contains(['el','la','de','y','es','un','en','que'], x))) AS es_hits,
+                len(list_filter(toks, x -> list_contains(['le','la','et','est','un','une','dans','que'], x))) AS fr_hits,
+                len(list_filter(toks, x -> list_contains(
+                  ['the','a','of','and','to','in','is','it',
+                   'der','die','das','und','ist','ein','zu','mit',
+                   'el','la','de','y','es','un','en','que',
+                   'le','la','et','est','un','une','dans','que'], x))) AS all_hits,
+                len(toks) AS n_tokens,
+                length(trim(text)) AS n_chars
+              FROM t)
+              SELECT doc_id, n_tokens,
+                list_sum(list_transform(toks, x -> CAST(ceil(length(x)/4.0) AS INT))) AS n_subwords,
+                CASE WHEN en_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'en'
+                     WHEN de_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'de'
+                     WHEN es_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'es'
+                     WHEN fr_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'fr'
+                     ELSE 'und' END AS lang_guess,
+                (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25
+                + (CASE WHEN n_tokens > 0 AND (CAST(n_chars AS DOUBLE)/n_tokens) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) * 0.25
+                + (CASE WHEN n_chars > 0 THEN CAST(length(regexp_replace(trim(text), '[^a-zA-Z ]', '', 'g')) AS DOUBLE)/n_chars ELSE 0.0 END) * 0.25
+                + least(CASE WHEN n_tokens > 0 THEN CAST(all_hits AS DOUBLE)/n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.25
+                  AS quality,
+                CASE WHEN length(norm) = 0 THEN 0 ELSE
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(norm)+1),
+                      i -> CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 1000000007) END AS fingerprint
+              FROM scored ORDER BY doc_id"""),
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+        TextAnalysis.langId(col("text")).as("lang_guess"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint")
+      ).orderBy("doc_id")),
+
+    // ---- dedup: exact ----
+    QueryDef("q_dedup_exact",
+      Some("""SELECT doc_id, source FROM documents
+              QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+              ORDER BY doc_id"""),
+      (s, d) => Dedup.exact(documents(s, d), "text", "doc_id")
+        .select("doc_id", "source").orderBy("doc_id")),
+
+    // ---- dedup: MinHash + LSH (md5-lex-min signatures, k=16, b=8, r=2) ----
+    QueryDef("q_dedup_minhash",
+      Some(s"""WITH base AS (
+                SELECT doc_id AS id, $shinglesSql AS sh
+                FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                      FROM documents)),
+              sigs AS (
+                SELECT id, sh,
+                  list_transform(range(1, 17), s ->
+                    list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
+                FROM base),
+              banded AS (
+                SELECT id, sh,
+                  list_transform(range(0, 8), b ->
+                    md5(array_to_string(sig[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)], '|'))) AS bandkeys
+                FROM sigs),
+              buckets AS (
+                SELECT id, sh, CAST(r.range AS INT) AS band,
+                       bandkeys[CAST(r.range + 1 AS INT)] AS bucket
+                FROM banded, range(0, 8) AS r)
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+              ORDER BY id_a, id_b"""),
+      (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text",
+        n = 2, k = 16, bands = 8, threshold = 0.1)
+        .orderBy("id_a", "id_b")),
+
+    // ---- dedup: SimHash (16-bit, two 8-bit bands, hamming <= 3) ----
+    QueryDef("q_dedup_simhash",
+      Some("""WITH t AS (SELECT doc_id AS id,
+                string_split_regex(trim(text), '\s+') AS toks FROM documents),
+              sk AS (SELECT id,
+                list_transform(range(1, 17), i -> CASE WHEN
+                  list_sum(list_transform(toks, x -> CASE WHEN
+                    instr('89abcdef', substr(md5(x), CAST(i AS INT), 1)) > 0
+                    THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS bits
+                FROM t),
+              kb AS (SELECT id, bits,
+                [array_to_string(bits[1:8], ''),
+                 'h2:' || array_to_string(bits[9:16], '')] AS bandkeys FROM sk),
+              buckets AS (SELECT id, bits, unnest(bandkeys) AS bucket FROM kb)
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                list_sum(list_transform(range(1, 17), i ->
+                  abs(a.bits[CAST(i AS INT)] - b.bits[CAST(i AS INT)]))) AS hamming
+              FROM buckets a JOIN buckets b
+                ON a.bucket = b.bucket AND a.id < b.id
+              WHERE list_sum(list_transform(range(1, 17), i ->
+                  abs(a.bits[CAST(i AS INT)] - b.bits[CAST(i AS INT)]))) <= 3
+              ORDER BY id_a, id_b"""),
+      (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // ---- dedup: n-gram Jaccard within a blocking key (lang) ----
+    QueryDef("q_ngram_jaccard",
+      Some(s"""WITH base AS (
+                SELECT lang AS blk, doc_id AS id, $shinglesSql AS sh
+                FROM (SELECT doc_id, lang,
+                        string_split_regex(trim(text), '\\s+') AS toks
+                      FROM documents))
+              SELECT a.id AS id_a, b.id AS id_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+              FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.12
+              ORDER BY id_a, id_b"""),
+      (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+        "lang", n = 2, threshold = 0.12)
+        .orderBy("id_a", "id_b")),
+
+    // ---- dedup: embedding-cosine near-dup within label block ----
+    QueryDef("q_embed_dupes",
+      Some(s"""WITH e AS (SELECT label AS blk, vec_id AS id, embedding AS v
+                FROM embeddings)
+              SELECT a.id AS id_a, b.id AS id_b,
+                ${cosSql("a.v", "b.v")} AS sim
+              FROM e a JOIN e b ON a.blk = b.blk AND a.id < b.id
+              WHERE ${cosSql("a.v", "b.v")} >= 0.3
+              ORDER BY id_a, id_b"""),
+      (s, d) => Ann.cosinePairs(embeddings(s, d), "label", 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // ---- similarity search: brute-force cosine top-k ----
+    QueryDef("q_ann_brute",
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                WHERE vec_id % 50 = 0),
+              c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+              scored AS (
+                SELECT qid, nid, ${cosSql("qv", "nv")} AS sim
+                FROM q, c WHERE qid <> nid)
+              SELECT qid, nid, rank, sim FROM (
+                SELECT qid, nid, sim,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nid) AS INT) AS rank
+                FROM scored)
+              WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => Ann.bruteForceTopK(
+        embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        embeddings(s, d), 5)
+        .orderBy("qid", "rank")),
+
+    // ---- similarity search: IVF (nprobe=1, 10 pivots) ----
+    QueryDef("q_ann_ivf",
+      Some(s"""WITH piv AS (
+                SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+                ORDER BY vec_id LIMIT 10),
+              cells AS (
+                SELECT vec_id, embedding, pid AS cell FROM (
+                  SELECT e.vec_id, e.embedding, p.pid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosSql("e.embedding", "p.pvec")} DESC, p.pid) AS rn
+                  FROM embeddings e, piv p)
+                WHERE rn = 1),
+              q AS (SELECT vec_id AS qid, embedding AS qv, cell
+                    FROM cells WHERE vec_id % 50 = 0),
+              scored AS (
+                SELECT q.qid, c.vec_id AS nid, ${cosSql("q.qv", "c.embedding")} AS sim
+                FROM q JOIN cells c ON q.cell = c.cell AND q.qid <> c.vec_id)
+              SELECT qid, nid, rank, sim FROM (
+                SELECT qid, nid, sim,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nid) AS INT) AS rank
+                FROM scored)
+              WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => Ann.ivfTopK(
+        embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        embeddings(s, d), 5, 10)
+        .orderBy("qid", "rank"))
+  )
+}

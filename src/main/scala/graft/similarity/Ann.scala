@@ -1,0 +1,102 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact baseline; queries × corpus join,
+  *    per-query TakeOrdered. At 100 TB the corpus side stays
+  *    partitioned and the (small) query set broadcasts.
+  *  - IVF (inverted-file) top-k: coarse-quantize the corpus against a
+  *    small deterministic pivot set (nearest pivot = cell); a query
+  *    searches only its own cell (nprobe=1). The pivot assignment is
+  *    one broadcast join; the fine search joins on the cell id, so the
+  *    candidate set per query shrinks by ~|pivots|×.
+  *
+  * The dot product folds left-to-right in double precision
+  * (`aggregate(zip_with(...))`) — the same fold the DuckDB oracle
+  * writes, so scores are bit-identical across engines.
+  */
+object Ann {
+
+  /** Left-to-right double-precision dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (same fold). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows (self excluded). Query set should be small: it is broadcast.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec")))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val scored = q.crossJoin(c)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /** Deterministic pivot set: the `nPivots` corpus rows with the lowest
+    * ids (a stand-in for k-means centroids; deterministic beats clever
+    * for reproducibility).
+    */
+  def pivots(corpus: DataFrame, nPivots: Int): DataFrame =
+    corpus.orderBy("vec_id").limit(nPivots)
+      .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+
+  /** Assign every row to its nearest pivot (cell id = pivot id).
+    * One broadcast join + per-row argmax, no shuffle of the corpus.
+    */
+  def assignCells(df: DataFrame, pivotDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("__psim").desc, col("pid").asc)
+    df.crossJoin(broadcast(pivotDf))
+      .withColumn("__psim", cosine(col("embedding"), col("pvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(df.columns.map(col) :+ col("pid").as("cell"): _*)
+  }
+
+  /** IVF top-k with nprobe=1: search only the query's own cell. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPivots: Int): DataFrame = {
+    val piv = pivots(corpus, nPivots)
+    val cells = assignCells(corpus, piv)
+    val qcells = assignCells(queries, piv)
+    val q = broadcast(qcells.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"), col("cell")))
+    val scored = q.join(cells.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"), col("cell")), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking column. */
+  def cosinePairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val base = df.select(col(blockCol).as("blk"), col("vec_id").as("id"),
+      col("embedding").as("v"))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

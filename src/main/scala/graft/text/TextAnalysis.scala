@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kit for large-scale training-data pipelines (north-star
+  * ops beyond the reference surface; SURVEY.md §7 step 8): language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * `Column` compositions of codegen'd built-ins — no UDFs — so the whole
+  * pipeline stays inside whole-stage codegen and scales linearly with
+  * executors (per-row ops, no shuffle).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: tokens plus extra units for long words
+    * (a word of length L costs ceil(L/4) units — a cheap stand-in for
+    * byte-pair segmentation that needs no vocab).
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("int"))
+
+  /** Tiny per-language stopword inventories for the n-gram/stopword
+    * language-ID heuristic. Deliberately small and deterministic.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un", "en", "que"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "une", "dans", "que"))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t)))
+  }
+
+  /** Heuristic language ID: the language with the most stopword hits;
+    * 'und' (undetermined) when no stopword matches. Ties break by
+    * inventory order (en, de, es, fr).
+    */
+  def langId(text: Column): Column = {
+    val hits = stopwords.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: blends token-length sanity, alpha ratio,
+    * punctuation-terminated text, and stopword density — the standard
+    * cheap pre-training filters (length/punct/stopword ratios).
+    * Per-row scalar arithmetic only: deterministic across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val t = trim(text)
+    val nTok = tokenCount(t).cast("double")
+    val nChars = length(t).cast("double")
+    val meanTokLen = when(nTok > 0, nChars / nTok).otherwise(lit(0.0))
+    val lenOk = when(nTok >= 10 && nTok <= 100000, 1.0).otherwise(0.0)
+    val tokLenOk = when(meanTokLen >= 3 && meanTokLen <= 12, 1.0).otherwise(0.0)
+    val alphaRatio = when(nChars > 0,
+      length(regexp_replace(t, "[^a-zA-Z ]", "")).cast("double") / nChars)
+      .otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0,
+      stopwordHits(t, stopwords.flatMap(_._2)).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    lenOk * 0.25 + tokLenOk * 0.25 + alphaRatio * 0.25 +
+      least(stopRatio * lit(5.0), lit(1.0)) * 0.25
+  }
+
+  /** Document fingerprint: polynomial rolling hash of the normalized
+    * text (lowercase, collapsed whitespace), mod 1e9+7 so the value
+    * is engine-portable (no 64-bit overflow semantics involved).
+    */
+  def fingerprint(text: Column): Column = {
+    val norm = lower(trim(regexp_replace(text, "\\s+", " ")))
+    val chars = transform(
+      sequence(lit(1), length(norm)),
+      i => ascii(norm.substr(i, lit(1))).cast("long"))
+    // guard: sequence(1, 0) would count DOWN in Spark, not emit empty
+    when(length(norm) === 0, lit(0L))
+      .otherwise(aggregate(chars, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L))
+  }
+}
