@@ -16,8 +16,12 @@ object Normalize {
   /** trim + lowercase — the standard email cleanup. */
   def cleanEmail(c: Column): Column = lower(trim(c))
 
-  /** zero-pad to `n` chars (reference `unreg_presc.py:47` zfill). */
-  def zfill(c: Column, n: Int): Column = lpad(c, n, "0")
+  /** zero-pad to `n` chars (reference `unreg_presc.py:47` zfill).
+    * Unlike bare `lpad`, does NOT truncate values already longer than
+    * `n` — Polars zfill semantics.
+    */
+  def zfill(c: Column, n: Int): Column =
+    when(length(c) >= n, c).otherwise(lpad(c, n, "0"))
 
   /** strip one trailing suffix from a fixed list, longest-first
     * (reference `mm1.py:35-56` iterated strip_suffix over degree list).

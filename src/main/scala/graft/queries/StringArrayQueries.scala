@@ -21,7 +21,9 @@ object StringArrayQueries {
                      right(p_name, 3) AS name_tail,
                      length(p_name) AS name_len,
                      regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
-                     lpad(CAST(p_size AS VARCHAR), 6, '0') AS size_z,
+                     CASE WHEN length(CAST(p_size AS VARCHAR)) >= 6
+                          THEN CAST(p_size AS VARCHAR)
+                          ELSE lpad(CAST(p_size AS VARCHAR), 6, '0') END AS size_z,
                      concat_ws('|', p_brand, p_type) AS brand_type,
                      starts_with(p_type, 'STANDARD') AS is_std,
                      contains(p_name, 'red') AS has_red

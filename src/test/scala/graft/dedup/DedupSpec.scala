@@ -1,0 +1,51 @@
+package graft.dedup
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),      // near dup of 1
+    (4L, "completely different words about spark engines here"),
+    (5L, "spark engines process completely different words"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds exact and near dup pairs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 2, k = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must be found")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "near dup (1 word of 9 changed) must be found")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L),
+      "unrelated docs must not pair")
+  }
+
+  test("simhash: identical docs hamming 0; near dups small hamming") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(pairs.get((1L, 3L)).exists(_ <= 3))
+  }
+
+  test("ngram jaccard within block") {
+    val blocked = docs.withColumn("blk", org.apache.spark.sql.functions.lit("all"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "blk",
+      n = 2, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.get((1L, 3L)).exists(j => j > 0.5 && j < 1.0))
+    assert(!pairs.contains((4L, 5L)), "shared words but no shared bigram set >= 0.5")
+  }
+}

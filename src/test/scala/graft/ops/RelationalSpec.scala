@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("keepFirst keeps exactly one row per key by priority order") {
+    val df = Seq(
+      ("d1", "N", 1), ("d1", "Y", 2), ("d1", "Y", 3),
+      ("d2", "N", 4)).toDF("dea", "active", "seq")
+    val out = Relational.keepFirst(df, Seq("dea"),
+      Seq(col("active").desc, col("seq").asc))
+      .orderBy("dea").as[(String, String, Int)].collect()
+    assert(out.toSeq === Seq(("d1", "Y", 2), ("d2", "N", 4)))
+  }
+
+  test("fallbackMatch: stage-2 only fires for rows missed by stage 1") {
+    val left = Seq(("a", "f1"), ("b", "f2"), ("c", "f3")).toDF("pk", "fk")
+    val right = Seq(("a", "x", "primaryA"), ("zz", "f2", "fallbackB"))
+      .toDF("rpk", "rfk", "tag")
+    val out = Relational.fallbackMatch(left, right, ("pk", "rpk"), ("fk", "rfk"))
+      .select("pk", "tag").as[(String, String)].collect().toSet
+    // a matches primary; b misses primary, matches fallback; c matches nothing
+    assert(out === Set(("a", "primaryA"), ("b", "fallbackB")))
+  }
+
+  test("valueCounts sorts by count desc then value") {
+    val df = Seq("x", "y", "y", "z", "z").toDF("v")
+    val out = Relational.valueCounts(df, "v").as[(String, Long)].collect().toSeq
+    assert(out === Seq(("y", 2L), ("z", 2L), ("x", 1L)))
+  }
+
+  test("argmaxCount returns all tied argmax groups") {
+    val df = Seq("a", "a", "b", "b", "c").toDF("k")
+    val out = Relational.argmaxCount(df, Seq("k"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a", 2L), ("b", 2L)))
+  }
+
+  test("sampleN is exact-n and deterministic") {
+    val df = (1 to 100).toDF("id").withColumn("id", col("id").cast("long"))
+    val s1 = Relational.sampleN(df, 20, Seq("id")).as[Long].collect().toSeq
+    val s2 = Relational.sampleN(df, 20, Seq("id")).as[Long].collect().toSeq
+    assert(s1.size === 20 && s1 === s2)
+  }
+
+  test("semiByKey / antiByKey partition the frame") {
+    val df = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val lookup = Seq(2L, 4L, 9L).toDF("other")
+    val semi = Relational.semiByKey(df, "k", lookup, "other").as[Long].collect().toSet
+    val anti = Relational.antiByKey(df, "k", lookup, "other").as[Long].collect().toSet
+    assert(semi === Set(2L, 4L) && anti === Set(1L, 3L))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.similarity
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // unit-ish vectors: 0/1 close to each other, 2 close to 3, 4 alone
+  val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.9f, 0.1f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal -> 0, identical -> 1") {
+    val df = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Ann.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+    val m = df.as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(m((0L, 0L)) - 1.0) < 1e-12)
+    assert(math.abs(m((0L, 2L))) < 1e-12)
+    assert(m((0L, 1L)) > 0.99)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val out = Ann.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 2)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq
+    assert(out === Seq((0L, 1L, 1), (0L, 2L, 2)) ||
+      (out.head == ((0L, 1L, 1)) && out.size == 2))
+  }
+
+  test("ivfTopK searches within the query's cell only") {
+    // 2 pivots = vec 0 and vec 1 (lowest ids); every vector lands in a cell
+    val out = Ann.ivfTopK(vecs.filter(col("vec_id") === 4), vecs, 3, 2)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    // all results share the query's cell; no self-match
+    assert(out.forall(_._1 == 4L) && out.forall(_._2 != 4L))
+    assert(out.nonEmpty)
+  }
+
+  test("cosinePairs finds the two close pairs under blocking") {
+    val blocked = vecs.withColumn("blk", lit(1))
+    val pairs = Ann.cosinePairs(blocked, "blk", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L), (2L, 3L)))
+  }
+}

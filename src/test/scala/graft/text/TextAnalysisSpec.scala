@@ -1,0 +1,48 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenCount / subwordCount") {
+    val df = Seq("one two three", "  padded   tokens  ", "extraordinarily long")
+      .toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n"),
+        TextAnalysis.subwordCount(col("t")).as("sw"))
+    val rows = df.as[(Int, Int)].collect().toSeq
+    assert(rows.map(_._1) === Seq(3, 2, 2))
+    // "extraordinarily"(15) -> ceil(15/4)=4, "long"(4) -> 1
+    assert(rows(2)._2 === 5)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat and the dog is in it",
+      "der hund und die katze ist ein tier",
+      "el perro y la casa es un lugar",
+      "xyzzy plugh qwerty").toDF("t")
+      .select(TextAnalysis.langId(col("t")).as("lang"))
+    assert(df.as[String].collect().toSeq === Seq("en", "de", "es", "und"))
+  }
+
+  test("fingerprint: stable, sensitive, whitespace-normalized") {
+    val df = Seq("hello world", "hello  world ", "hello worlds")
+      .toDF("t").select(TextAnalysis.fingerprint(col("t")).as("fp"))
+    val fps = df.as[Long].collect().toSeq
+    assert(fps(0) === fps(1), "collapsed whitespace must not change fp")
+    assert(fps(0) !== fps(2))
+    assert(fps.forall(f => f >= 0 && f < 1000000007L))
+  }
+
+  test("qualityScore ranks clean prose above junk") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and it is a fine day in the sun",
+      "@@@@ #### 1234 !!!! %%%% ^^^^ &&&& **** (((( ))))")
+      .toDF("t").select(TextAnalysis.qualityScore(col("t")).as("q"))
+    val Seq(good, junk) = df.as[Double].collect().toSeq
+    assert(good > junk)
+    assert(good >= 0.0 && good <= 1.0 && junk >= 0.0 && junk <= 1.0)
+  }
+}
