@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with a typed metadata struct, plus a batched
+  * decode/feature-extract stage.
+  *
+  * The Spark-side shape is real and tested — schema, partition-local
+  * batching, deterministic output — while the actual media decode is a
+  * STUB (this container has no image/audio codecs): `decodeStub`
+  * derives a fake feature vector from the payload bytes' md5. Swapping
+  * in a real decoder (JNI/ONNX/whatever) only replaces the function
+  * body; the batching and schema contract stay.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String,
+      n_bytes: Int)
+  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
+      features: Array[Float])
+
+  /** Wrap a text table into a media-shaped frame: payload = utf-8 bytes
+    * (stand-in for image bytes), metadata struct alongside.
+    */
+  def asMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        length(encode(col("text"), "utf-8")).as("n_bytes"),
+        col("lang").as("tag")).as("meta"))
+
+  /** STUB media decode: a real implementation would decode the payload
+    * (image/audio frame) and run feature extraction; here the "features"
+    * are 4 floats derived deterministically from the payload md5 so the
+    * pipeline is testable end-to-end. Processes each partition in
+    * batches of `batchSize` rows — the shape a vectorized model server
+    * (or Arrow batch) wants.
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 32): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"),
+        col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // one "model call" per batch — the batched shape is the point
+          batch.map { r =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(r.payload)
+            val feats = (0 until 4).map { i =>
+              ((md(i * 2) & 0xff) * 256 + (md(i * 2 + 1) & 0xff)) / 65535.0f
+            }.toArray
+            MediaFeatures(r.doc_id, r.mime, r.n_bytes, feats)
+          }
+        }
+      }
+  }
+
+  /** Oracle-expressible slice of the media pipeline: payload byte
+    * length, md5 hex, and metadata projection (no mapPartitions).
+    */
+  def mediaSummary(documents: DataFrame): DataFrame =
+    asMedia(documents).select(
+      col("doc_id"),
+      col("meta.mime").as("mime"),
+      col("meta.n_bytes").as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      col("meta.tag").as("tag"))
+}

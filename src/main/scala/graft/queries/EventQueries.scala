@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+
+/** Events-table (time-series) + multimodal queries. The event rollup
+  * and sessionization are the batch twins of the Structured Streaming
+  * pipelines in graft.streaming — same transforms, static source — so
+  * the oracle pins the semantics the stream must reproduce.
+  */
+object EventQueries {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // hourly windowed rollup (batch twin of EventStreams.hourlyRollup)
+    QueryDef("q_event_window",
+      Some("""WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+              SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start,
+                     event_type, count(*) AS n,
+                     sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+              FROM e GROUP BY 1, 2 ORDER BY hour_start, event_type"""),
+      (s, d) => EventStreams.hourlyRollup(events(s, d), streaming = false)
+        .orderBy("hour_start", "event_type")),
+
+    // gap-based sessionization, batch formulation: lag -> gap flag ->
+    // running sum = session seq (oracle twin of the stateful stream)
+    QueryDef("q_event_sessions",
+      Some("""WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+              marked AS (
+                SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                       WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                       ELSE 0 END AS new_session
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ), sess AS (
+                SELECT user_id, ts,
+                  CAST(sum(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+                FROM marked)
+              SELECT user_id, session_seq, count(*) AS n_events,
+                     CAST(min(ts) AS VARCHAR) AS start_ts,
+                     CAST(max(ts) AS VARCHAR) AS end_ts
+              FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("session_seq", sum("new_session").over(wRun).cast("int"))
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").cast("string").as("start_ts"),
+            max("ts").cast("string").as("end_ts"))
+          .orderBy("user_id", "session_seq")
+      }),
+
+    // event funnel: per-user ordered event_type path (first 5 events)
+    QueryDef("q_event_paths",
+      Some("""SELECT user_id,
+                     array_to_string((list(event_type ORDER BY ts, event_id))[1:5],
+                       '>') AS path5
+              FROM events GROUP BY user_id ORDER BY user_id"""),
+      // (ns vs µs irrelevant here: ordering is preserved by the cast)
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .groupBy("user_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("path5"))
+          .orderBy("user_id")
+      }),
+
+    // multimodal: binary payload + metadata plumbing (oracle-expressible
+    // slice; the batched decode stub is rows-only + unit-tested)
+    QueryDef("q_media_summary",
+      Some("""SELECT doc_id, 'text/plain' AS mime,
+                     octet_length(CAST(text AS BLOB)) AS n_bytes,
+                     md5(text) AS payload_md5, lang AS tag
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => Multimodal.mediaSummary(documents(s, d)).orderBy("doc_id")),
+
+    // multimodal: batched decode stub (mapPartitions) — rows-only check
+    QueryDef("q_media_features", None,
+      (s, d) => Multimodal.decodeStub(s, Multimodal.asMedia(documents(s, d)))
+        .toDF().select(col("doc_id"), col("n_bytes"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy("doc_id"))
+  )
+}

@@ -18,6 +18,19 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. Read nanos as long (legacy
+    * conf) and convert losslessly to a microsecond TimestampType
+    * (`ts div 1000` — integer division, no double round-trip).
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
@@ -25,7 +38,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

