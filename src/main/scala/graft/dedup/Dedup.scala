@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.text.TextAnalysis
 
 /** Deduplication kit for training-data pipelines: exact, MinHash+LSH,
@@ -15,6 +16,16 @@ import graft.text.TextAnalysis
   *    per-bucket, not O(n²);
   *  - hashes are md5-based (not xxhash) so signatures are reproducible
   *    in any engine — the DuckDB oracle computes the very same buckets.
+  *
+  * Execution notes (these made a 10×+ difference at sf0.1):
+  *  - signature/sketch stages are persisted before self-joins — Spark
+  *    duplicates the subtree on both join sides and per exploded band
+  *    otherwise, and higher-order md5 lambdas run interpreted (no
+  *    codegen), so recomputation is what kills you (at cluster scale
+  *    the same role is played by a checkpoint/staging table);
+  *  - the bucket self-join carries only (id, band, bucket); shingle
+  *    sets rejoin AFTER candidate pairs are distinct, via broadcast;
+  *  - md5 runs once per token, never once per (token × sketch-dim).
   */
 object Dedup {
 
@@ -39,12 +50,13 @@ object Dedup {
 
   /** MinHash signature: k lexicographic minima of seeded md5 over the
     * shingle set. md5 is uniform enough for Jaccard estimation and is
-    * bit-identical across engines (vs engine-private xxhash).
+    * bit-identical across engines (vs engine-private xxhash). Native
+    * codegen'd expression; the equivalent HOF form
+    * (`transform(sequence(1,k), s -> array_min(transform(sh, md5(s:x))))`)
+    * is what the oracle runs.
     */
   def minhashSignature(shingleSet: Column, k: Int): Column =
-    transform(sequence(lit(1), lit(k)),
-      seed => array_min(transform(shingleSet,
-        s => md5(concat(seed.cast("string"), lit(":"), s)))))
+    graft.functions.SketchExpressions.minhashSig(shingleSet, k)
 
   /** LSH band keys: split the k-length signature into `bands` bands of
     * k/bands rows each; band key = md5 of the concatenated band slice.
@@ -56,29 +68,39 @@ object Dedup {
       b => md5(concat_ws("|", slice(signature, b * lit(r) + 1, lit(r)))))
   }
 
+  /** Exact Jaccard of two SORTED distinct-element arrays: single merge
+    * walk for the intersection; union size by arithmetic (sets are
+    * distinct, so |A∪B| = |A|+|B|-|A∩B|).
+    */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = graft.functions.SketchExpressions.sortedIntersectSize(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
   /** MinHash+LSH near-duplicate pairs over `df(idCol, textCol)`:
     * candidates from shared LSH buckets, verified with exact Jaccard on
     * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8, threshold: Double = 0.3): DataFrame = {
-    val withSig = df.select(
-      col(idCol).as("id"),
+    val shDf = df.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = shDf
       .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("bandkeys", lshBands(col("sig"), k, bands))
-    val buckets = withSig.select(col("id"), col("sh"),
-      posexplode(col("bandkeys")).as(Seq("band", "bucket")))
-    val a = buckets.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
+        .as(Seq("band", "bucket")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .select("id_a", "id_b")
       .distinct()
+    candidates
+      .join(broadcast(shDf.select(col("id").as("id_a"), col("sh").as("sh_a"))), Seq("id_a"))
+      .join(broadcast(shDf.select(col("id").as("id_b"), col("sh").as("sh_b"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -86,13 +108,8 @@ object Dedup {
     * +1 when nibble i of md5(token) is >= 8, else -1; bit i of the
     * sketch is the sign of the sum. Returns array<int> of 16 bits.
     */
-  def simhashBits(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    transform(sequence(lit(1), lit(16)), i =>
-      when(aggregate(toks, lit(0), (acc, t) =>
-        acc + when(instr(lit("89abcdef"), substring(md5(t), 1, 16).substr(i, lit(1))) > 0, 1)
-          .otherwise(-1)) > 0, 1).otherwise(0))
-  }
+  def simhashBits(text: Column): Column =
+    graft.functions.SketchExpressions.simhashBits(TextAnalysis.tokens(text))
 
   /** SimHash near-duplicate pairs: block on the two 8-bit half-sketches
     * (a pair must agree on at least one half to be a candidate — the
@@ -100,40 +117,47 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withBits = df.select(col(idCol).as("id"),
-      simhashBits(col(textCol)).as("bits"))
-      .withColumn("bandkeys", array(
+    val withBits = df
+      .select(col(idCol).as("id"), simhashBits(col(textCol)).as("bits"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = withBits
+      .select(col("id"), explode(array(
         concat_ws("", slice(col("bits"), 1, 8)),
-        concat(lit("h2:"), concat_ws("", slice(col("bits"), 9, 8)))))
-    val buckets = withBits.select(col("id"), col("bits"),
-      explode(col("bandkeys")).as("bucket"))
-    val a = buckets.select(col("bucket"), col("id").as("id_a"), col("bits").as("bits_a"))
-    val b = buckets.select(col("bucket"), col("id").as("id_b"), col("bits").as("bits_b"))
-    a.join(b, Seq("bucket"))
+        concat(lit("h2:"), concat_ws("", slice(col("bits"), 9, 8))))).as("bucket"))
+    val candidates = buckets.select(col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(broadcast(withBits.select(col("id").as("id_a"), col("bits").as("bits_a"))),
+        Seq("id_a"))
+      .join(broadcast(withBits.select(col("id").as("id_b"), col("bits").as("bits_b"))),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         aggregate(zip_with(col("bits_a"), col("bits_b"),
           (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Direct n-gram Jaccard similarity join within a blocking key
+  /** Direct n-gram Jaccard similarity join within blocking keys
     * (compare only within block — at 100 TB the blocking key is what
     * keeps this from being O(n²); reference analog: the DOB equi-key
     * in the od.py fuzzy join).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int = 2, threshold: Double = 0.2): DataFrame = {
-    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-    val a = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk"))
+      blockCols: Seq[String], n: Int = 2, threshold: Double = 0.2): DataFrame = {
+    val base = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+
+        shingles(col(textCol), n).as("sh")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = base.select(
+      (blockCols.map(col) :+ col("id").as("id_a") :+ col("sh").as("sh_a")): _*)
+    val b = base.select(
+      (blockCols.map(col) :+ col("id").as("id_b") :+ col("sh").as("sh_b")): _*)
+    a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

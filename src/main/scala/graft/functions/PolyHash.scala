@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash of a string: fold of `acc*31 + codepoint`
+  * mod 1e9+7 over the characters — the document-fingerprint primitive.
+  *
+  * Semantically identical to the composable higher-order-function form
+  * (`aggregate(transform(sequence(...), ascii(substr(...))))`, which the
+  * DuckDB oracle still uses) but O(n) instead of O(n²) and fully inside
+  * whole-stage codegen: per-char `substr` in the HOF form rescans the
+  * string per index and runs interpreted, which benched ~6 ms/row on
+  * 300-char docs; this expression is ~µs/row.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_hash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PolyHash.hash(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PolyHash.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  private final val Mod = 1000000007L
+
+  /** Fold matching `ascii()` semantics per character: the codepoint of
+    * the character (ascii() in both engines returns the codepoint of
+    * the first character of a 1-char string).
+    */
+  def hash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def apply(c: Column): Column = GraftShim.column(PolyHash(GraftShim.expression(c)))
+}

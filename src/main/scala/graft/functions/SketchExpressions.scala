@@ -1,0 +1,166 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd sketch primitives. These compute EXACTLY the same
+  * md5-derived values as the composable higher-order-function forms
+  * (which the DuckDB oracle still evaluates), but in tight JVM loops:
+  * Catalyst lambda functions run interpreted with per-element closure
+  * dispatch, which benched 10-20× slower at sf0.1 for the
+  * md5-per-(element × dimension) shapes these replace.
+  */
+object SketchOps {
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5hex(bytes: Array[Byte]): Array[Byte] = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = hexDigits((d(i) >> 4) & 0xf).toByte
+      out(i * 2 + 1) = hexDigits(d(i) & 0xf).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature: for seed s in 1..k, the lexicographic minimum
+    * of md5hex(s + ":" + shingle). Identical to
+    * transform(sequence(1,k), s -> array_min(transform(sh, md5(...)))).
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Array[Byte]](k)
+    var s = 0
+    while (s < k) {
+      val seedPrefix = s"${s + 1}:".getBytes("UTF-8")
+      var best: Array[Byte] = null
+      var i = 0
+      while (i < n) {
+        val sh = shingles.getUTF8String(i).getBytes
+        val buf = new Array[Byte](seedPrefix.length + sh.length)
+        System.arraycopy(seedPrefix, 0, buf, 0, seedPrefix.length)
+        System.arraycopy(sh, 0, buf, seedPrefix.length, sh.length)
+        val h = md5hex(buf)
+        if (best == null || compareBytes(h, best) < 0) best = h
+        i += 1
+      }
+      mins(s) = best
+      s += 1
+    }
+    new GenericArrayData(mins.map(b =>
+      if (b == null) null else UTF8String.fromBytes(b)))
+  }
+
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** 16-bit SimHash: one md5 per token; dimension i (1..16) counts +1
+    * when hex nibble i of the digest is >= 8 else -1; bit = sum > 0.
+    * Identical to the nibble/instr higher-order formulation.
+    */
+  def simhashBits(tokens: ArrayData): ArrayData = {
+    val sums = new Array[Int](16)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(tokens.getUTF8String(i).getBytes)
+      var dim = 0
+      while (dim < 16) {
+        val b = d(dim / 2) & 0xff
+        val nibble = if (dim % 2 == 0) b >> 4 else b & 0xf
+        sums(dim) += (if (nibble >= 8) 1 else -1)
+        dim += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sums.map(s => if (s > 0) 1 else 0))
+  }
+
+  /** Intersection size of two SORTED distinct string arrays (single
+    * merge walk — array_intersect builds a hash set per call).
+    */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    var i = 0
+    var j = 0
+    var n = 0
+    val na = a.numElements()
+    val nb = b.numElements()
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(v: Any): Any =
+    SketchOps.minhashSig(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchOps.minhashSig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHashBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_bits"
+  override protected def nullSafeEval(v: Any): Any =
+    SketchOps.simhashBits(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchOps.simhashBits($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_size"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SketchOps.sortedIntersectSize(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SketchOps.sortedIntersectSize($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SketchExpressions {
+  def minhashSig(shingles: Column, k: Int): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(shingles), k))
+  def simhashBits(tokens: Column): Column =
+    GraftShim.column(SimHashBits(GraftShim.expression(tokens)))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftShim.column(SortedIntersectSize(
+      GraftShim.expression(a), GraftShim.expression(b)))
+}

@@ -70,14 +70,19 @@ object ExtQueries {
                       i -> CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
                     (acc, c) -> (acc * 31 + c) % 1000000007) END AS fingerprint
               FROM scored ORDER BY doc_id"""),
-      (s, d) => documents(s, d).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
-        TextAnalysis.langId(col("text")).as("lang_guess"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint")
-      ).orderBy("doc_id")),
+      (s, d) => documents(s, d)
+        // materialize tokens once: the HOF consumers run interpreted
+        // (no codegen CSE), so an inlined split() would re-evaluate
+        // at every use site
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          TextAnalysis.subwordCountT(col("toks")).as("n_subwords"),
+          TextAnalysis.langIdT(col("toks")).as("lang_guess"),
+          TextAnalysis.qualityScoreT(col("text"), col("toks")).as("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint")
+        ).orderBy("doc_id")),
 
     // ---- dedup: exact ----
     QueryDef("q_dedup_exact",
@@ -147,19 +152,20 @@ object ExtQueries {
     // ---- dedup: n-gram Jaccard within a blocking key (lang) ----
     QueryDef("q_ngram_jaccard",
       Some(s"""WITH base AS (
-                SELECT lang AS blk, doc_id AS id, $shinglesSql AS sh
-                FROM (SELECT doc_id, lang,
+                SELECT lang, source, doc_id AS id, $shinglesSql AS sh
+                FROM (SELECT doc_id, lang, source,
                         string_split_regex(trim(text), '\\s+') AS toks
                       FROM documents))
               SELECT a.id AS id_a, b.id AS id_b,
                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-              FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+              FROM base a JOIN base b
+                ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
               WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.12
               ORDER BY id_a, id_b"""),
       (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
-        "lang", n = 2, threshold = 0.12)
+        Seq("lang", "source"), n = 2, threshold = 0.12)
         .orderBy("id_a", "id_b")),
 
     // ---- dedup: embedding-cosine near-dup within label block ----

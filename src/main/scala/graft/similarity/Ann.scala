@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Left-to-right double-precision dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right double-precision dot product of two float arrays.
+    * Native codegen'd loop, bit-identical to the
+    * `aggregate(zip_with(...))` fold the oracle evaluates.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
   /** L2 norm (same fold). */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -37,12 +38,15 @@ object Ann {
     * rows (self excluded). Query set should be small: it is broadcast.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // norms precomputed per ROW, not per pair (same IEEE value — the
+    // per-pair oracle formulation produces identical bits)
     val q = broadcast(queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qvec")))
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      col("embedding").as("qvec"), norm(col("embedding")).as("qnrm")))
+    val c = corpus.select(col("vec_id").as("nid"),
+      col("embedding").as("nvec"), norm(col("embedding")).as("nnrm"))
     val scored = q.crossJoin(c)
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -63,8 +67,11 @@ object Ann {
   def assignCells(df: DataFrame, pivotDf: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("__psim").desc, col("pid").asc)
-    df.crossJoin(broadcast(pivotDf))
-      .withColumn("__psim", cosine(col("embedding"), col("pvec")))
+    val withNrm = df.withColumn("__nrm", norm(col("embedding")))
+    val piv = broadcast(pivotDf.withColumn("__pnrm", norm(col("pvec"))))
+    withNrm.crossJoin(piv)
+      .withColumn("__psim",
+        dot(col("embedding"), col("pvec")) / (col("__nrm") * col("__pnrm")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(df.columns.map(col) :+ col("pid").as("cell"): _*)
@@ -76,11 +83,12 @@ object Ann {
     val cells = assignCells(corpus, piv)
     val qcells = assignCells(queries, piv)
     val q = broadcast(qcells.select(col("vec_id").as("qid"),
-      col("embedding").as("qvec"), col("cell")))
+      col("embedding").as("qvec"), norm(col("embedding")).as("qnrm"), col("cell")))
     val scored = q.join(cells.select(col("vec_id").as("nid"),
-        col("embedding").as("nvec"), col("cell")), Seq("cell"))
+        col("embedding").as("nvec"), norm(col("embedding")).as("nnrm"), col("cell")),
+        Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -90,12 +98,14 @@ object Ann {
   /** Embedding-cosine near-duplicate pairs within a blocking column. */
   def cosinePairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val base = df.select(col(blockCol).as("blk"), col("vec_id").as("id"),
-      col("embedding").as("v"))
-    val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+      col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("nrm_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("nrm_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("sim", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

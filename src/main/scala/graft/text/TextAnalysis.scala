@@ -22,9 +22,11 @@ object TextAnalysis {
     * (a word of length L costs ceil(L/4) units — a cheap stand-in for
     * byte-pair segmentation that needs no vocab).
     */
-  def subwordCount(text: Column): Column =
-    aggregate(tokens(text), lit(0),
+  def subwordCountT(toks: Column): Column =
+    aggregate(toks, lit(0),
       (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("int"))
+
+  def subwordCount(text: Column): Column = subwordCountT(tokens(text))
 
   /** Tiny per-language stopword inventories for the n-gram/stopword
     * language-ID heuristic. Deliberately small and deterministic.
@@ -35,32 +37,41 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "y", "es", "un", "en", "que"),
     "fr" -> Seq("le", "la", "et", "est", "un", "une", "dans", "que"))
 
-  /** Count of tokens that appear in `words`. */
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
+  /** Count of tokens that appear in `words`. Pass a PRE-SPLIT tokens
+    * column when calling repeatedly: higher-order functions run
+    * interpreted (outside codegen CSE), so an inlined `split` would be
+    * re-evaluated per call site.
+    */
+  def stopwordHitsT(toks: Column, words: Seq[String]): Column = {
     val set = array(words.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(set, t)))
+    size(filter(toks, t => array_contains(set, t)))
   }
+
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    stopwordHitsT(tokens(text), words)
 
   /** Heuristic language ID: the language with the most stopword hits;
     * 'und' (undetermined) when no stopword matches. Ties break by
     * inventory order (en, de, es, fr).
     */
-  def langId(text: Column): Column = {
-    val hits = stopwords.map { case (lang, words) => lang -> stopwordHits(text, words) }
+  def langIdT(toks: Column): Column = {
+    val hits = stopwords.map { case (lang, words) => lang -> stopwordHitsT(toks, words) }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     hits.foldRight(lit("und"): Column) { case ((lang, h), acc) =>
       when(h === best && best > 0, lang).otherwise(acc)
     }
   }
 
+  def langId(text: Column): Column = langIdT(tokens(text))
+
   /** Quality score in [0,1]: blends token-length sanity, alpha ratio,
     * punctuation-terminated text, and stopword density — the standard
     * cheap pre-training filters (length/punct/stopword ratios).
     * Per-row scalar arithmetic only: deterministic across engines.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreT(text: Column, toks: Column): Column = {
     val t = trim(text)
-    val nTok = tokenCount(t).cast("double")
+    val nTok = size(toks).cast("double")
     val nChars = length(t).cast("double")
     val meanTokLen = when(nTok > 0, nChars / nTok).otherwise(lit(0.0))
     val lenOk = when(nTok >= 10 && nTok <= 100000, 1.0).otherwise(0.0)
@@ -69,11 +80,13 @@ object TextAnalysis {
       length(regexp_replace(t, "[^a-zA-Z ]", "")).cast("double") / nChars)
       .otherwise(lit(0.0))
     val stopRatio = when(nTok > 0,
-      stopwordHits(t, stopwords.flatMap(_._2)).cast("double") / nTok)
+      stopwordHitsT(toks, stopwords.flatMap(_._2)).cast("double") / nTok)
       .otherwise(lit(0.0))
     lenOk * 0.25 + tokLenOk * 0.25 + alphaRatio * 0.25 +
       least(stopRatio * lit(5.0), lit(1.0)) * 0.25
   }
+
+  def qualityScore(text: Column): Column = qualityScoreT(text, tokens(text))
 
   /** Document fingerprint: polynomial rolling hash of the normalized
     * text (lowercase, collapsed whitespace), mod 1e9+7 so the value
@@ -81,11 +94,8 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = {
     val norm = lower(trim(regexp_replace(text, "\\s+", " ")))
-    val chars = transform(
-      sequence(lit(1), length(norm)),
-      i => ascii(norm.substr(i, lit(1))).cast("long"))
-    // guard: sequence(1, 0) would count DOWN in Spark, not emit empty
-    when(length(norm) === 0, lit(0L))
-      .otherwise(aggregate(chars, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L))
+    // native codegen'd rolling hash — O(n) single pass; the equivalent
+    // higher-order-function form (per-index substr) is O(n²) interpreted
+    graft.functions.PolyHash(norm)
   }
 }

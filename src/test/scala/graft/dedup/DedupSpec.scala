@@ -39,7 +39,7 @@ class DedupSpec extends SparkTestBase {
 
   test("ngram jaccard within block") {
     val blocked = docs.withColumn("blk", org.apache.spark.sql.functions.lit("all"))
-    val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "blk",
+    val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", Seq("blk"),
       n = 2, threshold = 0.5)
       .select("id_a", "id_b", "jaccard")
       .as[(Long, Long, Double)].collect()
