@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.CsvSources
+
+/** CSV source/sink round-trips (SURVEY.md §2.1 S1/S2/S9). Each query
+  * materializes a CSV copy of a fixture table under /tmp inside the
+  * query (sink), re-reads it all-string (scan), casts explicitly, and
+  * must reproduce the parquet content exactly — the oracle reads the
+  * original parquet, so any loss in the CSV round-trip (quoting,
+  * separators, null handling, type casts) fails the hash match.
+  */
+object CsvQueries {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S1 + S9: all-string comma CSV round-trip with explicit casts
+    QueryDef("q_csv_roundtrip",
+      Some("""SELECT c_custkey AS ckey, c_name AS cname,
+                     c_nationkey AS nkey, c_acctbal AS bal
+              FROM customer ORDER BY ckey"""),
+      (s, d) => {
+        val dir = s"/tmp/graft_csv/roundtrip_${d.replaceAll("[^0-9.]", "")}"
+        CsvSources.writeCsv(customer(s, d), dir)
+        CsvSources.scanCsv(s, dir).select(
+          col("c_custkey").cast("bigint").as("ckey"),
+          col("c_name").as("cname"),
+          col("c_nationkey").cast("int").as("nkey"),
+          col("c_acctbal").cast("double").as("bal")
+        ).orderBy("ckey")
+      }),
+
+    // S2: pipe-separated extract round-trip (reference scorecard.py:32)
+    QueryDef("q_csv_pipe",
+      Some("""SELECT s_suppkey AS skey, s_name AS sname,
+                     s_acctbal AS bal
+              FROM supplier ORDER BY skey"""),
+      (s, d) => {
+        val dir = s"/tmp/graft_csv/pipe_${d.replaceAll("[^0-9.]", "")}"
+        CsvSources.writeCsv(supplier(s, d), dir, sep = "|")
+        CsvSources.scanCsv(s, dir, sep = "|").select(
+          col("s_suppkey").cast("bigint").as("skey"),
+          col("s_name").as("sname"),
+          col("s_acctbal").cast("double").as("bal")
+        ).orderBy("skey")
+      })
+  )
+}

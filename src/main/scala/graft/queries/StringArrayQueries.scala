@@ -58,13 +58,19 @@ object StringArrayQueries {
     // F9/F10: regex contains incl. alternation (reference
     // `awarxe_cleanup.py:49`, `unreg_presc.py:122` contains_any)
     QueryDef("q_rlike",
-      Some("""SELECT p_partkey AS pkey, p_name AS pname FROM part
+      Some("""SELECT p_partkey AS pkey, p_name AS pname,
+                     contains(p_type, string_split(p_name, ' ')[1]) AS first_in_type
+              FROM part
               WHERE regexp_matches(p_name, '(red|blue)')
-                AND regexp_matches(p_type, '^[A-Z]+ ')
+                AND regexp_matches(p_type, '^[A-Z]+$')
               ORDER BY pkey"""),
       (s, d) => part(s, d)
-        .filter(col("p_name").rlike("(red|blue)") && col("p_type").rlike("^[A-Z]+ "))
-        .select(col("p_partkey").as("pkey"), col("p_name").as("pname"))
+        .filter(col("p_name").rlike("(red|blue)") && col("p_type").rlike("^[A-Z]+$"))
+        .select(col("p_partkey").as("pkey"), col("p_name").as("pname"),
+          // column-valued needle (reference `awarxe_cleanup.py:49`
+          // contains(pl.col('first_name')) — pattern from another column)
+          col("p_type").contains(element_at(split(col("p_name"), " "), 1))
+            .as("first_in_type"))
         .orderBy("pkey")),
 
     // F8/L1: split -> explode (reference `unreg_pharmacists.py:113,118`)

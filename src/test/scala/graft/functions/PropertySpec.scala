@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Property tests for the custom scalar kernels (seeded random inputs;
+  * no Spark session needed — these pin the JVM functions codegen calls).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  val rnd = new Random(42)
+  def randStr(maxLen: Int): String = {
+    val n = rnd.nextInt(maxLen + 1)
+    (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+  }
+  val trials = 500
+
+  test("jaro_winkler: bounded, symmetric, identity") {
+    (1 to trials).foreach { _ =>
+      val a = randStr(20)
+      val b = randStr(20)
+      val s = JaroWinkler.similarity(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"($a, $b)")
+      assert(s === JaroWinkler.similarity(b, a), s"symmetry ($a, $b)")
+      assert(JaroWinkler.similarity(a, a) === 1.0)
+    }
+  }
+
+  test("jaro_winkler: boost never lowers jaro, only fires above 0.7") {
+    (1 to trials).foreach { _ =>
+      val a = randStr(15)
+      val b = randStr(15)
+      val j = JaroWinkler.jaro(a, b)
+      val jw = JaroWinkler.similarity(a, b)
+      assert(jw >= j, s"($a, $b)")
+      if (j <= 0.7) assert(jw === j, s"boost below threshold ($a, $b)")
+    }
+  }
+
+  test("poly_hash: in range, stable, order-sensitive") {
+    (1 to trials).foreach { _ =>
+      val s = randStr(300)
+      val h = PolyHash.hash(s)
+      assert(h >= 0L && h < 1000000007L)
+      assert(h === PolyHash.hash(s))
+    }
+    assert(PolyHash.hash("ab") !== PolyHash.hash("ba"))
+    assert(PolyHash.hash("") === 0L)
+  }
+
+  test("sorted intersect size equals set intersection size") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(xs: Seq[String]) =
+      new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+    (1 to trials).foreach { _ =>
+      val xs = (0 until rnd.nextInt(30)).map(_ => randStr(4))
+      val ys = (0 until rnd.nextInt(30)).map(_ => randStr(4))
+      val a = xs.distinct.sorted
+      val b = ys.distinct.sorted
+      assert(SketchOps.sortedIntersectSize(arr(a), arr(b)) ===
+        a.toSet.intersect(b.toSet).size)
+    }
+  }
+
+  test("minhash similarity estimates jaccard on related sets") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(xs: Seq[String]) =
+      new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+    val base = (0 until 200).map(i => s"shingle_$i")
+    val overlapping = (100 until 300).map(i => s"shingle_$i") // J = 1/3
+    val k = 64
+    val sigA = SketchOps.minhashSig(arr(base.sorted), k)
+    val sigB = SketchOps.minhashSig(arr(overlapping.sorted), k)
+    val agree = (0 until k).count(i =>
+      sigA.getUTF8String(i).equals(sigB.getUTF8String(i)))
+    val est = agree.toDouble / k
+    assert(math.abs(est - 1.0 / 3.0) < 0.15, s"estimate $est far from 1/3")
+  }
+}
