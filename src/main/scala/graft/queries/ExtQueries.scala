@@ -162,10 +162,10 @@ object ExtQueries {
               FROM base a JOIN base b
                 ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
               WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.12
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.09
               ORDER BY id_a, id_b"""),
       (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
-        Seq("lang", "source"), n = 2, threshold = 0.12)
+        Seq("lang", "source"), n = 2, threshold = 0.09)
         .orderBy("id_a", "id_b")),
 
     // ---- dedup: embedding-cosine near-dup within label block ----

@@ -41,10 +41,12 @@ object JoinQueries {
     // J3: anti join (reference `delinquent_data_submitters.py:90`)
     QueryDef("q_join_anti",
       Some("""SELECT c_custkey AS ckey, c_name AS cname FROM customer
-              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+              WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
               ORDER BY ckey"""),
       (s, d) => customer(s, d)
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey").as("ckey"), col("c_name").as("cname"))
         .orderBy("ckey")),
 
