@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** Library usage sample (also the runtime drive for combinators that
+  * aren't registered as fixture queries). Prints a few end-to-end
+  * results a new user would try first.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // skew-resistant join, incl. left-join orphan semantics
+    val fact = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (9L, "orphan"))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "dim1"), (2L, "dim2")).toDF("k", "attr")
+    val inner = Relational.saltedJoin(fact, dim, "k", salts = 4)
+    val left = Relational.saltedJoin(fact, dim, "k", salts = 4, "left")
+    println(s"saltedJoin inner rows=${inner.count()} (expect 4)")
+    println(s"saltedJoin left rows=${left.count()} (expect 5)")
+    println("orphan rows under left salting: " +
+      left.filter(col("payload") === "orphan").count() + " (expect 1, attr null: " +
+      left.filter(col("payload") === "orphan" && col("attr").isNull).count() + ")")
+
+    // fuzzy match from SQL after registration
+    functions.Registry.registerAll(spark)
+    spark.sql("SELECT jaro_winkler('MARTHA','MARHTA') AS jw").show(false)
+
+    spark.stop()
+  }
+}

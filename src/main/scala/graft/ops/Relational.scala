@@ -89,6 +89,22 @@ object Relational {
   def horizontalConcat(frames: Seq[DataFrame]): DataFrame =
     frames.reduce(_.crossJoin(_))
 
+  /** Skew-resistant equi-join: salt the (skewed) fact side with a
+    * deterministic hash-derived salt in [0, salts), replicate the dim
+    * side once per salt value, and join on (key, salt). Use when one
+    * key carries a disproportionate share of fact rows and AQE's skew
+    * splitting isn't enough; `salts` multiplies dim size, so keep the
+    * dim small. Result is row-identical to the plain join.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** Exact-n deterministic pseudo-sample: stable hash order, first n
     * (the reference's `df.sample(20)` at `check_masked.py:73` is a
     * human-eyeball sample; determinism matters more than entropy here).

@@ -115,6 +115,43 @@ object JoinQueries {
         stage1.unionByName(stage2).orderBy("ckey", "stage")
       }),
 
+    // self-join with renamed (suffixed) right columns + date-diff in
+    // days (reference `techs.py:38-45`: techs⋈superseded on SSN with
+    // suffix='_sup', days_to_tech = Issue Date - Issue Date_sup)
+    QueryDef("q_self_join_datediff",
+      Some("""WITH first_o AS (
+                SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate
+                FROM orders
+                QUALIFY row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) = 1
+              ), last_o AS (
+                SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate
+                FROM orders
+                QUALIFY row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+              )
+              SELECT f.o_custkey AS ckey,
+                     f.o_orderkey AS first_okey, l.o_orderkey AS last_okey,
+                     datediff('day', f.odate, l.odate) AS span_days
+              FROM first_o f JOIN last_o l ON f.o_custkey = l.o_custkey
+              ORDER BY ckey"""),
+      (s, d) => {
+        val o = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("odate"))
+        val first = Relational.keepFirst(o, Seq("o_custkey"),
+          Seq(col("odate").asc, col("o_orderkey").asc))
+        val last = Relational.keepFirst(o, Seq("o_custkey"),
+          Seq(col("odate").desc, col("o_orderkey").desc))
+          // suffix='_sup' analog: rename right-side collision columns
+          .select(col("o_custkey").as("ckey_sup"),
+            col("o_orderkey").as("okey_sup"), col("odate").as("odate_sup"))
+        first.join(last, col("o_custkey") === col("ckey_sup"), "inner")
+          .select(col("o_custkey").as("ckey"),
+            col("o_orderkey").as("first_okey"), col("okey_sup").as("last_okey"),
+            datediff(col("odate_sup"), col("odate")).as("span_days"))
+          .orderBy("ckey")
+      }),
+
     // J8/U2: horizontal concat of 1-row frames (reference `scorecard.py:70`)
     QueryDef("q_horizontal_concat",
       Some("""SELECT (SELECT count(*) FROM customer) AS n_cust,

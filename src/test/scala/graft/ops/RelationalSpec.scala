@@ -46,6 +46,18 @@ class RelationalSpec extends SparkTestBase {
     assert(s1.size === 20 && s1 === s2)
   }
 
+  test("saltedJoin result is identical to the plain join") {
+    val fact = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"))
+      .toDF("k", "payload")   // key 1 is "skewed"
+    val dim = Seq((1L, "dim1"), (2L, "dim2"), (3L, "dim3")).toDF("k", "attr")
+    val plain = fact.join(dim, Seq("k")).orderBy("k", "payload")
+      .collect().toSeq
+    val salted = Relational.saltedJoin(fact, dim, "k", salts = 4)
+      .select("k", "payload", "attr").orderBy("k", "payload")
+      .collect().toSeq
+    assert(salted === plain && salted.size === 4)
+  }
+
   test("semiByKey / antiByKey partition the frame") {
     val df = Seq(1L, 2L, 3L, 4L).toDF("k")
     val lookup = Seq(2L, 4L, 9L).toDF("other")
