@@ -82,6 +82,52 @@ object EventQueries {
           .orderBy("user_id")
       }),
 
+    // JSON column surface (SURVEY.md §2.12 — unused by the reference,
+    // standard for event pipelines): extract + filter on a JSON field
+    QueryDef("q_json_extract",
+      Some("""SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+                     json_extract_string(props, '$.missing') AS missing
+              FROM events
+              WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+              ORDER BY event_id"""),
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+          get_json_object(col("props"), "$.missing").as("missing"))
+        .filter(col("k_val") >= 50)
+        .orderBy("event_id")),
+
+    // quantiles: interpolated percentiles (describe()/summary() family)
+    QueryDef("q_quantiles",
+      Some("""SELECT event_type,
+                     quantile_cont(value, 0.5) AS p50,
+                     quantile_cont(value, 0.9) AS p90
+              FROM events GROUP BY 1 ORDER BY event_type"""),
+      (s, d) => events(s, d)
+        .groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.9)).as("p90"))
+        .orderBy("event_type")),
+
+    // partitioned parquet sink + partition-pruned re-read: the scan of
+    // the re-read must show PartitionFilters, not a full scan
+    QueryDef("q_partitioned_sink",
+      Some("""SELECT event_type, count(*) AS n,
+                     sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+              FROM events WHERE event_type IN ('click', 'view')
+              GROUP BY 1 ORDER BY event_type"""),
+      (s, d) => {
+        val dir = s"/tmp/graft_events_part/${d.replaceAll("[^0-9.]", "")}"
+        events(s, d).withColumn("cents", floor(col("value") * 100 + 0.5))
+          .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+        s.read.parquet(dir)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .orderBy("event_type")
+      }),
+
     // multimodal: binary payload + metadata plumbing (oracle-expressible
     // slice; the batched decode stub is rows-only + unit-tested)
     QueryDef("q_media_summary",

@@ -180,6 +180,24 @@ object ExtQueries {
       (s, d) => Ann.cosinePairs(embeddings(s, d), "label", 0.3)
         .orderBy("id_a", "id_b")),
 
+    // ---- vector aggregation: element-wise label centroids ----
+    // posexplode -> groupBy (label, dim) -> avg -> reassemble; rounded
+    // to 6 dp on both engines (group-sum order of doubles is not
+    // bit-stable; 1e-13 accumulation error vs 1e-6 rounding grain)
+    QueryDef("q_embed_centroid",
+      Some("""WITH flat AS (
+                SELECT label, CAST(r.range AS INT) AS dim,
+                       CAST(embedding[CAST(r.range AS INT)] AS DOUBLE) AS v
+                FROM embeddings, range(1, 65) AS r)
+              SELECT label, dim, round(avg(v), 6) AS centroid_v
+              FROM flat GROUP BY 1, 2 ORDER BY label, dim"""),
+      (s, d) => embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .select(col("label"), (col("p") + 1).as("dim"), col("v").cast("double").as("v"))
+        .groupBy("label", "dim")
+        .agg(round(avg("v"), 6).as("centroid_v"))
+        .orderBy("label", "dim")),
+
     // ---- similarity search: brute-force cosine top-k ----
     QueryDef("q_ann_brute",
       Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -53,6 +53,14 @@ object EventStreams {
 
   // timestamps carried as epoch MICROS (java.sql.Timestamp round-trips
   // would truncate to millis in the state encoder path)
+  /** Streaming exact dedup: drop duplicate event_ids, with state
+    * bounded by the watermark (the streaming twin of Dedup.exact —
+    * unbounded-state dedup is the classic streaming footgun).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts_us: Long, user_id: Long)
   case class SessionState(sessionSeq: Int, lastTs: Long, n: Long, startTs: Long)
   case class SessionOut(user_id: Long, session_seq: Int, n_events: Long,

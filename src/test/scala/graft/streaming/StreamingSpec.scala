@@ -41,6 +41,20 @@ class StreamingSpec extends SparkTestBase {
     assert(stateful.nonEmpty)
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val stream = EventStreams.dedupStream(
+      EventStreams.readEventsStream(spark, sf))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_test")
+      val n = got.count()
+      assert(n === got.select("event_id").distinct().count())
+      assert(n > 0)
+    } finally q.stop()
+  }
+
   test("watermark bounds state: rollup plan contains the watermark") {
     val stream = EventStreams.hourlyRollup(
       EventStreams.readEventsStream(spark, sf), streaming = true)
