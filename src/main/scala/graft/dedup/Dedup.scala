@@ -38,15 +38,13 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct word n-shingles of the text, sorted (set semantics). */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = TextAnalysis.tokens(text)
-    val grams = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-      .otherwise(array())
-    sort_array(array_distinct(grams))
-  }
+  /** Distinct word n-shingles of the text, sorted (set semantics).
+    * Native single-pass expression; semantics identical to the
+    * composable split→slice→concat_ws→distinct→sort chain the oracle
+    * evaluates.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles(text, n)
 
   /** MinHash signature: k lexicographic minima of seeded md5 over the
     * shingle set. md5 is uniform enough for Jaccard estimation and is
