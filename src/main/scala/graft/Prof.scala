@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
+import graft.text.TextAnalysis
 
-/** Stage-level profiler for the dedup pipelines (dev tool).
+/** Stage-level profiler for the heavy text/dedup pipelines (dev tool).
   * Usage: runMain graft.Prof [sfDir]
   */
 object Prof {
@@ -24,8 +25,11 @@ object Prof {
       println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
     }
 
+    // warmup: JIT + parquet footer caching, so stage timings are honest
+    docs.count(); docs.select(sum(length(col("text")))).collect()
+
     time("tokens only") {
-      docs.select(graft.text.TextAnalysis.tokens(col("text")).as("t"))
+      docs.select(TextAnalysis.tokens(col("text")).as("t"))
         .select(sum(size(col("t")))).collect()(0).getLong(0)
     }
     time("shingles") {
@@ -37,11 +41,45 @@ object Prof {
         .select(Dedup.minhashSignature(col("sh"), 16).as("sig"))
         .select(sum(size(col("sig")))).collect()(0).getLong(0)
     }
+    time("simhash bits") {
+      docs.select(Dedup.simhashBits(col("text")).as("b"))
+        .select(sum(size(col("b")))).collect()(0).getLong(0)
+    }
+    time("minhash candidates") {
+      import org.apache.spark.storage.StorageLevel
+      val shDf = docs.select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 2).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val buckets = shDf
+        .withColumn("sig", Dedup.minhashSignature(col("sh"), 16))
+        .select(col("id"), posexplode(Dedup.lshBands(col("sig"), 16, 8))
+          .as(Seq("band", "bucket")))
+      val n = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+        .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+      shDf.unpersist()
+      n
+    }
     time("full minhashPairs") {
       Dedup.minhashPairs(docs, "doc_id", "text", 2, 16, 8, 0.1).count()
     }
-    time("full minhashPairs again") {
-      Dedup.minhashPairs(docs, "doc_id", "text", 2, 16, 8, 0.1).count()
+    time("full simhashPairs") {
+      Dedup.simhashPairs(docs, "doc_id", "text", 3).count()
+    }
+    time("full ngramJaccardPairs") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Seq("lang", "source"), 2, 0.09).count()
+    }
+    time("text_analysis") {
+      docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), size(col("toks")).as("n"),
+          TextAnalysis.subwordCountT(col("toks")).as("sw"),
+          TextAnalysis.langIdT(col("toks")).as("lang"),
+          TextAnalysis.qualityScoreT(col("text"), col("toks")).as("q"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .count()
     }
     spark.stop()
   }

@@ -24,7 +24,9 @@ import graft.text.TextAnalysis
   *    codegen), so recomputation is what kills you (at cluster scale
   *    the same role is played by a checkpoint/staging table);
   *  - the bucket self-join carries only (id, band, bucket); shingle
-  *    sets rejoin AFTER candidate pairs are distinct, via broadcast;
+  *    sets rejoin AFTER candidate pairs are distinct, with no hint —
+  *    AQE broadcasts the small side locally, and at cluster scale the
+  *    corpus side stays a shuffled hash join keyed by id;
   *  - md5 runs once per token, never once per (token × sketch-dim).
   */
 object Dedup {
@@ -95,9 +97,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    // No broadcast hint on the shingle side: the corpus is the BIG side
+    // at scale (AQE broadcasts it locally where it is tiny; on a
+    // cluster these become shuffled hash joins keyed by id).
     candidates
-      .join(broadcast(shDf.select(col("id").as("id_a"), col("sh").as("sh_a"))), Seq("id_a"))
-      .join(broadcast(shDf.select(col("id").as("id_b"), col("sh").as("sh_b"))), Seq("id_b"))
+      .join(shDf.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shDf.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -115,27 +120,25 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withBits = df
+    // The 16-int sketch is small enough to CARRY THROUGH the bucket
+    // self-join (unlike minhash shingle sets), so the pipeline is one
+    // self-join -> native hamming filter -> distinct; no re-join of the
+    // sketch table and the distinct shuffle only sees surviving pairs.
+    val buckets = df
       .select(col(idCol).as("id"), simhashBits(col(textCol)).as("bits"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val buckets = withBits
-      .select(col("id"), explode(array(
+      .select(col("id"), col("bits"), explode(array(
         concat_ws("", slice(col("bits"), 1, 8)),
         concat(lit("h2:"), concat_ws("", slice(col("bits"), 9, 8))))).as("bucket"))
-    val candidates = buckets.select(col("bucket"), col("id").as("id_a"))
-      .join(buckets.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    buckets.select(col("bucket"), col("id").as("id_a"), col("bits").as("bits_a"))
+      .join(buckets.select(col("bucket"), col("id").as("id_b"), col("bits").as("bits_b")),
+        Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    candidates
-      .join(broadcast(withBits.select(col("id").as("id_a"), col("bits").as("bits_a"))),
-        Seq("id_a"))
-      .join(broadcast(withBits.select(col("id").as("id_b"), col("bits").as("bits_b"))),
-        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        aggregate(zip_with(col("bits_a"), col("bits_b"),
-          (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v).as("hamming"))
+        graft.functions.SketchExpressions
+          .absDiffSum(col("bits_a"), col("bits_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Direct n-gram Jaccard similarity join within blocking keys

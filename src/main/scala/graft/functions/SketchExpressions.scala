@@ -20,8 +20,15 @@ object SketchOps {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  private def md5hex(bytes: Array[Byte]): Array[Byte] = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
+  // One digest + scratch buffer per executor thread: MessageDigest
+  // .getInstance per hash dominated the profile, and digest(buf,0,16)
+  // makes the steady-state loop allocation-free.
+  private val localMd = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  private val localBuf = ThreadLocal.withInitial[Array[Byte]](() =>
+    new Array[Byte](16))
+
+  private def hexify(d: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](32)
     var i = 0
     while (i < 16) {
@@ -35,29 +42,36 @@ object SketchOps {
   /** MinHash signature: for seed s in 1..k, the lexicographic minimum
     * of md5hex(s + ":" + shingle). Identical to
     * transform(sequence(1,k), s -> array_min(transform(sh, md5(...)))).
+    *
+    * Hex encoding is order-preserving over the raw digest bytes
+    * ('0'..'9' < 'a'..'f' tracks nibble order), so minima are found on
+    * the 16-byte digests and only the k winners are hexified.
     */
   def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
-    val mins = new Array[Array[Byte]](k)
+    val md = localMd.get()
+    val h = localBuf.get()
+    val prefixes = new Array[Array[Byte]](k)
     var s = 0
-    while (s < k) {
-      val seedPrefix = s"${s + 1}:".getBytes("UTF-8")
-      var best: Array[Byte] = null
-      var i = 0
-      while (i < n) {
-        val sh = shingles.getUTF8String(i).getBytes
-        val buf = new Array[Byte](seedPrefix.length + sh.length)
-        System.arraycopy(seedPrefix, 0, buf, 0, seedPrefix.length)
-        System.arraycopy(sh, 0, buf, seedPrefix.length, sh.length)
-        val h = md5hex(buf)
-        if (best == null || compareBytes(h, best) < 0) best = h
-        i += 1
+    while (s < k) { prefixes(s) = s"${s + 1}:".getBytes("UTF-8"); s += 1 }
+    val mins = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < n) {
+      val sh = shingles.getUTF8String(i).getBytes
+      s = 0
+      while (s < k) {
+        md.reset()
+        md.update(prefixes(s))
+        md.update(sh)
+        md.digest(h, 0, 16)
+        if (mins(s) == null) { mins(s) = h.clone() }
+        else if (compareBytes(h, mins(s)) < 0) System.arraycopy(h, 0, mins(s), 0, 16)
+        s += 1
       }
-      mins(s) = best
-      s += 1
+      i += 1
     }
     new GenericArrayData(mins.map(b =>
-      if (b == null) null else UTF8String.fromBytes(b)))
+      if (b == null) null else UTF8String.fromBytes(hexify(b))))
   }
 
   private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
@@ -78,10 +92,13 @@ object SketchOps {
   def simhashBits(tokens: ArrayData): ArrayData = {
     val sums = new Array[Int](16)
     val n = tokens.numElements()
+    val md = localMd.get()
+    val d = localBuf.get()
     var i = 0
     while (i < n) {
-      val d = MessageDigest.getInstance("MD5")
-        .digest(tokens.getUTF8String(i).getBytes)
+      md.reset()
+      md.update(tokens.getUTF8String(i).getBytes)
+      md.digest(d, 0, 16)
       var dim = 0
       while (dim < 16) {
         val b = d(dim / 2) & 0xff
@@ -92,6 +109,21 @@ object SketchOps {
       i += 1
     }
     new GenericArrayData(sums.map(s => if (s > 0) 1 else 0))
+  }
+
+  /** Sum of |a_i - b_i| over two equal-length int arrays (Hamming
+    * distance when entries are 0/1 bits). Identical to
+    * aggregate(zip_with(a, b, (x,y) -> abs(x-y)), 0, (acc,v) -> acc+v).
+    */
+  def absDiffSum(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    var i = 0
+    var s = 0
+    while (i < n) {
+      s += math.abs(a.getInt(i) - b.getInt(i))
+      i += 1
+    }
+    s
   }
 
   /** Intersection size of two SORTED distinct string arrays (single
@@ -139,6 +171,21 @@ case class SimHashBits(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class AbsDiffSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "abs_diff_sum"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SketchOps.absDiffSum(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SketchOps.absDiffSum($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -160,6 +207,9 @@ object SketchExpressions {
     GraftShim.column(MinHashSig(GraftShim.expression(shingles), k))
   def simhashBits(tokens: Column): Column =
     GraftShim.column(SimHashBits(GraftShim.expression(tokens)))
+  def absDiffSum(a: Column, b: Column): Column =
+    GraftShim.column(AbsDiffSum(
+      GraftShim.expression(a), GraftShim.expression(b)))
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftShim.column(SortedIntersectSize(
       GraftShim.expression(a), GraftShim.expression(b)))
