@@ -217,6 +217,34 @@ object ExtQueries {
         embeddings(s, d), 5)
         .orderBy("qid", "rank")),
 
+    // ---- similarity search: LSH (8 hyperplane sign bits, own bucket) ----
+    QueryDef("q_ann_lsh",
+      Some(s"""WITH piv AS (
+                SELECT vec_id AS pid, embedding AS pv FROM embeddings
+                ORDER BY vec_id LIMIT 8),
+              sigs AS (
+                SELECT e.vec_id,
+                  string_agg(CASE WHEN ${dotSql("e.embedding", "p.pv")} >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS bucket
+                FROM embeddings e, piv p GROUP BY e.vec_id),
+              v AS (SELECT s.vec_id, s.bucket, e.embedding
+                    FROM sigs s JOIN embeddings e ON s.vec_id = e.vec_id),
+              q AS (SELECT vec_id AS qid, embedding AS qv, bucket
+                    FROM v WHERE vec_id % 50 = 0),
+              scored AS (
+                SELECT q.qid, c.vec_id AS nid, ${cosSql("q.qv", "c.embedding")} AS sim
+                FROM q JOIN v c ON q.bucket = c.bucket AND q.qid <> c.vec_id)
+              SELECT qid, nid, rank, sim FROM (
+                SELECT qid, nid, sim,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nid) AS INT) AS rank
+                FROM scored)
+              WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => Ann.lshTopK(
+        embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        embeddings(s, d), 5, 8)
+        .orderBy("qid", "rank")),
+
     // ---- similarity search: IVF (nprobe=1, 10 pivots) ----
     QueryDef("q_ann_ivf",
       Some(s"""WITH piv AS (

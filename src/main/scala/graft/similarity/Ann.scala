@@ -95,6 +95,38 @@ object Ann {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** LSH-bucketed ANN (random-hyperplane signatures): the sign pattern
+    * of dot products against `nBits` deterministic normal vectors (the
+    * lowest-id corpus rows — reproducible stand-ins for sampled
+    * hyperplanes) forms the bucket key; a query probes only its own
+    * bucket. The normals are model parameters: collected once on the
+    * driver (nBits × dim floats) and inlined into the plan, so bucket
+    * assignment is a map-side scalar computation — the corpus never
+    * shuffles for indexing (vs IVF's argmax-over-pivots window), and
+    * the fine search joins on the bucket key.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nBits: Int = 8): DataFrame = {
+    val normals: Seq[Array[Float]] = corpus.orderBy("vec_id").limit(nBits)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+    def bucketOf(v: Column): Column =
+      concat(normals.map(nv =>
+        when(dot(v, typedlit(nv)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+      norm(col("embedding")).as("nnrm"), bucketOf(col("embedding")).as("bucket"))
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"), norm(col("embedding")).as("qnrm"),
+      bucketOf(col("embedding")).as("bucket")))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column. */
   def cosinePairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val base = df.select(col(blockCol).as("blk"), col("vec_id").as("id"),

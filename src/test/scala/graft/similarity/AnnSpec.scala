@@ -42,6 +42,17 @@ class AnnSpec extends SparkTestBase {
     assert(out.nonEmpty)
   }
 
+  test("lshTopK probes only the query's sign bucket") {
+    // v5 = -v0 flips the sign bit of the v5-normal for v0/v1 only, so
+    // {0,1} share a bucket apart from {2,3,4} and from {5}
+    val vecs6 = vecs.union(
+      Seq((5L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val out = Ann.lshTopK(vecs6.filter(col("vec_id") === 0), vecs6, 2, 8)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq
+    // k=2 requested but the bucket holds only one neighbor
+    assert(out === Seq((0L, 1L, 1)))
+  }
+
   test("cosinePairs finds the two close pairs under blocking") {
     val blocked = vecs.withColumn("blk", lit(1))
     val pairs = Ann.cosinePairs(blocked, "blk", 0.9)
