@@ -10,6 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * no imperative registration call needed. This is the deployment path
   * for a shared cluster (Thrift server / Connect / notebook fleets)
   * where user code never touches the Scala API.
+  *
+  * NOTE: `spark.sql.extensions` is a STATIC conf — Spark resolves it
+  * from the SparkContext's conf when the session is instantiated, so
+  * it must be set at application launch. Setting it on a
+  * `SparkSession.builder()` that reuses an already-running context is
+  * silently ignored by Spark; in that situation use the imperative
+  * [[graft.functions.Registry.registerAll]] instead.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =

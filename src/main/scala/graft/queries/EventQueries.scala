@@ -20,7 +20,8 @@ object EventQueries {
       Some("""WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
               SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start,
                      event_type, count(*) AS n,
-                     sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS value_cents
               FROM e GROUP BY 1, 2 ORDER BY hour_start, event_type"""),
       (s, d) => EventStreams.hourlyRollup(events(s, d), streaming = false)
         .orderBy("hour_start", "event_type")),
@@ -114,7 +115,8 @@ object EventQueries {
     // the re-read must show PartitionFilters, not a full scan
     QueryDef("q_partitioned_sink",
       Some("""SELECT event_type, count(*) AS n,
-                     sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS cents
               FROM events WHERE event_type IN ('click', 'view')
               GROUP BY 1 ORDER BY event_type"""),
       (s, d) => {

@@ -53,7 +53,7 @@ object ExtQueries {
                 length(trim(text)) AS n_chars
               FROM t)
               SELECT doc_id, n_tokens,
-                list_sum(list_transform(toks, x -> CAST(ceil(length(x)/4.0) AS INT))) AS n_subwords,
+                CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x)/4.0) AS INT))) AS BIGINT) AS n_subwords,
                 CASE WHEN en_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'en'
                      WHEN de_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'de'
                      WHEN es_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'es'
@@ -77,8 +77,10 @@ object ExtQueries {
         .withColumn("toks", TextAnalysis.tokens(col("text")))
         .select(
           col("doc_id"),
-          size(col("toks")).as("n_tokens"),
-          TextAnalysis.subwordCountT(col("toks")).as("n_subwords"),
+          // int64 on both sides: DuckDB len()/list_sum() widen past
+          // int32, and the driver's hash is dtype-sensitive
+          size(col("toks")).cast("long").as("n_tokens"),
+          TextAnalysis.subwordCountT(col("toks")).cast("long").as("n_subwords"),
           TextAnalysis.langIdT(col("toks")).as("lang_guess"),
           TextAnalysis.qualityScoreT(col("text"), col("toks")).as("quality"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint")
@@ -139,14 +141,15 @@ object ExtQueries {
                  'h2:' || array_to_string(bits[9:16], '')] AS bandkeys FROM sk),
               buckets AS (SELECT id, bits, unnest(bandkeys) AS bucket FROM kb)
               SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-                list_sum(list_transform(range(1, 17), i ->
-                  abs(a.bits[CAST(i AS INT)] - b.bits[CAST(i AS INT)]))) AS hamming
+                CAST(list_sum(list_transform(range(1, 17), i ->
+                  abs(a.bits[CAST(i AS INT)] - b.bits[CAST(i AS INT)]))) AS BIGINT) AS hamming
               FROM buckets a JOIN buckets b
                 ON a.bucket = b.bucket AND a.id < b.id
               WHERE list_sum(list_transform(range(1, 17), i ->
                   abs(a.bits[CAST(i AS INT)] - b.bits[CAST(i AS INT)]))) <= 3
               ORDER BY id_a, id_b"""),
       (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")),
 
     // ---- dedup: n-gram Jaccard within a blocking key (lang) ----

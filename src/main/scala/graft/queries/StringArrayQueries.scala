@@ -94,7 +94,7 @@ object StringArrayQueries {
                      array_to_string(list_sort(list_distinct(ws)), ',') AS uniq_words,
                      len(list_filter(ws, x -> length(x) > 4)) AS n_long,
                      array_to_string(list_transform(ws, x -> upper(x)), ' ') AS all_up,
-                     list_sum(list_transform(ws, x -> length(x))) AS total_chars
+                     CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS total_chars
               FROM w ORDER BY pkey"""),
       (s, d) => part(s, d)
         .withColumn("ws", split(col("p_name"), " "))
@@ -102,11 +102,14 @@ object StringArrayQueries {
           col("p_partkey").as("pkey"),
           element_at(col("ws"), 1).as("first_word"),
           element_at(col("ws"), -1).as("last_word"),
-          size(col("ws")).as("n_words"),
+          // BIGINT on both sides: DuckDB len() is int64 and list_sum
+          // widens to HUGEINT -> the driver's pandas hash sees float64
+          // unless both engines agree on int64
+          size(col("ws")).cast("long").as("n_words"),
           array_join(sort_array(array_distinct(col("ws"))), ",").as("uniq_words"),
-          size(filter(col("ws"), x => length(x) > 4)).as("n_long"),
+          size(filter(col("ws"), x => length(x) > 4)).cast("long").as("n_long"),
           array_join(transform(col("ws"), x => upper(x)), " ").as("all_up"),
-          aggregate(col("ws"), lit(0), (acc, x) => acc + length(x)).as("total_chars"))
+          aggregate(col("ws"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"))
         .orderBy("pkey")),
 
     // L7: stride slicing gather_every(2, offset) via index-aware filter

@@ -9,6 +9,9 @@ object SparkTestSession {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // static conf: must be present when the SparkContext launches —
+      // this exercises the declarative deployment path for every test
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

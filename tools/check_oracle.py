@@ -48,7 +48,26 @@ def main():
             duck_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1; continue
+        # the driver's hash is value-based (pandas hash): int32 vs int64
+        # collide fine, but int-vs-float (DuckDB HUGEINT -> float64) and
+        # numeric-vs-object DO break it — flag exactly that kind divergence
+        def kind(dt):
+            k = dt.kind
+            if k in "iu": return "int"
+            if k == "f": return "float"
+            if k == "M": return "dt"
+            if k == "b": return "bool"
+            return "obj"
+        dt_mismatch = []
+        for c in sorted(set(spark_df.columns) & set(duck_df.columns)):
+            a, b = kind(spark_df[c].dtype), kind(duck_df[c].dtype)
+            # dates: spark parquet reads as object(datetime.date), duck as
+            # datetime64 — canon() stringifies both; driver does the same
+            if a != b and {a, b} != {"dt", "obj"}:
+                dt_mismatch.append(f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}")
         s, k = canon(spark_df), canon(duck_df)
+        if dt_mismatch:
+            print(f"FAIL {name}: dtype mismatch {dt_mismatch}"); n_fail += 1; continue
         if list(s.columns) != list(k.columns):
             print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(k.columns)}")
             n_fail += 1; continue
