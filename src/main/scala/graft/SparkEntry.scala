@@ -15,7 +15,8 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     Flagship.defs ++ CoreQueries.defs ++ JoinQueries.defs ++
       AggQueries.defs ++ StringArrayQueries.defs ++ DateMathQueries.defs ++
-      ExtQueries.defs ++ EventQueries.defs ++ CsvQueries.defs
+      ExtQueries.defs ++ EventQueries.defs ++ CsvQueries.defs ++
+      AuditQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

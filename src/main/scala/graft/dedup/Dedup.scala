@@ -33,11 +33,19 @@ object Dedup {
 
   /** Exact dedup: keep the lowest-id row per identical value of
     * `textCol` (hash-groupBy semantics via one window shuffle).
+    *
+    * The window keys on md5(text) FIRST and the text second: the
+    * shuffle hash and the in-partition sort then resolve on a 32-char
+    * uniformly-random digest instead of comparing multi-KB documents
+    * (near-dup corpora share long prefixes — the worst case for
+    * string sort). Keeping the raw text in the partition spec makes
+    * the result exact even under a digest collision.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val w = Window.partitionBy(col("__dig"), col(textCol)).orderBy(col(idCol))
+    df.withColumn("__dig", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__dig")
   }
 
   /** Distinct word n-shingles of the text, sorted (set semantics).
@@ -141,24 +149,47 @@ object Dedup {
       .distinct()
   }
 
-  /** Direct n-gram Jaccard similarity join within blocking keys
-    * (compare only within block — at 100 TB the blocking key is what
-    * keeps this from being O(n²); reference analog: the DOB equi-key
-    * in the od.py fuzzy join).
+  /** n-gram Jaccard similarity join within blocking keys, by inverted
+    * index: explode each doc's (distinct) shingle set, equi-join on
+    * (block, shingle), and COUNT the joined rows per pair — because
+    * the sets are distinct, that count IS |A∩B|, so Jaccard is pure
+    * arithmetic on (count, |A|, |B|) and no array ever crosses a
+    * shuffle. Pairs sharing zero shingles never materialize (hence
+    * `threshold` must be > 0; they'd have J = 0 anyway).
+    *
+    * Scale shape: the previous formulation joined whole blocks
+    * pairwise, carrying two ~50-element string arrays per candidate —
+    * quadratic in block size with ~kB rows. This one's join fanout is
+    * bounded by sum over (block, shingle) of df², with ~24-byte rows,
+    * and the per-pair count uses map-side partial aggregation on the
+    * join's existing (block, shingle) partitioning. A within-block
+    * stop-shingle ("of the") is the residual skew risk at 100 TB —
+    * AQE skew-join handles moderate cases; beyond that, PPJoin-style
+    * frequency-ordered prefixes prune further but need a vocabulary
+    * shuffle, not worth it below extreme skew.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 2, threshold: Double = 0.2): DataFrame = {
-    val base = df.select(
+    require(threshold > 0,
+      "ngramJaccardPairs counts shared shingles; threshold must be > 0")
+    val inv = df.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
         shingles(col(textCol), n).as("sh")): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = base.select(
-      (blockCols.map(col) :+ col("id").as("id_a") :+ col("sh").as("sh_a")): _*)
-    val b = base.select(
-      (blockCols.map(col) :+ col("id").as("id_b") :+ col("sh").as("sh_b")): _*)
-    a.join(b, blockCols)
+      .select((blockCols.map(col) :+ col("id") :+ size(col("sh")).as("sz") :+
+        explode(col("sh")).as("tok")): _*)
+    val a = inv.select(
+      (blockCols.map(col) :+ col("tok") :+
+        col("id").as("id_a") :+ col("sz").as("sz_a")): _*)
+    val b = inv.select(
+      (blockCols.map(col) :+ col("tok") :+
+        col("id").as("id_b") :+ col("sz").as("sz_b")): _*)
+    a.join(b, blockCols :+ "tok")
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

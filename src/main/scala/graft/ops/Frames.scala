@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frame-diff utilities (SURVEY.md §2.14): the engine-side equivalent of
+  * the reference's `df_compare` + check_masked month-over-month audit
+  * (reference check_masked.py:48-75). `dfCompare` is schema-level (no
+  * jobs when `colOnly`); `maskedDiff` is the full drift report as ONE
+  * distributed query — two scalar aggregates cross-joined, so the audit
+  * of two 100 TB extracts is two scans and no shuffle wider than a
+  * partial-agg tree.
+  */
+object Frames {
+
+  /** Structural diff of two frames. `rowsA`/`rowsB` are populated only
+    * when counting was requested (dfCompare(colOnly = false)).
+    */
+  final case class FrameDiff(
+      onlyInA: Seq[String],
+      onlyInB: Seq[String],
+      dtypeDiffs: Seq[(String, String, String)],
+      rowsA: Option[Long],
+      rowsB: Option[Long]) {
+    def columnsEqual: Boolean = onlyInA.isEmpty && onlyInB.isEmpty
+    def schemaEqual: Boolean = columnsEqual && dtypeDiffs.isEmpty
+    def pctChange: Option[Double] =
+      for { a <- rowsA; b <- rowsB if b != 0L }
+        yield ((a - b).toDouble / b) * 100
+    def report: String = {
+      val sb = new StringBuilder
+      if (onlyInA.nonEmpty) sb ++= s"columns only in a: ${onlyInA.mkString(", ")}\n"
+      if (onlyInB.nonEmpty) sb ++= s"columns only in b: ${onlyInB.mkString(", ")}\n"
+      dtypeDiffs.foreach { case (c, ta, tb) => sb ++= s"dtype differs for $c: a=$ta b=$tb\n" }
+      (rowsA, rowsB) match {
+        case (Some(a), Some(b)) =>
+          sb ++= s"row counts: a=$a b=$b"
+          pctChange.foreach(p => sb ++= f" (${p}%.2f%% change)")
+          sb ++= "\n"
+        case _ => ()
+      }
+      if (sb.isEmpty) "frames are structurally equal" else sb.result().trim
+    }
+  }
+
+  /** Compare two frames structurally (reference df_compare usage at
+    * check_masked.py:48: `df_compare(mask, prev, col_only=True)`).
+    * With `colOnly` no Spark job runs — pure schema comparison; without
+    * it both frames are counted (two jobs, no collect of data).
+    */
+  def dfCompare(a: DataFrame, b: DataFrame, colOnly: Boolean = true): FrameDiff = {
+    val aCols = a.columns.toSeq
+    val bCols = b.columns.toSet
+    val aSet = aCols.toSet
+    val shared = aCols.filter(bCols)
+    val aTypes = a.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val bTypes = b.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    FrameDiff(
+      onlyInA = aCols.filterNot(bCols),
+      onlyInB = b.columns.toSeq.filterNot(aSet),
+      dtypeDiffs = shared.flatMap { c =>
+        val (ta, tb) = (aTypes(c), bTypes(c))
+        if (ta == tb) None else Some((c, ta, tb))
+      },
+      rowsA = if (colOnly) None else Some(a.count()),
+      rowsB = if (colOnly) None else Some(b.count()))
+  }
+
+  /** The check_masked drift report (check_masked.py:52-72) as one
+    * 1-row frame: current/previous row counts, percent change (2 dp,
+    * same op order as the reference: `((cur - prev) / prev) * 100`),
+    * and the min/max of the current extract's date column.
+    */
+  def maskedDiff(cur: DataFrame, prev: DataFrame, dateCol: String): DataFrame = {
+    val c = cur.agg(
+      count(lit(1)).as("n_cur"),
+      min(col(dateCol)).cast("string").as("min_date"),
+      max(col(dateCol)).cast("string").as("max_date"))
+    val p = prev.agg(count(lit(1)).as("n_prev"))
+    c.crossJoin(p).select(
+      col("n_cur"), col("n_prev"),
+      round(((col("n_cur").cast("double") - col("n_prev")) / col("n_prev")) * 100, 2)
+        .as("pct_change"),
+      col("min_date"), col("max_date"))
+  }
+}

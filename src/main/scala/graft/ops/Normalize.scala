@@ -42,8 +42,11 @@ object Normalize {
     */
   def isBlank(c: Column): Column = c.isNull || trim(c) === lit("")
 
-  /** parse int, null on failure (Polars `str.to_integer(strict=False)`). */
-  def toIntLenient(c: Column): Column = trim(c).cast("int")
+  /** parse int, null on failure (Polars `str.to_integer(strict=False)`).
+    * `try_cast`, not `cast`: Spark 4 defaults to ANSI mode, where a
+    * plain cast THROWS on malformed input instead of returning null.
+    */
+  def toIntLenient(c: Column): Column = trim(c).try_cast("int")
 
   /** 1 -> "1st", 2 -> "2nd", ... (reference `mu_extras.py:140` ordinal
     * map_elements UDF) — pure Column expression, no UDF.

@@ -40,14 +40,15 @@ object Relational {
 
   /** Rows where the per-group count equals the global max count
     * (reference `error_pharmacies.py:35-43` pharmacy-with-most-errors).
-    * Single-pass: window max over the grouped result, no self-join.
+    * The global max is a scalar aggregate (partial-agg tree, stays
+    * distributed) broadcast back over the grouped result — NOT an
+    * empty-frame window, which would funnel every grouped row through
+    * one partition to compute the same scalar.
     */
   def argmaxCount(df: DataFrame, keys: Seq[String]): DataFrame = {
     val counted = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("count"))
-    counted
-      .withColumn("__max", max(col("count")).over(Window.partitionBy()))
-      .filter(col("count") === col("__max"))
-      .drop("__max")
+    val mx = counted.agg(max(col("count")).as("__max"))
+    counted.join(broadcast(mx), col("count") === col("__max")).drop("__max")
   }
 
   /** Membership filter against another frame's key column (reference
@@ -94,15 +95,35 @@ object Relational {
     * side once per salt value, and join on (key, salt). Use when one
     * key carries a disproportionate share of fact rows and AQE's skew
     * splitting isn't enough; `salts` multiplies dim size, so keep the
-    * dim small. Result is row-identical to the plain join.
+    * dim small. For inner/left joins the result is row-identical to
+    * the plain join; right/full would emit each unmatched dim row once
+    * per salt replica, so those types are rejected.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left only (got $joinType): unmatched dim " +
+        "rows would be duplicated once per salt replica")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Fail-fast data-quality gate (reference `unreg_presc.py:163-170`:
+    * unmatched degrees → diagnostic dump + abort): if `df` has ANY
+    * rows, throw with a preview of the first `sample` offenders.
+    * `take` pushes a limit into the scan — the happy path never reads
+    * more than one partition's worth of nothing.
+    */
+  def requireEmpty(df: DataFrame, msg: String, sample: Int = 20): Unit = {
+    val rows = df.take(sample)
+    if (rows.nonEmpty) {
+      val preview = rows.map(_.toString).mkString("\n  ")
+      throw new IllegalStateException(
+        s"$msg — first ${rows.length} offending row(s):\n  $preview")
+    }
   }
 
   /** Exact-n deterministic pseudo-sample: stable hash order, first n

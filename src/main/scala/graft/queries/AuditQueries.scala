@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Frames, Relational}
+
+/** Audit / data-quality pipeline queries (reference check_masked.py +
+  * the unreg_presc fail-fast gate). q_masked_diff is the
+  * month-over-month masked-extract audit composed from Frames.dfCompare
+  * (column gate) + Frames.maskedDiff (drift report): two scalar
+  * aggregates cross-joined into one report row.
+  */
+object AuditQueries {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // check_masked.py:48-72: column-set gate, row-count % change,
+    // min/max fill-date range of the current extract. "Months" stand
+    // in as order-years of the fixture (the reference compares the
+    // current masked extract against the one from a month before).
+    QueryDef("q_masked_diff",
+      Some("""WITH cur AS (SELECT * FROM orders WHERE year(o_orderdate) = 1997),
+                   prev AS (SELECT * FROM orders WHERE year(o_orderdate) = 1996),
+                   c AS (SELECT count(*) AS n_cur,
+                                CAST(min(o_orderdate) AS VARCHAR) AS min_date,
+                                CAST(max(o_orderdate) AS VARCHAR) AS max_date
+                         FROM cur),
+                   p AS (SELECT count(*) AS n_prev FROM prev)
+              SELECT n_cur, n_prev,
+                     round(((CAST(n_cur AS DOUBLE) - n_prev) / n_prev) * 100, 2)
+                       AS pct_change,
+                     min_date, max_date
+              FROM c, p"""),
+      (s, d) => {
+        val o = orders(s, d)
+        val cur = o.filter(year(col("o_orderdate")) === 1997)
+        val prev = o.filter(year(col("o_orderdate")) === 1996)
+        // the column gate of the audit: both extracts must agree
+        // structurally before the drift numbers mean anything
+        val diff = Frames.dfCompare(cur, prev, colOnly = true)
+        require(diff.schemaEqual, diff.report)
+        Frames.maskedDiff(cur, prev, "o_orderdate")
+      }),
+
+    // unreg_presc.py:163-170 fail-fast shape, exercised on a condition
+    // that HOLDS in the fixture (all lineitem quantities positive):
+    // the gate passes silently and the frame flows on. The
+    // gate-trips path is spec-tested (RelationalSpec).
+    QueryDef("q_quality_gate",
+      Some("""SELECT l_linestatus, count(*) AS n
+              FROM lineitem GROUP BY 1 ORDER BY l_linestatus"""),
+      (s, d) => {
+        val li = lineitem(s, d)
+        Relational.requireEmpty(
+          li.filter(col("l_quantity") <= 0),
+          "lineitem rows with non-positive quantity")
+        li.groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+          .orderBy("l_linestatus")
+      })
+  )
+}

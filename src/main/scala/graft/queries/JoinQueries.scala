@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.JaroWinkler
 import graft.ops.Relational
@@ -178,6 +179,53 @@ object JoinQueries {
         val b = o.filter(col("o_orderpriority") === "5-LOW")
           .select(col("o_orderkey").as("okey"), lit("low").as("bucket"))
         a.unionByName(b).orderBy("okey", "bucket")
+      }),
+
+    // od.py:24-138 end-to-end: a small case list, two dispensation
+    // extracts, each DOB-blocked (equi-key) + Jaro-Winkler name-ratio
+    // filtered, unioned into one report (J6 + U1 composed). The case
+    // list is the reference's handful of OD rows — broadcast; the
+    // extract sides (the 100 TB dispensation tables) stay partitioned
+    // and only their DOB-blocked slices ever meet the filter.
+    QueryDef("q_od_pipeline",
+      Some("""WITH cases AS (
+                SELECT c_custkey AS ckey, c_nationkey AS dob_key,
+                       upper(c_name) AS full_name
+                FROM customer WHERE c_custkey % 50 = 0),
+              disp AS (
+                SELECT s_suppkey AS skey, s_nationkey AS dob_key,
+                       upper(s_name) AS cand, 'disp' AS src
+                FROM supplier WHERE s_suppkey % 2 = 0),
+              odt AS (
+                SELECT s_suppkey AS skey, s_nationkey AS dob_key,
+                       upper(s_name) AS cand, 'odt' AS src
+                FROM supplier WHERE s_suppkey % 2 = 1),
+              matched AS (
+                SELECT c.ckey, e.skey, e.src,
+                       round(jaro_winkler_similarity(c.full_name, e.cand), 4) AS ratio
+                FROM cases c JOIN disp e ON c.dob_key = e.dob_key
+                WHERE jaro_winkler_similarity(c.full_name, e.cand) >= 0.72
+                UNION ALL
+                SELECT c.ckey, e.skey, e.src,
+                       round(jaro_winkler_similarity(c.full_name, e.cand), 4) AS ratio
+                FROM cases c JOIN odt e ON c.dob_key = e.dob_key
+                WHERE jaro_winkler_similarity(c.full_name, e.cand) >= 0.72)
+              SELECT * FROM matched ORDER BY ckey, skey, src"""),
+      (s, d) => {
+        val cases = broadcast(customer(s, d)
+          .filter(col("c_custkey") % 50 === 0)
+          .select(col("c_custkey").as("ckey"), col("c_nationkey").as("dob_key"),
+            upper(col("c_name")).as("full_name")))
+        def extract(parity: Int, src: String): DataFrame = supplier(s, d)
+          .filter(col("s_suppkey") % 2 === parity)
+          .select(col("s_suppkey").as("skey"), col("s_nationkey").as("dob_key"),
+            upper(col("s_name")).as("cand"), lit(src).as("src"))
+        def matchStage(ex: DataFrame): DataFrame = cases.join(ex, Seq("dob_key"))
+          .filter(JaroWinkler(col("full_name"), col("cand")) >= 0.72)
+          .select(col("ckey"), col("skey"), col("src"),
+            round(JaroWinkler(col("full_name"), col("cand")), 4).as("ratio"))
+        matchStage(extract(0, "disp")).unionByName(matchStage(extract(1, "odt")))
+          .orderBy("ckey", "skey", "src")
       })
   )
 }

@@ -62,26 +62,45 @@ object Ann {
       .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
 
   /** Assign every row to its nearest pivot (cell id = pivot id).
-    * One broadcast join + per-row argmax, no shuffle of the corpus.
+    *
+    * The pivots are MODEL PARAMETERS (nPivots × dim floats): collect
+    * them once on the driver, precompute their norms with the same
+    * left-to-right double fold the engines use (bit-identical), and
+    * inline them as literals — cell assignment is then a single
+    * map-side projection whose argmax is `array_max` over
+    * (sim, -pid) structs (struct ordering = sim desc, pid asc on
+    * ties). Zero shuffle, zero join: the corpus never moves for
+    * indexing. The previous formulation cross-joined corpus × pivots
+    * and ran a `row_number` window partitioned by vec_id — a full
+    * shuffle of the nPivots×-expanded corpus, the dominant indexing
+    * cost at scale.
     */
-  def assignCells(df: DataFrame, pivotDf: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("__psim").desc, col("pid").asc)
-    val withNrm = df.withColumn("__nrm", norm(col("embedding")))
-    val piv = broadcast(pivotDf.withColumn("__pnrm", norm(col("pvec"))))
-    withNrm.crossJoin(piv)
-      .withColumn("__psim",
-        dot(col("embedding"), col("pvec")) / (col("__nrm") * col("__pnrm")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(df.columns.map(col) :+ col("pid").as("cell"): _*)
+  def assignCells(df: DataFrame, pivotDf: DataFrame): DataFrame =
+    assignInlined(df, collectPivots(pivotDf))
+
+  private def collectPivots(pivotDf: DataFrame): Array[(Long, Array[Float], Double)] =
+    pivotDf.select(col("pid"), col("pvec")).orderBy("pid").collect().map { r =>
+      val pv = r.getSeq[Float](1).toArray
+      // same fold as VecDot: left-to-right, each term in double
+      val pn = math.sqrt(pv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      (r.getLong(0), pv, pn)
+    }
+
+  private def assignInlined(df: DataFrame,
+      pivotData: Array[(Long, Array[Float], Double)]): DataFrame = {
+    val nrm = norm(col("embedding"))
+    val best = array_max(array(pivotData.map { case (pid, pv, pn) =>
+      struct((dot(col("embedding"), typedlit(pv)) / (nrm * lit(pn))).as("sim"),
+        lit(-pid).as("npid"))
+    }.toIndexedSeq: _*))
+    df.withColumn("cell", -best.getField("npid"))
   }
 
   /** IVF top-k with nprobe=1: search only the query's own cell. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPivots: Int): DataFrame = {
-    val piv = pivots(corpus, nPivots)
-    val cells = assignCells(corpus, piv)
-    val qcells = assignCells(queries, piv)
+    val piv = collectPivots(pivots(corpus, nPivots))
+    val cells = assignInlined(corpus, piv)
+    val qcells = assignInlined(queries, piv)
     val q = broadcast(qcells.select(col("vec_id").as("qid"),
       col("embedding").as("qvec"), norm(col("embedding")).as("qnrm"), col("cell")))
     val scored = q.join(cells.select(col("vec_id").as("nid"),

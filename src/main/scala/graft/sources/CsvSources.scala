@@ -32,23 +32,63 @@ object CsvSources {
       .option("sep", sep)
       .csv(path)
 
-  /** All-string CSV scan skipping `skipRows` physical lines before the
-    * header line (Excel-ish exports with title banners).
+  /** RFC-4180 split of ONE line (driver-side, used on the header only):
+    * honors double-quoted fields containing the separator and escaped
+    * `""` quotes.
     */
-  def scanCsvSkipRows(spark: SparkSession, path: String, skipRows: Int): DataFrame = {
-    val raw = spark.read.text(path)
-    // tag physical order cheaply; monotonically_increasing_id preserves
-    // file order within a partition and csv text files read in order
-    val withIdx = raw.withColumn("__idx", monotonically_increasing_id())
-    val header = withIdx.orderBy("__idx").limit(skipRows + 1)
-      .orderBy(desc("__idx")).limit(1)
-      .collect()(0).getString(0)
-    val cols = header.split(",", -1)
-    val body = withIdx.filter(col("__idx") > skipRows).drop("__idx")
-    val parts = split(col("value"), ",", -1)
-    body.select(cols.zipWithIndex.map { case (c, i) =>
-      element_at(parts, i + 1).as(c.trim)
-    }: _*)
+  private[sources] def splitCsvLine(line: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (inQ) {
+        if (ch == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQ = false
+        } else cur += ch
+      } else {
+        if (ch == '"') inQ = true
+        else if (ch == sep) { out += cur.result(); cur.clear() }
+        else cur += ch
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.toSeq
+  }
+
+  /** All-string CSV scan skipping `skipRows` physical lines before the
+    * header line (Excel-ish exports with title banners — a small,
+    * manually-supplied single file in the reference, and required to be
+    * a SINGLE file here: the banner offset is per-file).
+    *
+    * The header is parsed with an RFC-4180 splitter and the body goes
+    * through Spark's real CSV parser (`from_csv`), so quoted fields
+    * containing the separator are safe. Row order: for a single text
+    * file, partitions are byte ranges in file order and
+    * `monotonically_increasing_id` is (partition << 33) + offset, so
+    * ids ascend with file position; the banner+header rows live in the
+    * first partition (ids 0..skipRows) for any sane partition size.
+    * Known limit: fields with EMBEDDED NEWLINES can't survive any
+    * line-oriented skip (use `scanCsv` after stripping the banner
+    * upstream if you need multiline fields).
+    */
+  def scanCsvSkipRows(spark: SparkSession, path: String, skipRows: Int,
+      sep: String = ","): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val headLines = spark.read.text(path).head(skipRows + 1)
+    require(headLines.length > skipRows,
+      s"$path has fewer than ${skipRows + 1} lines — no header at offset $skipRows")
+    val cols = splitCsvLine(headLines(skipRows).getString(0), sep.head).map(_.trim)
+    val schema = StructType(cols.map(c => StructField(c, StringType)))
+    spark.read.text(path)
+      .withColumn("__idx", monotonically_increasing_id())
+      .filter(col("__idx") > skipRows)
+      .select(from_csv(col("value"), schema,
+        Map("sep" -> sep, "quote" -> "\"", "escape" -> "\"")).as("__r"))
+      .select(cols.map(c => col(s"__r.`$c`")): _*)
   }
 
   /** CSV sink with header; coalesce(1) mirrors the reference's

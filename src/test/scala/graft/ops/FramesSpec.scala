@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class FramesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dfCompare: identical schemas report equal, colOnly runs no count") {
+    val a = Seq((1L, "x")).toDF("id", "v")
+    val b = Seq((2L, "y"), (3L, "z")).toDF("id", "v")
+    val d = Frames.dfCompare(a, b)
+    assert(d.columnsEqual && d.schemaEqual)
+    assert(d.rowsA.isEmpty && d.rowsB.isEmpty)
+    assert(d.report === "frames are structurally equal")
+  }
+
+  test("dfCompare: column and dtype drift is reported both ways") {
+    val a = Seq((1L, "x", 0.5)).toDF("id", "v", "extra_a")
+    val b = Seq(("1", "y", true)).toDF("id", "v", "extra_b")
+    val d = Frames.dfCompare(a, b)
+    assert(d.onlyInA === Seq("extra_a") && d.onlyInB === Seq("extra_b"))
+    assert(d.dtypeDiffs === Seq(("id", "bigint", "string")))
+    assert(!d.schemaEqual && d.columnsEqual === false)
+  }
+
+  test("dfCompare with counts computes percent change") {
+    val a = spark.range(110).toDF("id")
+    val b = spark.range(100).toDF("id")
+    val d = Frames.dfCompare(a, b, colOnly = false)
+    assert(d.rowsA === Some(110L) && d.rowsB === Some(100L))
+    assert(d.pctChange.exists(p => math.abs(p - 10.0) < 1e-12))
+    assert(d.report.contains("a=110 b=100"))
+  }
+
+  test("maskedDiff emits one report row with drift and date range") {
+    val cur = Seq(("2026-01-03", 1), ("2026-01-28", 2), ("2026-01-10", 3))
+      .toDF("d", "x").withColumn("d", to_date($"d"))
+    val prev = Seq(("2025-12-01", 1), ("2025-12-02", 2))
+      .toDF("d", "x").withColumn("d", to_date($"d"))
+    val r = Frames.maskedDiff(cur, prev, "d").collect()(0)
+    assert(r.getAs[Long]("n_cur") === 3L && r.getAs[Long]("n_prev") === 2L)
+    assert(r.getAs[Double]("pct_change") === 50.0)
+    assert(r.getAs[String]("min_date") === "2026-01-03")
+    assert(r.getAs[String]("max_date") === "2026-01-28")
+  }
+}

@@ -37,6 +37,13 @@ class NormalizeSpec extends SparkTestBase {
       Seq(true, true, false, true))
   }
 
+  test("toIntLenient: malformed input yields null, not an ANSI error") {
+    val df = Seq(" 42 ", "7", "x9", "", "3.5", "12345678901234567890")
+      .toDF("s").withColumn("i", Normalize.toIntLenient(col("s")))
+    assert(df.as[(String, Option[Int])].collect().map(_._2).toSeq ===
+      Seq(Some(42), Some(7), None, None, None, None))
+  }
+
   test("chrono -> JDK date format translation") {
     assert(DateFormats.chronoToJdk("%Y-%m-%d") === "yyyy-MM-dd")
     assert(DateFormats.chronoToJdk("%m/%d/%Y") === "MM/dd/yyyy")

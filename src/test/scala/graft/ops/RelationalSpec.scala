@@ -58,6 +58,22 @@ class RelationalSpec extends SparkTestBase {
     assert(salted === plain && salted.size === 4)
   }
 
+  test("saltedJoin rejects join types that would duplicate dim rows") {
+    val fact = Seq((1L, "a")).toDF("k", "payload")
+    val dim = Seq((1L, "dim1")).toDF("k", "attr")
+    intercept[IllegalArgumentException](
+      Relational.saltedJoin(fact, dim, "k", salts = 4, joinType = "right"))
+  }
+
+  test("requireEmpty passes on empty, throws with a preview otherwise") {
+    val ok = Seq.empty[Long].toDF("k")
+    Relational.requireEmpty(ok, "should not throw")
+    val bad = Seq(7L, 8L).toDF("k")
+    val e = intercept[IllegalStateException](
+      Relational.requireEmpty(bad, "bad rows found"))
+    assert(e.getMessage.contains("bad rows found") && e.getMessage.contains("[7]"))
+  }
+
   test("semiByKey / antiByKey partition the frame") {
     val df = Seq(1L, 2L, 3L, 4L).toDF("k")
     val lookup = Seq(2L, 4L, 9L).toDF("other")

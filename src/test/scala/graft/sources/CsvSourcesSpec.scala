@@ -19,8 +19,47 @@ class CsvSourcesSpec extends SparkTestBase {
         |""".stripMargin)
     val df = CsvSources.scanCsvSkipRows(spark, f.toString, skipRows = 2)
     assert(df.columns.toSeq === Seq("id", "name", "amount"))
-    val rows = df.orderBy("id").as[(String, String, String)].collect().toSeq
-    assert(rows === Seq(("1", "alpha", "10"), ("2", "beta", "20"), ("3", "", "30")))
+    val rows = df.orderBy("id")
+      .as[(Option[String], Option[String], Option[String])].collect().toSeq
+    // empty field -> null, same as scanCsv (Spark CSV semantics)
+    assert(rows === Seq(
+      (Some("1"), Some("alpha"), Some("10")),
+      (Some("2"), Some("beta"), Some("20")),
+      (Some("3"), None, Some("30"))))
+  }
+
+  test("scanCsvSkipRows honors RFC-4180 quoting in header and body") {
+    val dir = Files.createTempDirectory("graft_csv_quote").toString
+    val f = Paths.get(dir, "quoted.csv")
+    Files.writeString(f, Seq(
+      "BANNER LINE",
+      "id,\"name, full\",note",
+      "1,\"Smith, John\",\"said \"\"hi\"\"\"",
+      "2,plain,ok",
+      "").mkString("\n"))
+    val df = CsvSources.scanCsvSkipRows(spark, f.toString, skipRows = 1)
+    assert(df.columns.toSeq === Seq("id", "name, full", "note"))
+    val rows = df.orderBy("id")
+      .as[(String, String, String)].collect().toSeq
+    assert(rows === Seq(
+      ("1", "Smith, John", "said \"hi\""),
+      ("2", "plain", "ok")))
+  }
+
+  test("scanCsvSkipRows keeps file order across multiple partitions") {
+    val dir = Files.createTempDirectory("graft_csv_multi").toString
+    val f = Paths.get(dir, "big.csv")
+    val body = (1 to 5000).map(i => s"$i,val$i").mkString("\n")
+    Files.writeString(f, s"BANNER\nid,v\n$body\n")
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      val df = CsvSources.scanCsvSkipRows(spark, f.toString, skipRows = 1)
+      assert(df.rdd.getNumPartitions > 1) // the skip must survive a split file
+      assert(df.count() === 5000)
+      assert(df.filter($"id" === "1" && $"v" === "val1").count() === 1)
+      assert(df.filter($"id" === "BANNER" || $"id" === "id").count() === 0)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
   test("all-string scan: every column is string, empty field round-trips") {
