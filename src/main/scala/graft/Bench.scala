@@ -21,6 +21,9 @@ object Bench {
       }
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $secs%8.2f s")
+      // isolate queries: the dedup/ANN pipelines persist sketch stages
+      // that would otherwise accumulate memory pressure across the run
+      spark.catalog.clearCache()
       secs
     }
     val names = SparkEntry.allDefs.map(_.name)

@@ -125,6 +125,29 @@ object AggQueries {
           col("o_totalprice").as("price")),
         40, col("price").desc, col("okey").asc)),
 
+    // A10: scalar extraction + re-injection — the reference's `.item()`
+    // idiom (`check_masked.py:60` dr_count, `error_pharmacies.py:38`):
+    // pull ONE scalar to the driver (here: the most common order
+    // priority), then use it as a literal in the follow-on query. The
+    // collect is a 1-row model parameter, not a data move.
+    QueryDef("q_scalar_reinject",
+      Some("""WITH top AS (
+                SELECT o_orderpriority FROM orders
+                GROUP BY 1 ORDER BY count(*) DESC, o_orderpriority LIMIT 1)
+              SELECT year(o_orderdate) AS y, count(*) AS n
+              FROM orders WHERE o_orderpriority = (SELECT * FROM top)
+              GROUP BY 1 ORDER BY y"""),
+      (s, d) => {
+        val o = orders(s, d)
+        val top = o.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("o_orderpriority"))
+          .first().getString(0)
+        o.filter(col("o_orderpriority") === top)
+          .groupBy(year(col("o_orderdate")).as("y"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("y")
+      }),
+
     // O2: sort by expression (reference `awarxe_cleanup.py:139`)
     QueryDef("q_sort_expr",
       Some("""SELECT p_partkey AS pkey, p_name AS pname FROM part

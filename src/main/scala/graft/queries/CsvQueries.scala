@@ -31,6 +31,36 @@ object CsvQueries {
         ).orderBy("ckey")
       }),
 
+    // S4: header-offset read round-trip (reference
+    // permit_inspection_licenses.py:19, header_row=4): write a
+    // banner-prefixed CSV of the nation table with an RFC-4180-quoted
+    // comma-bearing field, read it back through scanCsvSkipRows, and
+    // reproduce the parquet content. The file build collects nation —
+    // 25 rows, the "small manual input" the reference hand-feeds.
+    QueryDef("q_csv_skiprows",
+      Some("""SELECT n_nationkey AS nkey, n_name AS nname,
+                     n_name || ', r' || CAST(n_regionkey AS VARCHAR) AS tag
+              FROM nation ORDER BY nkey"""),
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val rows = nation(s, d)
+          .select(col("n_nationkey"), col("n_name"),
+            concat(col("n_name"), lit(", r"), col("n_regionkey")).as("tag"))
+          .orderBy("n_nationkey").collect()
+        def quote(v: String) = "\"" + v.replace("\"", "\"\"") + "\""
+        val content = (Seq("Permit Inspection Report", "Generated: fixture",
+          "nkey,nname,tag") ++
+          rows.map(r => s"${r.get(0)},${quote(r.getString(1))},${quote(r.getString(2))}"))
+          .mkString("\n")
+        Files.createDirectories(Paths.get("/tmp/graft_csv"))
+        val f = s"/tmp/graft_csv/skiprows_${d.replaceAll("[^0-9.]", "")}.csv"
+        Files.writeString(Paths.get(f), content)
+        CsvSources.scanCsvSkipRows(s, f, skipRows = 2)
+          .select(col("nkey").cast("int").as("nkey"),
+            col("nname"), col("tag"))
+          .orderBy("nkey")
+      }),
+
     // S2: pipe-separated extract round-trip (reference scorecard.py:32)
     QueryDef("q_csv_pipe",
       Some("""SELECT s_suppkey AS skey, s_name AS sname,

@@ -31,6 +31,28 @@ object DateMathQueries {
         to_date(date_format(col("o_orderdate"), mdY), mdY).as("reparsed")
       ).orderBy("okey")),
 
+    // D2: 12-hour clock with no-pad hour + AM/PM through the chrono
+    // translation (reference `activity_request.py:128`
+    // `%-m/%-d/%Y %-l:%M:%S %p`) — format then re-parse on both
+    // engines; the no-fraction format makes the round-trip
+    // engine-exact even though the source has sub-second precision
+    QueryDef("q_datetime_12h",
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+              SELECT event_id,
+                     strftime(ts, '%-m/%-d/%Y %-I:%M:%S %p') AS s12,
+                     CAST(strptime(strftime(ts, '%-m/%-d/%Y %-I:%M:%S %p'),
+                       '%-m/%-d/%Y %-I:%M:%S %p') AS VARCHAR) AS reparsed
+              FROM e ORDER BY event_id"""),
+      (s, d) => {
+        val fmt12 = DateFormats.chronoToJdk("%-m/%-d/%Y %-l:%M:%S %p") // M/d/yyyy h:mm:ss a
+        events(s, d).select(
+          col("event_id"),
+          date_format(col("ts"), fmt12).as("s12"),
+          to_timestamp(date_format(col("ts"), fmt12), fmt12)
+            .cast("string").as("reparsed")
+        ).orderBy("event_id")
+      }),
+
     // D4/D5/D6: date_add, datediff, month/year extract, between
     // (reference `delinquent_data_submitters.py:96,127`, `techs.py:40-45`)
     QueryDef("q_date_arith",
