@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.similarity.Ann
-import graft.text.TextAnalysis
+import graft.text.{Decontaminate, Packing, Sampling, TextAnalysis}
 
 /** North-star extension ops (SURVEY.md §7 step 8): dedup family,
   * similarity search, text analysis over the `documents` /
@@ -85,6 +85,60 @@ object ExtQueries {
           TextAnalysis.qualityScoreT(col("text"), col("toks")).as("quality"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint")
         ).orderBy("doc_id")),
+
+    // ---- decontamination: corpus docs sharing shingles with the
+    // benchmark slice (doc_id % 100 = 0 stands in for the eval set) ----
+    QueryDef("q_decontaminate",
+      Some(s"""WITH base AS (
+                SELECT doc_id, $shinglesSql AS sh
+                FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                      FROM documents)),
+              bench AS (SELECT DISTINCT unnest(sh) AS tok FROM base
+                        WHERE doc_id % 100 = 0),
+              corpus AS (SELECT doc_id, unnest(sh) AS tok FROM base
+                         WHERE doc_id % 100 <> 0)
+              SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM corpus c JOIN bench b ON c.tok = b.tok
+              GROUP BY 1 ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = documents(s, d)
+        val bench = Decontaminate.benchmarkShingles(
+          docs.filter(col("doc_id") % 100 === 0), "text", 2)
+        Decontaminate.contaminationHits(
+          docs.filter(col("doc_id") % 100 =!= 0), bench, "doc_id", "text", 2)
+          .orderBy("doc_id")
+      }),
+
+    // ---- deterministic stratified sampling: md5-gated, so the same
+    // rows are drawn regardless of partitioning, seed, or engine ----
+    QueryDef("q_stratified_sample",
+      Some("""SELECT doc_id, lang FROM documents
+              WHERE CASE WHEN lang = 'en'
+                    THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+                    ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' END
+              ORDER BY doc_id"""),
+      (s, d) => Sampling.stratified(documents(s, d), "doc_id", "lang",
+          Map("en" -> 0.25), default = 0.5)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    // ---- sequence packing: capacity-binned by cumulative token count
+    // per lang in doc_id order (one window shuffle, pure arithmetic) ----
+    QueryDef("q_token_pack",
+      Some("""WITH t AS (SELECT doc_id, lang,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+              FROM documents),
+              c AS (SELECT doc_id, lang, n_tok,
+                sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+              SELECT doc_id, lang, n_tok,
+                     CAST(floor((cum - n_tok) / 512) AS INT) AS bin
+              FROM c ORDER BY doc_id"""),
+      (s, d) => Packing.packBins(
+          documents(s, d).select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+          Seq("lang"), "doc_id", "n_tok", 512)
+        .orderBy("doc_id")),
 
     // ---- dedup: exact ----
     QueryDef("q_dedup_exact",

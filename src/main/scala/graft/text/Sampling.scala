@@ -1,0 +1,40 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Spark's
+  * `sample()`/`sampleBy()` are seed-dependent AND partition-dependent —
+  * rerunning on a repartitioned corpus changes the sample. These
+  * samplers key on a hash of a stable id column instead: the decision
+  * is a pure function of the row, so the sample is reproducible across
+  * runs, partitionings, AND engines (md5 is engine-portable — the
+  * DuckDB oracle draws the identical sample).
+  */
+object Sampling {
+
+  /** Keep ~`fraction` of rows: md5 of the id's first byte is uniform
+    * over [0,256), so compare the leading two hex chars against the
+    * scaled threshold. Fraction granularity is 1/256 — plenty for
+    * corpus downsampling.
+    */
+  def hashGate(id: Column, fraction: Double): Column = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
+    val t = math.round(fraction * 256).toInt
+    if (t <= 0) lit(false)
+    else if (t >= 256) lit(true)
+    else substring(md5(id.cast("string")), 1, 2) < lit(f"$t%02x")
+  }
+
+  /** Per-stratum deterministic sample: each stratum value keeps its own
+    * fraction; strata absent from `fractions` keep `default`.
+    */
+  def stratified(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    val gate = fractions.foldRight(hashGate(col(idCol), default)) {
+      case ((stratum, frac), acc) =>
+        when(col(strataCol) === stratum, hashGate(col(idCol), frac)).otherwise(acc)
+    }
+    df.filter(gate)
+  }
+}

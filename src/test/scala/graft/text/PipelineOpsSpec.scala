@@ -1,0 +1,50 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Decontamination, deterministic sampling, sequence packing. */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("contaminationHits counts shared shingles; clean docs are absent") {
+    val bench = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a quick brown dog"),    // shares "quick brown"
+      (11L, "the quick brown fox"),  // shares all 3 shingles
+      (12L, "entirely different words here")).toDF("doc_id", "text")
+    val vocab = Decontaminate.benchmarkShingles(bench, "text", 2)
+    val hits = Decontaminate.contaminationHits(corpus, vocab, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(hits === Seq((10L, 1L), (11L, 3L)))
+  }
+
+  test("hashGate fractions: 0 keeps nothing, 1 keeps all, mid is stable") {
+    val df = spark.range(1000).toDF("id")
+    assert(df.filter(Sampling.hashGate(col("id"), 0.0)).count() === 0)
+    assert(df.filter(Sampling.hashGate(col("id"), 1.0)).count() === 1000)
+    val n1 = df.filter(Sampling.hashGate(col("id"), 0.5)).count()
+    val n2 = df.repartition(13).filter(Sampling.hashGate(col("id"), 0.5)).count()
+    assert(n1 === n2)                      // partitioning-invariant
+    assert(n1 > 350 && n1 < 650)           // roughly the asked fraction
+  }
+
+  test("stratified applies per-stratum fractions with a default") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratified(df, "id", "lang", Map("en" -> 0.0), 1.0)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.contains("en") && byLang("de") === 200L)
+  }
+
+  test("packBins: bins respect capacity and order, oversize doc gets its own bin") {
+    val df = Seq(
+      (1L, "g", 300L), (2L, "g", 300L),    // bin 0: 300; 300+300>512 -> 2 starts bin...
+      (3L, "g", 900L),                     // oversize
+      (4L, "g", 100L)).toDF("id", "g", "w")
+    val out = Packing.packBins(df, Seq("g"), "id", "w", 512)
+      .orderBy("id").select("id", "bin").as[(Long, Int)].collect().toSeq
+    // cumulative-before: 0, 300, 600, 1500 -> bins 0, 0, 1, 2
+    assert(out === Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2)))
+  }
+}
