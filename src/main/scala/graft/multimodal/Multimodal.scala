@@ -61,6 +61,26 @@ object Multimodal {
       }
   }
 
+  /** Frame-sample a binary payload: cut it into `frameBytes`-sized
+    * frames and keep every `stride`-th (video every-kth-frame
+    * sampling, audio windowing). Pure Column arithmetic over
+    * sequence/filter/substring — no UDF, no shuffle, and
+    * engine-reproducible (the oracle slices the same byte ranges).
+    * A real resize/transcode step would consume these frames through
+    * the same batched mapPartitions shape as [[decodeStub]].
+    */
+  def sampleFrames(payload: org.apache.spark.sql.Column, frameBytes: Int,
+      stride: Int): org.apache.spark.sql.Column = {
+    require(frameBytes > 0 && stride > 0,
+      s"frameBytes=$frameBytes and stride=$stride must be positive")
+    val n = ceil(length(payload) / lit(frameBytes.toDouble)).cast("int")
+    val idx = filter(sequence(lit(0), n - 1), i => i % stride === 0)
+    // n = 0 would make sequence(0, -1) DESCEND; guard to empty
+    when(n > 0,
+      transform(idx, i => substring(payload, i * frameBytes + 1, lit(frameBytes))))
+      .otherwise(array().cast("array<binary>"))
+  }
+
   /** Oracle-expressible slice of the media pipeline: payload byte
     * length, md5 hex, and metadata projection (no mapPartitions).
     */

@@ -139,6 +139,36 @@ object EventQueries {
               FROM documents ORDER BY doc_id"""),
       (s, d) => Multimodal.mediaSummary(documents(s, d)).orderBy("doc_id")),
 
+    // multimodal: every-kth-frame sampling over the binary payload
+    // (64-byte frames, stride 4) — byte ranges and md5s must agree
+    // with the oracle's substring slicing exactly
+    QueryDef("q_frame_sample",
+      Some("""WITH m AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+                       octet_length(CAST(text AS BLOB)) AS n_bytes
+                         FROM documents),
+              f AS (SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes,
+                      list_transform(
+                        list_filter(
+                          range(0, CAST(ceil(n_bytes/64.0) AS INT)),
+                          i -> i % 4 = 0),
+                        i -> md5(substring(hx, CAST(i*128+1 AS INT), 128)))
+                        AS fr
+                    FROM m)
+              SELECT doc_id, n_bytes,
+                     CAST(len(fr) AS BIGINT) AS n_sampled,
+                     fr[1] AS first_frame_md5
+              FROM f ORDER BY doc_id"""),
+      // DuckDB can't slice BLOBs, so the comparison goes through hex:
+      // frame i of the binary == hex chars [i*128, i*128+128) (2 hex
+      // chars per byte, both engines uppercase)
+      (s, d) => Multimodal.asMedia(documents(s, d))
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          Multimodal.sampleFrames(col("payload"), 64, 4).as("frames"))
+        .select(col("doc_id"), col("n_bytes"),
+          size(col("frames")).cast("long").as("n_sampled"),
+          md5(hex(try_element_at(col("frames"), lit(1)))).as("first_frame_md5"))
+        .orderBy("doc_id")),
+
     // multimodal: batched decode stub (mapPartitions) — rows-only check
     QueryDef("q_media_features", None,
       (s, d) => Multimodal.decodeStub(s, Multimodal.asMedia(documents(s, d)))

@@ -17,6 +17,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(meta("n_bytes").dataType === IntegerType)
   }
 
+  test("sampleFrames cuts frameBytes chunks and keeps every stride-th") {
+    import spark.implicits._
+    // 300 bytes -> frames of 100 at offsets 0,100,200; stride 2 keeps 0,200
+    val payload = Array.tabulate(300)(_.toByte)
+    val df = Seq((1L, payload), (2L, Array.empty[Byte])).toDF("id", "payload")
+    val out = df.select(col("id"),
+      Multimodal.sampleFrames(col("payload"), 100, 2).as("fr"))
+      .orderBy("id").as[(Long, Seq[Array[Byte]])].collect()
+    assert(out(0)._2.length === 2)
+    assert(out(0)._2(0).toSeq === payload.slice(0, 100).toSeq)
+    assert(out(0)._2(1).toSeq === payload.slice(200, 300).toSeq)
+    assert(out(1)._2.isEmpty) // empty payload -> zero frames, no descend
+  }
+
   test("decodeStub: deterministic, 4-float features, preserves rows") {
     val media = Multimodal.asMedia(docs)
     val f1 = Multimodal.decodeStub(spark, media).collect()
