@@ -61,6 +61,17 @@ object EventStreams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join — the canonical "attach dimension
+    * attributes to a stream" shape. The static side is planned fresh
+    * per micro-batch (so a slowly-changing dim picks up updates
+    * between batches) and the broadcast keeps the stream side
+    * shuffle-free: at cluster scale the events stream never
+    * repartitions for the join.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   case class Event(event_id: Long, ts_us: Long, user_id: Long)
   case class SessionState(sessionSeq: Int, lastTs: Long, n: Long, startTs: Long)
   case class SessionOut(user_id: Long, session_seq: Int, n_events: Long,

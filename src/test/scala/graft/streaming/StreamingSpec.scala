@@ -55,6 +55,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    import spark.implicits._
+    val dim = graft.queries.Tables.eventsRaw(spark, sf)
+      .select("user_id").distinct()
+      .withColumn("tier", when(col("user_id") % 2 === 0, "a").otherwise("b"))
+    val batch = EventStreams.enrichStream(
+      graft.queries.Tables.eventsRaw(spark, sf), dim)
+      .groupBy("tier").count().orderBy("tier")
+      .as[(String, Long)].collect().toSeq
+    val stream = EventStreams.enrichStream(
+      EventStreams.readEventsStream(spark, sf), dim)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_test")
+        .groupBy("tier").count().orderBy("tier")
+        .as[(String, Long)].collect().toSeq
+      assert(got === batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark bounds state: rollup plan contains the watermark") {
     val stream = EventStreams.hourlyRollup(
       EventStreams.readEventsStream(spark, sf), streaming = true)
