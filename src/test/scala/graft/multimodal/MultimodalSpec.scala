@@ -31,6 +31,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1)._2.isEmpty) // empty payload -> zero frames, no descend
   }
 
+  test("sampleFrames stride-1 frames reassemble the original payload") {
+    import spark.implicits._
+    // lengths chosen to cover exact-multiple and ragged-tail cases
+    val payloads = Seq(0, 1, 63, 64, 65, 200).map(n =>
+      Array.tabulate(n)(i => (i * 7 + n).toByte))
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+    val out = df.select(col("id"), col("payload"),
+      Multimodal.sampleFrames(col("payload"), 64, 1).as("fr"))
+      .orderBy("id").as[(Long, Array[Byte], Seq[Array[Byte]])].collect()
+    out.foreach { case (_, payload, frames) =>
+      assert(frames.flatten.toSeq === payload.toSeq)
+    }
+  }
+
   test("decodeStub: deterministic, 4-float features, preserves rows") {
     val media = Multimodal.asMedia(docs)
     val f1 = Multimodal.decodeStub(spark, media).collect()
