@@ -149,6 +149,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Cluster assignment over a near-duplicate pair list: every doc
+    * that appears in a pair gets the MINIMUM doc id reachable through
+    * pair chains as its cluster id — the canonical
+    * keep-one-per-cluster representative that an actual dedup pass
+    * keys on. (Pairs alone under-delete: a~b and b~c must collapse to
+    * ONE survivor even when a~c was never emitted.)
+    *
+    * Iterative min-label propagation (the simple variant of the
+    * large-star/small-star connected-components algorithm): each round
+    * is one join + min-aggregate, converging in cluster-diameter
+    * rounds — tiny for near-dup graphs. `localCheckpoint` cuts the
+    * lineage each round so the plan stays flat instead of growing
+    * exponentially (the classic iterative-Spark trap); on a cluster
+    * use checkpoint() to a reliable store instead.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** n-gram Jaccard similarity join within blocking keys, by inverted
     * index: explode each doc's (distinct) shingle set, equi-join on
     * (block, shingle), and COUNT the joined rows per pair — because

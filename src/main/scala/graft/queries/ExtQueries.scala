@@ -31,6 +31,38 @@ object ExtQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** DuckDB CTE chain ending in `mh_pairs` — the MinHash+LSH pair list
+    * (k=16, b=8, r=2, jaccard >= 0.1) shared by q_dedup_minhash and
+    * q_dedup_clusters.
+    */
+  private val minhashPairsCtes =
+    s"""base AS (
+          SELECT doc_id AS id, $shinglesSql AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents)),
+        sigs AS (
+          SELECT id, sh,
+            list_transform(range(1, 17), s ->
+              list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
+          FROM base),
+        banded AS (
+          SELECT id, sh,
+            list_transform(range(0, 8), b ->
+              md5(array_to_string(sig[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)], '|'))) AS bandkeys
+          FROM sigs),
+        buckets AS (
+          SELECT id, sh, CAST(r.range AS INT) AS band,
+                 bandkeys[CAST(r.range + 1 AS INT)] AS bucket
+          FROM banded, range(0, 8) AS r),
+        mh_pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis ----
@@ -150,35 +182,33 @@ object ExtQueries {
 
     // ---- dedup: MinHash + LSH (md5-lex-min signatures, k=16, b=8, r=2) ----
     QueryDef("q_dedup_minhash",
-      Some(s"""WITH base AS (
-                SELECT doc_id AS id, $shinglesSql AS sh
-                FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-                      FROM documents)),
-              sigs AS (
-                SELECT id, sh,
-                  list_transform(range(1, 17), s ->
-                    list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
-                FROM base),
-              banded AS (
-                SELECT id, sh,
-                  list_transform(range(0, 8), b ->
-                    md5(array_to_string(sig[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)], '|'))) AS bandkeys
-                FROM sigs),
-              buckets AS (
-                SELECT id, sh, CAST(r.range AS INT) AS band,
-                       bandkeys[CAST(r.range + 1 AS INT)] AS bucket
-                FROM banded, range(0, 8) AS r)
-              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-              FROM buckets a JOIN buckets b
-                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+      Some(s"""WITH $minhashPairsCtes
+              SELECT id_a, id_b, jaccard FROM mh_pairs
               ORDER BY id_a, id_b"""),
       (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text",
         n = 2, k = 16, bands = 8, threshold = 0.1)
         .orderBy("id_a", "id_b")),
+
+    // ---- dedup: connected-components cluster assignment over the
+    // minhash pair list (the keep-one-per-cluster canonical id) ----
+    QueryDef("q_dedup_clusters",
+      Some(s"""WITH RECURSIVE $minhashPairsCtes,
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM mh_pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+              nodes AS (SELECT DISTINCT src AS id FROM edges),
+              cc AS (
+                SELECT id, id AS label FROM nodes
+                UNION
+                SELECT e.dst AS id, cc.label
+                FROM cc JOIN edges e ON cc.id = e.src)
+              SELECT id, min(label) AS cluster
+              FROM cc GROUP BY id ORDER BY id"""),
+      (s, d) => Dedup.clusters(
+        Dedup.minhashPairs(documents(s, d), "doc_id", "text",
+          n = 2, k = 16, bands = 8, threshold = 0.1))
+        .orderBy("id")),
 
     // ---- dedup: SimHash (16-bit, two 8-bit bands, hamming <= 3) ----
     QueryDef("q_dedup_simhash",

@@ -48,4 +48,18 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.get((1L, 3L)).exists(j => j > 0.5 && j < 1.0))
     assert(!pairs.contains((4L, 5L)), "shared words but no shared bigram set >= 0.5")
   }
+
+  test("clusters: transitive pairs collapse to the min reachable id") {
+    // chain 1-2, 2-3 plus disjoint 7-5: clusters {1,2,3}->1, {5,7}->5
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (7L, 5L)))
+  }
+
+  test("clusters: long chain converges past one propagation round") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(chain).as[(Long, Long)].collect()
+    assert(got.length === 12 && got.forall(_._2 === 1L))
+  }
 }
