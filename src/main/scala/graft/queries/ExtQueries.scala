@@ -190,13 +190,22 @@ object ExtQueries {
         .orderBy("id_a", "id_b")),
 
     // ---- dedup: connected-components cluster assignment over the
-    // minhash pair list (the keep-one-per-cluster canonical id) ----
+    // embedding-cosine near-dup pairs (SemDeDup shape: semantic pair
+    // list -> keep-one-per-cluster canonical id). The operator is
+    // pair-source-agnostic — Dedup.clusters composes equally with
+    // minhashPairs / ngramJaccardPairs / simhashPairs ----
     QueryDef("q_dedup_clusters",
-      Some(s"""WITH RECURSIVE $minhashPairsCtes,
+      Some(s"""WITH RECURSIVE ev AS (
+                SELECT label AS blk, vec_id AS id, embedding AS v
+                FROM embeddings),
+              em_pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM ev a JOIN ev b ON a.blk = b.blk AND a.id < b.id
+                WHERE ${cosSql("a.v", "b.v")} >= 0.3),
               edges AS (
-                SELECT id_a AS src, id_b AS dst FROM mh_pairs
+                SELECT id_a AS src, id_b AS dst FROM em_pairs
                 UNION ALL
-                SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+                SELECT id_b AS src, id_a AS dst FROM em_pairs),
               nodes AS (SELECT DISTINCT src AS id FROM edges),
               cc AS (
                 SELECT id, id AS label FROM nodes
@@ -206,8 +215,7 @@ object ExtQueries {
               SELECT id, min(label) AS cluster
               FROM cc GROUP BY id ORDER BY id"""),
       (s, d) => Dedup.clusters(
-        Dedup.minhashPairs(documents(s, d), "doc_id", "text",
-          n = 2, k = 16, bands = 8, threshold = 0.1))
+        Ann.cosinePairs(embeddings(s, d), "label", 0.3))
         .orderBy("id")),
 
     // ---- dedup: SimHash (16-bit, two 8-bit bands, hamming <= 3) ----
