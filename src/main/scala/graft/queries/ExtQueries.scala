@@ -366,6 +366,41 @@ object ExtQueries {
       (s, d) => Ann.ivfTopK(
         embeddings(s, d).filter(col("vec_id") % 50 === 0),
         embeddings(s, d), 5, 10)
+        .orderBy("qid", "rank")),
+
+    // ---- similarity search: IVF multi-probe (nprobe=2) — better
+    // recall for queries near a cell boundary, same map-side cell
+    // arithmetic (the query explodes to its 2 nearest cells) ----
+    QueryDef("q_ann_ivf2",
+      Some(s"""WITH piv AS (
+                SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+                ORDER BY vec_id LIMIT 10),
+              cells AS (
+                SELECT vec_id, embedding, pid AS cell FROM (
+                  SELECT e.vec_id, e.embedding, p.pid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosSql("e.embedding", "p.pvec")} DESC, p.pid) AS rn
+                  FROM embeddings e, piv p)
+                WHERE rn = 1),
+              qprobe AS (
+                SELECT vec_id AS qid, embedding AS qv, pid AS cell FROM (
+                  SELECT e.vec_id, e.embedding, p.pid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosSql("e.embedding", "p.pvec")} DESC, p.pid) AS rn
+                  FROM embeddings e, piv p WHERE e.vec_id % 50 = 0)
+                WHERE rn <= 2),
+              scored AS (
+                SELECT q.qid, c.vec_id AS nid, ${cosSql("q.qv", "c.embedding")} AS sim
+                FROM qprobe q JOIN cells c ON q.cell = c.cell AND q.qid <> c.vec_id)
+              SELECT qid, nid, rank, sim FROM (
+                SELECT qid, nid, sim,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nid) AS INT) AS rank
+                FROM scored)
+              WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => Ann.ivfTopK(
+        embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        embeddings(s, d), 5, 10, nprobe = 2)
         .orderBy("qid", "rank"))
   )
 }

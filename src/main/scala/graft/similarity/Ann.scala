@@ -86,21 +86,43 @@ object Ann {
       (r.getLong(0), pv, pn)
     }
 
-  private def assignInlined(df: DataFrame,
-      pivotData: Array[(Long, Array[Float], Double)]): DataFrame = {
+  private def pivotSims(pivotData: Array[(Long, Array[Float], Double)]) = {
     val nrm = norm(col("embedding"))
-    val best = array_max(array(pivotData.map { case (pid, pv, pn) =>
+    array(pivotData.map { case (pid, pv, pn) =>
       struct((dot(col("embedding"), typedlit(pv)) / (nrm * lit(pn))).as("sim"),
         lit(-pid).as("npid"))
-    }.toIndexedSeq: _*))
-    df.withColumn("cell", -best.getField("npid"))
+    }.toIndexedSeq: _*)
   }
 
-  /** IVF top-k with nprobe=1: search only the query's own cell. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPivots: Int): DataFrame = {
+  private def assignInlined(df: DataFrame,
+      pivotData: Array[(Long, Array[Float], Double)]): DataFrame =
+    df.withColumn("cell", -array_max(pivotSims(pivotData)).getField("npid"))
+
+  /** Multi-probe variant: ONE row per (row, probed cell) for the
+    * query's `nprobe` nearest pivots — still a pure map-side
+    * projection (sort the inlined (sim, -pid) structs desc, slice,
+    * explode). Struct desc order ties on -pid desc = pid asc, matching
+    * the oracle's (cos DESC, pid) ranking.
+    */
+  private def probeInlined(df: DataFrame,
+      pivotData: Array[(Long, Array[Float], Double)], nprobe: Int): DataFrame =
+    df.withColumn("cell",
+      explode(transform(
+        slice(sort_array(pivotSims(pivotData), asc = false), 1, nprobe),
+        s => -s.getField("npid"))))
+
+  /** IVF top-k: the corpus is coarse-quantized to its nearest pivot's
+    * cell; each query searches its `nprobe` nearest cells (cells
+    * partition the corpus, so multi-probe candidates are distinct by
+    * construction).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPivots: Int,
+      nprobe: Int = 1): DataFrame = {
     val piv = collectPivots(pivots(corpus, nPivots))
     val cells = assignInlined(corpus, piv)
-    val qcells = assignInlined(queries, piv)
+    val qcells =
+      if (nprobe <= 1) assignInlined(queries, piv)
+      else probeInlined(queries, piv, nprobe)
     val q = broadcast(qcells.select(col("vec_id").as("qid"),
       col("embedding").as("qvec"), norm(col("embedding")).as("qnrm"), col("cell")))
     val scored = q.join(cells.select(col("vec_id").as("nid"),

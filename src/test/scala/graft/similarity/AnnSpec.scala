@@ -42,6 +42,18 @@ class AnnSpec extends SparkTestBase {
     assert(out.nonEmpty)
   }
 
+  test("ivfTopK nprobe=2 is a superset of nprobe=1 candidates") {
+    val one = Ann.ivfTopK(vecs.filter(col("vec_id") === 4), vecs, 5, 2, nprobe = 1)
+      .select("nid").as[Long].collect().toSet
+    val two = Ann.ivfTopK(vecs.filter(col("vec_id") === 4), vecs, 5, 2, nprobe = 2)
+      .select("nid").as[Long].collect().toSet
+    assert(one.subsetOf(two))
+    // with 2 pivots, nprobe=2 covers every cell = brute force
+    val brute = Ann.bruteForceTopK(vecs.filter(col("vec_id") === 4), vecs, 5)
+      .select("nid").as[Long].collect().toSet
+    assert(two === brute)
+  }
+
   test("lshTopK probes only the query's sign bucket") {
     // v5 = -v0 flips the sign bit of the v5-normal for v0/v1 only, so
     // {0,1} share a bucket apart from {2,3,4} and from {5}
