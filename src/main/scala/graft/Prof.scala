@@ -72,6 +72,15 @@ object Prof {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         Seq("lang", "source"), 2, 0.09).count()
     }
+    time("cosinePairs sf") {
+      graft.similarity.Ann.cosinePairs(
+        spark.read.parquet(sfDir + "/embeddings.parquet"), "label", 0.3).count()
+    }
+    time("clusters from cosinePairs") {
+      val pairs = graft.similarity.Ann.cosinePairs(
+        spark.read.parquet(sfDir + "/embeddings.parquet"), "label", 0.3)
+      Dedup.clusters(pairs).count()
+    }
     time("text_analysis") {
       docs.withColumn("toks", TextAnalysis.tokens(col("text")))
         .select(col("doc_id"), size(col("toks")).as("n"),

@@ -165,27 +165,82 @@ object Dedup {
     * use checkpoint() to a reliable store instead.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      maxIters: Int = 20, driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgePairs = pairs
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edgePairs.count()
+    if (nEdges <= driverEdgeLimit) {
+      // Small-graph fast path: a pair list this size is model-parameter
+      // scale (like the collected ANN pivots), and exact union-find on
+      // the driver beats paying per-round scheduler+shuffle latency —
+      // the distributed loop's cost is ~0.5 s/round REGARDLESS of data
+      // size, so a 1M-edge graph costs seconds on the driver vs tens
+      // of seconds in rounds. The distributed path below stays the
+      // 100 TB route (forced by driverEdgeLimit = 0 in specs).
+      import scala.collection.mutable
+      val parent = mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edgePairs.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // parent root = min id, so the cluster label IS the min member
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      edgePairs.unpersist()
+      import spark.implicits._
+      return parent.keys.toSeq.sorted.map(k => (k, find(k)))
+        .toDF("id", "cluster")
+    }
+    val edges = edgePairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edgePairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    // ONE action per round: the checkpoint is lazy and materializes
+    // under the sum() job, and convergence is "Σlabel stopped
+    // decreasing" (labels only ever decrease, so equal sums ⟺ no
+    // label moved) — an eager checkpoint + join-diff convergence
+    // check costs ~4 scheduled jobs per round, which dominated the
+    // whole operator at bench scale
+    var prevSum = Option.empty[Long]
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(prop)
+      val m = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      converged = next
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev")).isEmpty
+      // pointer jump (path halving): label := label(label). Every
+      // label IS a member node's id, so the self-join always hits;
+      // labels only decrease, so label2 <= label. Neighbor
+      // propagation alone needs diameter rounds — with the jump the
+      // round count drops to O(log diameter), and rounds (fixed
+      // scheduling + tiny-shuffle latency, ~0.5s each regardless of
+      // data size) are the entire cost of this operator
+      val next = m
+        .join(m.select(col("id").as("label"), col("label").as("label2")), "label")
+        .select(col("id"), col("label2").as("label"))
+        .localCheckpoint(false)
+      val s = next.agg(sum("label")).first().getLong(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       labels = next
       it += 1
     }
     edges.unpersist()
+    edgePairs.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"clusters did not converge in $maxIters rounds — raise maxIters " +
+        "(components of diameter > 2^maxIters are pathological for near-dup graphs)")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

@@ -105,7 +105,7 @@ object Relational {
       s"saltedJoin supports inner/left only (got $joinType): unmatched dim " +
         "rows would be duplicated once per salt replica")
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

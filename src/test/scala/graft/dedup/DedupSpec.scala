@@ -57,9 +57,21 @@ class DedupSpec extends SparkTestBase {
     assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (7L, 5L)))
   }
 
-  test("clusters: long chain converges past one propagation round") {
-    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.clusters(chain).as[(Long, Long)].collect()
-    assert(got.length === 12 && got.forall(_._2 === 1L))
+  test("clusters distributed path: long chain converges in log rounds") {
+    // driverEdgeLimit = 0 forces the iterative route; a 60-node path
+    // needs 59 plain-propagation rounds — pointer jumping must close
+    // it well inside maxIters=20
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(chain, driverEdgeLimit = 0).as[(Long, Long)].collect()
+    assert(got.length === 60 && got.forall(_._2 === 1L))
+  }
+
+  test("clusters: driver and distributed paths agree") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 5L), (9L, 9L), (10L, 5L))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.clusters(pairs).orderBy("id").as[(Long, Long)].collect().toSeq
+    val dist = Dedup.clusters(pairs, driverEdgeLimit = 0)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(fast === dist)
   }
 }
