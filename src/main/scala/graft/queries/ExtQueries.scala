@@ -31,6 +31,44 @@ object ExtQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** DuckDB CTE chain ending in `scored` — tokenized docs with
+    * stopword-hit counts, token/char counts (shared by
+    * q_text_analysis and q_corpus_prep).
+    */
+  private val scoredCtes =
+    """t AS (SELECT doc_id, source, text,
+         string_split_regex(trim(text), '\s+') AS toks,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+       FROM documents),
+       scored AS (SELECT doc_id, source, text, toks, norm,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS en_hits,
+         len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','zu','mit'], x))) AS de_hits,
+         len(list_filter(toks, x -> list_contains(['el','la','de','y','es','un','en','que'], x))) AS es_hits,
+         len(list_filter(toks, x -> list_contains(['le','la','et','est','un','une','dans','que'], x))) AS fr_hits,
+         len(list_filter(toks, x -> list_contains(
+           ['the','a','of','and','to','in','is','it',
+            'der','die','das','und','ist','ein','zu','mit',
+            'el','la','de','y','es','un','en','que',
+            'le','la','et','est','un','une','dans','que'], x))) AS all_hits,
+         len(toks) AS n_tokens,
+         length(trim(text)) AS n_chars
+       FROM t)"""
+
+  /** Language-ID CASE over the `scored` hit columns. */
+  private val langCaseSql =
+    """CASE WHEN en_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'en'
+            WHEN de_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'de'
+            WHEN es_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'es'
+            WHEN fr_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'fr'
+            ELSE 'und' END"""
+
+  /** Quality blend over the `scored` columns. */
+  private val qualitySql =
+    """(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25
+       + (CASE WHEN n_tokens > 0 AND (CAST(n_chars AS DOUBLE)/n_tokens) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) * 0.25
+       + (CASE WHEN n_chars > 0 THEN CAST(length(regexp_replace(trim(text), '[^a-zA-Z ]', '', 'g')) AS DOUBLE)/n_chars ELSE 0.0 END) * 0.25
+       + least(CASE WHEN n_tokens > 0 THEN CAST(all_hits AS DOUBLE)/n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.25"""
+
   /** DuckDB CTE chain ending in `mh_pairs` — the MinHash+LSH pair list
     * (k=16, b=8, r=2, jaccard >= 0.1) shared by q_dedup_minhash and
     * q_dedup_clusters.
@@ -67,35 +105,11 @@ object ExtQueries {
 
     // ---- text analysis ----
     QueryDef("q_text_analysis",
-      Some("""WITH t AS (SELECT doc_id, text,
-                string_split_regex(trim(text), '\s+') AS toks,
-                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
-              FROM documents),
-              scored AS (SELECT doc_id, text, toks, norm,
-                len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS en_hits,
-                len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','zu','mit'], x))) AS de_hits,
-                len(list_filter(toks, x -> list_contains(['el','la','de','y','es','un','en','que'], x))) AS es_hits,
-                len(list_filter(toks, x -> list_contains(['le','la','et','est','un','une','dans','que'], x))) AS fr_hits,
-                len(list_filter(toks, x -> list_contains(
-                  ['the','a','of','and','to','in','is','it',
-                   'der','die','das','und','ist','ein','zu','mit',
-                   'el','la','de','y','es','un','en','que',
-                   'le','la','et','est','un','une','dans','que'], x))) AS all_hits,
-                len(toks) AS n_tokens,
-                length(trim(text)) AS n_chars
-              FROM t)
+      Some(s"""WITH $scoredCtes
               SELECT doc_id, n_tokens,
                 CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x)/4.0) AS INT))) AS BIGINT) AS n_subwords,
-                CASE WHEN en_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'en'
-                     WHEN de_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'de'
-                     WHEN es_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'es'
-                     WHEN fr_hits = greatest(en_hits,de_hits,es_hits,fr_hits) AND greatest(en_hits,de_hits,es_hits,fr_hits) > 0 THEN 'fr'
-                     ELSE 'und' END AS lang_guess,
-                (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25
-                + (CASE WHEN n_tokens > 0 AND (CAST(n_chars AS DOUBLE)/n_tokens) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) * 0.25
-                + (CASE WHEN n_chars > 0 THEN CAST(length(regexp_replace(trim(text), '[^a-zA-Z ]', '', 'g')) AS DOUBLE)/n_chars ELSE 0.0 END) * 0.25
-                + least(CASE WHEN n_tokens > 0 THEN CAST(all_hits AS DOUBLE)/n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.25
-                  AS quality,
+                $langCaseSql AS lang_guess,
+                $qualitySql AS quality,
                 CASE WHEN length(norm) = 0 THEN 0 ELSE
                   list_reduce(list_prepend(CAST(0 AS BIGINT),
                     list_transform(range(1, length(norm)+1),
@@ -117,6 +131,37 @@ object ExtQueries {
           TextAnalysis.qualityScoreT(col("text"), col("toks")).as("quality"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint")
         ).orderBy("doc_id")),
+
+    // ---- corpus preparation capstone: quality filter -> language
+    // filter -> exact dedup -> per-source report, the whole extension
+    // stack composed end-to-end the way a training-data pipeline
+    // actually chains them ----
+    QueryDef("q_corpus_prep",
+      Some(s"""WITH $scoredCtes,
+              q AS (SELECT doc_id, source, text, n_tokens,
+                      $langCaseSql AS lang_guess,
+                      $qualitySql AS quality
+                    FROM scored),
+              f AS (SELECT * FROM q WHERE quality >= 0.5 AND lang_guess = 'en'),
+              d AS (SELECT * FROM f
+                    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+              FROM d GROUP BY 1 ORDER BY source"""),
+      (s, d) => {
+        val scored = documents(s, d)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"), col("source"), col("text"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            TextAnalysis.langIdT(col("toks")).as("lang_guess"),
+            TextAnalysis.qualityScoreT(col("text"), col("toks")).as("quality"))
+        val filtered = scored
+          .filter(col("quality") >= 0.5 && col("lang_guess") === "en")
+        Dedup.exact(filtered, "text", "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+          .orderBy("source")
+      }),
 
     // ---- decontamination: corpus docs sharing shingles with the
     // benchmark slice (doc_id % 100 = 0 stands in for the eval set) ----
