@@ -34,6 +34,26 @@ object Demo {
     functions.Registry.registerAll(spark)
     spark.sql("SELECT jaro_winkler('MARTHA','MARHTA') AS jw").show(false)
 
+    // business-day calendar (driver-side, reference dds/dhs pipelines)
+    val fri = java.time.LocalDate.of(2026, 8, 14)
+    println(s"addBusinessDays($fri, 3) = " +
+      graft.time.BusinessCalendar.addBusinessDays(fri, 3) + " (expect Wed 8/19)")
+    println("nextBusinessWeek = " + graft.time.BusinessCalendar.nextBusinessWeek(fri))
+
+    // fail-fast gate: passes silently on a clean frame, throws with a
+    // row preview otherwise
+    Relational.requireEmpty(dim.filter(col("attr").isNull), "null dim attrs")
+    try Relational.requireEmpty(fact, "demo: fact rows exist")
+    catch { case e: IllegalStateException =>
+      println("requireEmpty threw as expected: " + e.getMessage.linesIterator.next()) }
+
+    // frame diff (check_masked-style audit)
+    println(graft.ops.Frames.dfCompare(fact, dim).report)
+
+    // near-dup clusters from a pair list (transitive closure)
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id_a", "id_b")
+    graft.dedup.Dedup.clusters(pairs).orderBy("id").show(false)
+
     spark.stop()
   }
 }
