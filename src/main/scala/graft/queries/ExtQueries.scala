@@ -163,6 +163,51 @@ object ExtQueries {
           .orderBy("source")
       }),
 
+    // ---- within-doc repetition removal + PII scrubbing. The fixture
+    // corpus is single-line and PII-free, so both are exercised on a
+    // deterministic construction (line1 = text, line2 = head words +
+    // synthesized email/phone, line3 = duplicate of line1) built
+    // identically on both engines; outputs compare via md5 ----
+    QueryDef("q_clean_text",
+      Some("""WITH b AS (SELECT doc_id, text,
+                array_to_string((string_split(text, ' '))[1:5], ' ')
+                  || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@ex.org or 602-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_line
+              FROM documents),
+              c AS (SELECT doc_id,
+                      string_split(text || chr(10) || pii_line || chr(10) || text,
+                        chr(10)) AS ls
+                    FROM b),
+              e AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+                      list_filter(ls, (x, i) -> NOT list_contains(ls[1:i-1], x)) AS ded
+                    FROM c)
+              SELECT doc_id, n_lines, CAST(len(ded) AS BIGINT) AS n_dedup,
+                     md5(regexp_replace(regexp_replace(
+                       array_to_string(ded, chr(10)),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+                       '<PHONE>', 'g')) AS scrubbed_md5
+              FROM e ORDER BY doc_id"""),
+      (s, d) => {
+        val piiLine = concat(
+          substring_index(col("text"), " ", 5),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex.org or 602-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val built = concat_ws("\n", col("text"), piiLine, col("text"))
+        documents(s, d)
+          .select(col("doc_id"), built.as("built"))
+          .select(col("doc_id"),
+            size(split(col("built"), "\n")).cast("long").as("n_lines"),
+            TextAnalysis.dedupeLines(col("built")).as("ded"))
+          .select(col("doc_id"), col("n_lines"),
+            size(split(col("ded"), "\n")).cast("long").as("n_dedup"),
+            md5(TextAnalysis.scrubPii(col("ded"))).as("scrubbed_md5"))
+          .orderBy("doc_id")
+      }),
+
     // ---- decontamination: corpus docs sharing shingles with the
     // benchmark slice (doc_id % 100 = 0 stands in for the eval set) ----
     QueryDef("q_decontaminate",

@@ -98,4 +98,27 @@ object TextAnalysis {
     // higher-order-function form (per-index substr) is O(n²) interpreted
     graft.functions.PolyHash(norm)
   }
+
+  /** C4-style within-document repetition removal: drop every line
+    * after its first occurrence, preserving order. Quadratic in line
+    * count per document (fine: documents have tens of lines; the
+    * pathological case is the corpus, not the doc) and pure Column
+    * arithmetic — no shuffle, no UDF.
+    */
+  def dedupeLines(text: Column, sep: String = "\n"): Column = {
+    val l = split(text, java.util.regex.Pattern.quote(sep))
+    // keep element i (0-based) iff it's absent from elements 0..i-1
+    array_join(
+      filter(l, (x, i) => !array_contains(slice(l, lit(1), i), x)), sep)
+  }
+
+  /** PII scrubbing: redact email addresses and NNN-NNN-NNNN phone
+    * numbers (ASCII patterns chosen to behave identically under Java
+    * regex and RE2, so the redaction is engine-reproducible).
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>")
 }

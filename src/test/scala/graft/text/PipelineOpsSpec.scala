@@ -37,6 +37,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!byLang.contains("en") && byLang("de") === 200L)
   }
 
+  test("dedupeLines drops repeats after first occurrence, keeps order") {
+    val df = Seq(
+      "a\nb\na\nc\nb",
+      "solo",
+      "").toDF("t")
+    val got = df.select(TextAnalysis.dedupeLines(col("t")).as("d"))
+      .as[String].collect().toSeq
+    assert(got === Seq("a\nb\nc", "solo", ""))
+  }
+
+  test("scrubPii redacts emails and phone numbers, leaves the rest") {
+    val df = Seq(
+      "mail bob.smith+x@foo.org or call 602-555-1234 now",
+      "no pii here 12345").toDF("t")
+    val got = df.select(TextAnalysis.scrubPii(col("t")).as("s"))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "mail <EMAIL> or call <PHONE> now",
+      "no pii here 12345"))
+  }
+
   test("packBins: bins respect capacity and order, oversize doc gets its own bin") {
     val df = Seq(
       (1L, "g", 300L), (2L, "g", 300L),    // bin 0: 300; 300+300>512 -> 2 starts bin...
