@@ -167,8 +167,17 @@ object Dedup {
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 20, driverEdgeLimit: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
+    // Null / non-castable ids must fail loudly and identically on both
+    // the driver fast path and the distributed path: a null surviving
+    // the cast would NPE opaquely in getLong below and silently skew
+    // labels in the joins. (ANSI mode already throws on a non-castable
+    // value; this covers nulls.)
+    def idOrFail(c: String): Column =
+      when(col(c).isNull,
+        raise_error(lit(s"clusters: null id in pairs input column '$c'")))
+        .otherwise(col(c).cast("long"))
     val edgePairs = pairs
-      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .select(idOrFail(idA).as("a"), idOrFail(idB).as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = edgePairs.count()
     if (nEdges <= driverEdgeLimit) {
@@ -211,7 +220,11 @@ object Dedup {
     // label moved) — an eager checkpoint + join-diff convergence
     // check costs ~4 scheduled jobs per round, which dominated the
     // whole operator at bench scale
-    var prevSum = Option.empty[Long]
+    // The convergence sum runs over decimal(38,0), not long: with
+    // hash-derived 64-bit ids a LongType sum can overflow (ANSI mode
+    // would throw ARITHMETIC_OVERFLOW mid-loop). 38 digits holds
+    // Σ(2^63) over ~10^19 rows — unreachable.
+    var prevSum = Option.empty[java.math.BigDecimal]
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -230,8 +243,9 @@ object Dedup {
         .join(m.select(col("id").as("label"), col("label").as("label2")), "label")
         .select(col("id"), col("label2").as("label"))
         .localCheckpoint(false)
-      val s = next.agg(sum("label")).first().getLong(0)
-      converged = prevSum.contains(s)
+      val s = next.agg(sum(col("label").cast("decimal(38,0)")))
+        .first().getDecimal(0)
+      converged = prevSum.exists(_.compareTo(s) == 0)
       prevSum = Some(s)
       labels = next
       it += 1

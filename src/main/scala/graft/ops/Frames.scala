@@ -77,9 +77,13 @@ object Frames {
       min(col(dateCol)).cast("string").as("min_date"),
       max(col(dateCol)).cast("string").as("max_date"))
     val p = prev.agg(count(lit(1)).as("n_prev"))
+    // Guard the empty-previous-extract case (same Option semantics as
+    // FrameDiff.pctChange): a null pct_change is the audit signal, not
+    // a double-division Infinity that diverges between engines.
     c.crossJoin(p).select(
       col("n_cur"), col("n_prev"),
-      round(((col("n_cur").cast("double") - col("n_prev")) / col("n_prev")) * 100, 2)
+      when(col("n_prev") =!= 0,
+        round(((col("n_cur").cast("double") - col("n_prev")) / col("n_prev")) * 100, 2))
         .as("pct_change"),
       col("min_date"), col("max_date"))
   }

@@ -243,19 +243,24 @@ object ExtQueries {
           Map("en" -> 0.25), default = 0.5)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
 
-    // ---- sequence packing: capacity-binned by cumulative token count
-    // per lang in doc_id order (one window shuffle, pure arithmetic) ----
+    // ---- sequence packing: greedy first-fit bins by token count per
+    // lang in doc_id order (one shuffle + in-partition scan; the oracle
+    // expresses the same sequential recurrence as a recursive CTE) ----
     QueryDef("q_token_pack",
-      Some("""WITH t AS (SELECT doc_id, lang,
-                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
               FROM documents),
-              c AS (SELECT doc_id, lang, n_tok,
-                sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-                  ROWS UNBOUNDED PRECEDING) AS cum
-              FROM t)
-              SELECT doc_id, lang, n_tok,
-                     CAST(floor((cum - n_tok) / 512) AS INT) AS bin
-              FROM c ORDER BY doc_id"""),
+              g AS (
+                SELECT doc_id, lang, n_tok, rn, 0 AS bin, n_tok AS filled
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.doc_id, t.lang, t.n_tok, t.rn,
+                  CASE WHEN g.filled + t.n_tok > 512 THEN g.bin + 1 ELSE g.bin END,
+                  CASE WHEN g.filled + t.n_tok > 512 THEN t.n_tok ELSE g.filled + t.n_tok END
+                FROM g JOIN t ON t.lang = g.lang AND t.rn = g.rn + 1)
+              SELECT doc_id, lang, n_tok, CAST(bin AS INT) AS bin
+              FROM g ORDER BY doc_id"""),
       (s, d) => Packing.packBins(
           documents(s, d).select(col("doc_id"), col("lang"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),

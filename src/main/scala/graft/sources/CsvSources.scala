@@ -78,12 +78,21 @@ object CsvSources {
   def scanCsvSkipRows(spark: SparkSession, path: String, skipRows: Int,
       sep: String = ","): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val headLines = spark.read.text(path).head(skipRows + 1)
+    val raw = spark.read.text(path)
+    // The banner offset is per-file: a glob or directory would take the
+    // header from whichever file head() reads first and keep every other
+    // file's banner rows as data. Fail instead of corrupting silently.
+    val files = raw.inputFiles
+    require(files.length == 1,
+      s"scanCsvSkipRows requires a single file; '$path' resolved to " +
+        s"${files.length} files (banner offsets are per-file — read each " +
+        "file separately or strip banners upstream)")
+    val headLines = raw.head(skipRows + 1)
     require(headLines.length > skipRows,
       s"$path has fewer than ${skipRows + 1} lines — no header at offset $skipRows")
     val cols = splitCsvLine(headLines(skipRows).getString(0), sep.head).map(_.trim)
     val schema = StructType(cols.map(c => StructField(c, StringType)))
-    spark.read.text(path)
+    raw
       .withColumn("__idx", monotonically_increasing_id())
       .filter(col("__idx") > skipRows)
       .select(from_csv(col("value"), schema,

@@ -1,32 +1,58 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField}
 
-/** Sequence packing for training batches: assign documents to
-  * fixed-capacity bins by cumulative token count — the standard
-  * "pack short documents into one context window" preprocessing step.
+/** Sequence packing for training batches: greedy first-fit-in-order
+  * assignment of documents to fixed-capacity bins by token count — the
+  * standard "pack short documents into one context window"
+  * preprocessing step.
   *
-  * The assignment is a running sum over a window partitioned by the
-  * grouping columns in a deterministic order: bin k holds the rows
-  * whose preceding cumulative weight lands in [k*capacity,
-  * (k+1)*capacity). One shuffle (the window partitioning), codegen'd
-  * arithmetic, deterministic output. Oversized single documents get
-  * their own bin (they exceed capacity alone — truncation is the
-  * tokenizer's job, not the packer's).
+  * Semantics (true greedy, sequential within a group): walk the group
+  * in `orderCol` order keeping a running `filled`; when adding the next
+  * document would exceed `capacity`, close the bin and start a new one
+  * with that document. A bin therefore NEVER exceeds capacity unless a
+  * single document is itself larger than capacity, in which case it
+  * gets a bin of its own (truncation is the tokenizer's job, not the
+  * packer's).
+  *
+  * Scale shape: greedy packing is inherently a sequential scan with a
+  * data-dependent reset, so it is not expressible as a window prefix
+  * sum. We shuffle once (hash-partition by the group columns), sort
+  * within partitions, and run the scan as a streaming iterator — no
+  * per-group buffering, groups parallelize across executors. The
+  * sequential unit is one group; with no group columns the whole frame
+  * is coalesced to one partition (documented: global packing of an
+  * unbounded corpus should be grouped, e.g. by shard key, first).
   */
 object Packing {
 
   def packBins(df: DataFrame, groupCols: Seq[String], orderCol: String,
       weightCol: String, capacity: Int): DataFrame = {
     require(capacity > 0, s"capacity must be positive (got $capacity)")
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(weightCol)).over(w))
-      .withColumn("bin",
-        floor((col("__cum") - col(weightCol)) / capacity).cast("int"))
-      .drop("__cum")
+    val outSchema = df.schema.add(StructField("bin", IntegerType, nullable = false))
+    val wIdx = df.schema.fieldIndex(weightCol)
+    val gIdx = groupCols.map(df.schema.fieldIndex)
+    val sorted =
+      (if (groupCols.nonEmpty) df.repartition(groupCols.map(col): _*)
+       else df.coalesce(1))
+        .sortWithinPartitions((groupCols :+ orderCol).map(col): _*)
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var bin = 0
+      var filled = 0L
+      var first = true
+      it.map { r =>
+        val k = gIdx.map(r.get)
+        val w = r.getAs[Number](wIdx).longValue()
+        if (first || k != curKey) {
+          curKey = k; bin = 0; filled = w; first = false
+        } else if (filled + w > capacity) {
+          bin += 1; filled = w
+        } else filled += w
+        Row.fromSeq(r.toSeq :+ bin)
+      }
+    }(Encoders.row(outSchema))
   }
 }

@@ -74,4 +74,27 @@ class DedupSpec extends SparkTestBase {
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(fast === dist)
   }
+
+  test("clusters: null id fails loudly on both paths") {
+    val pairs = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("id_a", "id_b")
+    for (limit <- Seq(1L << 20, 0L)) {
+      val e = intercept[Exception] {
+        Dedup.clusters(pairs, driverEdgeLimit = limit).collect()
+      }
+      // raise_error surfaces wrapped in SparkRuntimeException / task failure
+      assert(e.getMessage.contains("null id") ||
+        Option(e.getCause).exists(_.getMessage.contains("null id")))
+    }
+  }
+
+  test("clusters: 64-bit-scale labels converge without overflow") {
+    // ids near Long.MaxValue would overflow a LongType convergence sum
+    val big = Long.MaxValue - 10
+    val pairs = Seq((big, big - 1), (big - 1, big - 2), (5L, big - 5))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, driverEdgeLimit = 0)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._2).distinct === Seq(5L, big - 2))
+  }
 }

@@ -44,4 +44,12 @@ class FramesSpec extends SparkTestBase {
     assert(r.getAs[String]("min_date") === "2026-01-03")
     assert(r.getAs[String]("max_date") === "2026-01-28")
   }
+
+  test("maskedDiff: empty previous extract yields null pct_change, not Infinity") {
+    val cur = Seq(("2026-01-03", 1)).toDF("d", "x").withColumn("d", to_date($"d"))
+    val prev = cur.filter(lit(false))
+    val r = Frames.maskedDiff(cur, prev, "d").collect()(0)
+    assert(r.getAs[Long]("n_cur") === 1L && r.getAs[Long]("n_prev") === 0L)
+    assert(r.isNullAt(r.fieldIndex("pct_change")))
+  }
 }

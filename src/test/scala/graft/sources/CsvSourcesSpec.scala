@@ -62,6 +62,16 @@ class CsvSourcesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("scanCsvSkipRows rejects a multi-file directory instead of corrupting") {
+    val dir = Files.createTempDirectory("graft_csv_twofiles")
+    Files.writeString(dir.resolve("a.csv"), "BANNER\nid,v\n1,x\n")
+    Files.writeString(dir.resolve("b.csv"), "BANNER\nid,v\n2,y\n")
+    val e = intercept[IllegalArgumentException] {
+      CsvSources.scanCsvSkipRows(spark, dir.toString, skipRows = 1)
+    }
+    assert(e.getMessage.contains("single file"))
+  }
+
   test("all-string scan: every column is string, empty field round-trips") {
     val dir = Files.createTempDirectory("graft_csv_str").toString
     CsvSources.writeCsv(

@@ -58,14 +58,25 @@ class PipelineOpsSpec extends SparkTestBase {
       "no pii here 12345"))
   }
 
-  test("packBins: bins respect capacity and order, oversize doc gets its own bin") {
+  test("packBins: greedy bins never exceed capacity, oversize doc gets its own bin") {
     val df = Seq(
-      (1L, "g", 300L), (2L, "g", 300L),    // bin 0: 300; 300+300>512 -> 2 starts bin...
-      (3L, "g", 900L),                     // oversize
-      (4L, "g", 100L)).toDF("id", "g", "w")
+      (1L, "g", 300L), (2L, "g", 300L),    // 300+300>512 -> doc 2 starts bin 1
+      (3L, "g", 900L),                     // 300+900>512 -> oversize, own bin 2
+      (4L, "g", 100L),                     // 900+100>512 -> bin 3
+      (5L, "g", 400L),                     // 100+400<=512 -> packs with doc 4
+      (6L, "h", 200L)).toDF("id", "g", "w") // new group resets to bin 0
     val out = Packing.packBins(df, Seq("g"), "id", "w", 512)
       .orderBy("id").select("id", "bin").as[(Long, Int)].collect().toSeq
-    // cumulative-before: 0, 300, 600, 1500 -> bins 0, 0, 1, 2
-    assert(out === Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2)))
+    assert(out === Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3), (5L, 3), (6L, 0)))
+  }
+
+  test("packBins: no bin's total exceeds capacity except single oversize docs") {
+    val df = (1L to 200L).map(i => (i, s"g${i % 3}", (i * 37 % 400) + 1))
+      .toDF("id", "g", "w")
+    val bins = Packing.packBins(df, Seq("g"), "id", "w", 512)
+      .groupBy("g", "bin")
+      .agg(sum("w").as("tot"), count(lit(1)).as("n"))
+      .filter(col("tot") > 512 && col("n") > 1)
+    assert(bins.count() === 0L)
   }
 }
