@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-keyed joins Spark has no built-in operator for: as-of (latest
+  * right row at-or-before each left row) and interval/range joins.
+  *
+  * Both are written so the 100 TB plan is one equi-shuffle, never a
+  * range cross-product:
+  *
+  *  - `asofJoin` is the union-and-scan formulation: tag both sides,
+  *    union, ONE window over (keys, time) carrying the right payload
+  *    forward with `last(ignoreNulls)`. Cost = one shuffle on the keys
+  *    + a linear in-partition scan — the same shape as a sorted-merge
+  *    as-of in a native engine, with no per-left-row range probe.
+  *  - `rangeJoinBinned` buckets time into fixed bins: each interval
+  *    emits one row per bin it overlaps, each point lands in exactly
+  *    one bin, and the bin becomes an equi-join key (candidates share
+  *    a bin; an exact filter finishes). Fanout is bounded by
+  *    interval_length/bin + 1 per interval — pick `binSeconds` near
+  *    the typical interval length so most intervals emit 1–2 rows.
+  */
+object TemporalJoins {
+
+  /** Left as-of join: for every left row, the single latest right row
+    * with the same `keys` and `rightTime` <= `leftTime` (ties on time
+    * include the right row — ">=" semantics, matching SQL ASOF JOIN).
+    * Left rows with no preceding right row keep nulls in `rightCols`.
+    *
+    * `rightCols` are the right-side payload columns to carry (they must
+    * not collide with left column names; `rightTime` may be listed to
+    * carry the matched time). The right side must be unique per
+    * (keys, rightTime) — pre-aggregate duplicates or the carried
+    * payload is nondeterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame = {
+    val collisions = rightCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightCols collide with left columns: ${collisions.mkString(", ")}")
+    val leftPayload = left.columns.filterNot(keys.contains).toSeq
+    // Right rows sort BEFORE left rows at equal time (__side 0 < 1), so
+    // an exactly-simultaneous right row is visible to the left row.
+    val lPart = left.select(
+      keys.map(col) ++ leftPayload.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rPart = right.select(
+      keys.map(col) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        rightCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPart.unionByName(rPart)
+      .select(
+        keys.map(col) ++ leftPayload.map(col) ++ Seq(col("__side")) ++
+          rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** Inner range join: rows of `points` whose `pointCol` timestamp
+    * falls in [startCol, endCol) of an interval. Column sets of the
+    * two frames must be disjoint.
+    */
+  def rangeJoinBinned(intervals: DataFrame, startCol: String, endCol: String,
+      points: DataFrame, pointCol: String, binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive (got $binSeconds)")
+    val binUs = binSeconds * 1000000L
+    // Bin keys are internal: NTZ inputs are cast to TIMESTAMP (session
+    // tz) only to get a consistent epoch; the exact containment filter
+    // below compares the ORIGINAL columns, so the cast can't change
+    // which rows match.
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val iv = intervals.withColumn("__bin", explode(sequence(
+      floor(micros(col(startCol)) / binUs),
+      floor((micros(col(endCol)) - 1) / binUs))))
+    val pt = points.withColumn("__bin", floor(micros(col(pointCol)) / binUs))
+    iv.join(pt, Seq("__bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.TemporalJoins
+import graft.similarity.Quantize
+import graft.text.Scoring
+
+/** Round-3 surface: temporal joins (as-of, range), reshaping
+  * (pivot/unpivot/rollup), frame-window aggregates, grouped top-k,
+  * BM25 relevance and int8 embedding quantization. Each query pairs a
+  * scale-shaped Spark plan with a DuckDB oracle; double-typed scores
+  * use a fixed operation order so both engines emit identical bits.
+  */
+object AdvancedQueries {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // as-of join: each purchase matched to the user's latest preceding
+    // (or simultaneous) click — union + one window scan, never a range
+    // probe (graft.ops.TemporalJoins.asofJoin)
+    QueryDef("q_asof_join",
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, ts AS click_ts, min(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+              SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts,
+                     c.click_id, CAST(c.click_ts AS VARCHAR) AS click_ts,
+                     CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT) AS gap_us
+              FROM p ASOF LEFT JOIN c
+                ON p.user_id = c.user_id AND p.ts >= c.click_ts
+              ORDER BY event_id"""),
+      (s, d) => {
+        val ev = events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        // dedupe right side per (key, time): asofJoin requires it
+        val c = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts").as("click_ts"))
+          .agg(min("event_id").as("click_id"))
+        TemporalJoins.asofJoin(p, c, Seq("user_id"), "ts", "click_ts",
+            Seq("click_id", "click_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("string").as("ts"), col("click_id"),
+            col("click_ts").cast("string").as("click_ts"),
+            (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+              .cast("long").as("gap_us"))
+          .orderBy("event_id")
+      }),
+
+    // range join: line items shipped inside 3-day promo windows around
+    // urgent orders — binned equi-join + exact filter, not an
+    // interval cross-product (graft.ops.TemporalJoins.rangeJoinBinned)
+    QueryDef("q_range_join",
+      Some("""WITH w AS (SELECT o_orderkey AS wkey, o_orderdate AS w_start,
+                     o_orderdate + INTERVAL 3 DAY AS w_end
+                   FROM orders
+                   WHERE o_orderpriority = '1-URGENT' AND o_custkey < 150)
+              SELECT wkey, CAST(w_start AS VARCHAR) AS w_start,
+                     count(*) AS n_items,
+                     CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS qty_cents
+              FROM w JOIN lineitem
+                ON l_shipdate >= w_start AND l_shipdate < w_end
+              GROUP BY 1, 2 ORDER BY wkey"""),
+      (s, d) => {
+        val w = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_custkey") < 150)
+          .select(col("o_orderkey").as("wkey"), col("o_orderdate").as("w_start"),
+            expr("o_orderdate + INTERVAL 3 DAY").as("w_end"))
+        TemporalJoins.rangeJoinBinned(w, "w_start", "w_end",
+            lineitem(s, d).select("l_shipdate", "l_quantity"),
+            "l_shipdate", binSeconds = 3 * 86400L)
+          .groupBy("wkey", "w_start")
+          .agg(count(lit(1)).as("n_items"),
+            sum(floor(col("l_quantity") * 100 + 0.5)).cast("long").as("qty_cents"))
+          .select(col("wkey"), col("w_start").cast("string").as("w_start"),
+            col("n_items"), col("qty_cents"))
+          .orderBy("wkey")
+      }),
+
+    // pivot: long-to-wide with an EXPLICIT value list (no extra
+    // values-discovery job — required form at scale)
+    QueryDef("q_pivot",
+      Some("""SELECT source,
+                CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+                CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+                CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+                CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+              FROM documents GROUP BY source ORDER BY source"""),
+      (s, d) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        documents(s, d)
+          .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+          .na.fill(0L, langs) // empty cells: count-pivot yields null, oracle 0
+          .orderBy("source")
+      }),
+
+    // unpivot/melt: wide-to-long over per-lang corpus stats
+    QueryDef("q_unpivot",
+      Some("""WITH st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars
+                   FROM documents GROUP BY lang)
+              SELECT lang, metric, value FROM (
+                SELECT lang, 'n_docs' AS metric, n_docs AS value FROM st
+                UNION ALL
+                SELECT lang, 'total_chars' AS metric, total_chars AS value FROM st)
+              ORDER BY lang, metric"""),
+      (s, d) => documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("total_chars"))
+        .unpivot(Array(col("lang")), Array(col("n_docs"), col("total_chars")),
+          "metric", "value")
+        .orderBy("lang", "metric")),
+
+    // rollup: hierarchical subtotals + grouping flags in one pass
+    // (Spark expands grouping sets before the shuffle — still one agg)
+    QueryDef("q_rollup",
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                     coalesce(l_linestatus, 'ALL') AS ls,
+                     CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                     CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              ORDER BY rf, ls"""),
+      (s, d) => lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+
+    // frame-window aggregate: 7-day moving sum/avg of daily event counts
+    QueryDef("q_moving_avg",
+      Some("""WITH d AS (SELECT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+                   FROM events GROUP BY 1, 2)
+              SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+                     CAST(sum(n) OVER w AS BIGINT) AS sum7,
+                     CAST(sum(n) OVER w AS DOUBLE) / CAST(count(n) OVER w AS DOUBLE)
+                       AS avg7
+              FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+              ORDER BY event_type, day"""),
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+        daily.select(col("event_type"), col("day").cast("string").as("day"),
+            col("n"), sum("n").over(w).cast("long").as("sum7"),
+            (sum("n").over(w).cast("double") / count("n").over(w).cast("double"))
+              .as("avg7"))
+          .orderBy("event_type", "day")
+      }),
+
+    // grouped top-k: k best rows per group with a deterministic
+    // tie-break (generalizes W2 keep-first beyond rank 1)
+    QueryDef("q_group_topk",
+      Some("""SELECT lang, doc_id, n_chars, rn FROM (
+                SELECT lang, doc_id, n_chars,
+                  CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS INT) AS rn
+                FROM documents)
+              WHERE rn <= 3 ORDER BY lang, rn"""),
+      (s, d) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("lang", "rn")
+      }),
+
+    // BM25 relevance (rational idf — pure arithmetic, engine-exact;
+    // graft.text.Scoring). Corpus stats are one tiny broadcast row.
+    QueryDef("q_bm25",
+      Some("""WITH t AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+              d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                      CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf0,
+                      CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf1
+                    FROM t),
+              g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                      sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl,
+                      CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                      CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+                    FROM d)
+              SELECT doc_id,
+                ((n_docs - df0 + 0.5) / (df0 + 0.5))
+                  * ((tf0 * 2.2) / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+                + ((n_docs - df1 + 0.5) / (df1 + 0.5))
+                  * ((tf1 * 2.2) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+                AS score
+              FROM d, g ORDER BY doc_id"""),
+      (s, d) => Scoring.bm25(documents(s, d), Seq("doc_id"), "text",
+          Seq("join", "hash"))
+        .orderBy("doc_id")),
+
+    // int8 embedding quantization: map-side projection, zero shuffles;
+    // codes verified by portable md5 (graft.similarity.Quantize)
+    QueryDef("q_quantize",
+      Some("""WITH q AS (SELECT vec_id,
+                     CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+                     CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+                     embedding
+                   FROM embeddings)
+              SELECT vec_id, mn, mx,
+                     md5(array_to_string(list_transform(embedding,
+                       x -> CAST(floor((CAST(x AS DOUBLE) - mn)
+                              * (CASE WHEN mx > mn THEN 254.0 / (mx - mn)
+                                      ELSE 0.0 END) + 0.5) AS BIGINT) - 127),
+                       ',')) AS q_md5
+              FROM q ORDER BY vec_id"""),
+      (s, d) => Quantize.int8(embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("mn"), col("mx"),
+          md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
+        .orderBy("vec_id"))
+  )
+}

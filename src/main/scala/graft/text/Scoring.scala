@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relevance scoring over a document corpus: BM25 with a rational
+  * ("odds") idf — `(N - df + 0.5) / (df + 0.5)` instead of its log —
+  * so the whole score is +,-,*,/ on doubles and therefore bit-identical
+  * across engines (IEEE 754 arithmetic is exactly specified; `ln` is
+  * not). Rankings are unchanged: log is monotone.
+  *
+  * Scale shape: per-document term frequencies are map-side HOF counts
+  * over the token array (no explode, no shuffle); the corpus statistics
+  * (N, avgdl, one df per term) are ONE partial-aggregated reduction to
+  * a single tiny row, broadcast back onto the corpus. Scoring a 100 TB
+  * corpus is two scans and zero wide shuffles.
+  */
+object Scoring {
+
+  /** BM25 scores for `terms` over `textCol`, one row per input row:
+    * (idCols..., score). Tokenization is whitespace (TextAnalysis
+    * .tokens); k1/b are the standard free parameters.
+    */
+  def bm25(df: DataFrame, idCols: Seq[String], textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val tfCols = terms.indices.map(i => s"__tf$i")
+    val withTf = df.select(
+      idCols.map(col) ++
+        Seq(size(TextAnalysis.tokens(col(textCol))).cast("double").as("__dl")) ++
+        terms.zip(tfCols).map { case (t, c) =>
+          size(filter(TextAnalysis.tokens(col(textCol)), x => x === t))
+            .cast("double").as(c)
+        }: _*)
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("__n_docs"),
+        (sum(col("__dl")) / count(lit(1)).cast("double")).as("__avgdl")) ++
+        tfCols.map(c => sum(when(col(c) > 0, 1).otherwise(0))
+          .cast("double").as(s"${c}_df"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    // one global stats row, broadcast back onto the corpus
+    val score = tfCols.map { c =>
+      val tf = col(c); val dfT = col(s"${c}_df")
+      ((col("__n_docs") - dfT + 0.5) / (dfT + 0.5)) *
+        ((tf * (k1 + 1)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") / col("__avgdl")))))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(idCols.map(col) :+ score.as("score"): _*)
+  }
+}

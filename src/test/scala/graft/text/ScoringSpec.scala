@@ -1,0 +1,46 @@
+package graft.text
+
+import graft.SparkTestBase
+
+class ScoringSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bm25: more occurrences of a rarer term scores higher") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),
+      (2L, "cat dog dog dog"),
+      (3L, "bird bird bird bird"),
+      (4L, "dog dog dog dog")).toDF("id", "txt")
+    val scores = Scoring.bm25(docs, Seq("id"), "txt", Seq("cat"))
+      .as[(Long, Double)].collect().toMap
+    // df(cat)=2 of 4; doc 1 has tf 3 vs doc 2 tf 1; docs 3/4 score 0
+    assert(scores(1L) > scores(2L))
+    assert(scores(2L) > 0.0)
+    assert(scores(3L) === 0.0 && scores(4L) === 0.0)
+  }
+
+  test("bm25: multi-term score is the sum of per-term scores") {
+    val docs = Seq(
+      (1L, "cat dog fish"),
+      (2L, "fish fish fish")).toDF("id", "txt")
+    val both = Scoring.bm25(docs, Seq("id"), "txt", Seq("cat", "dog"))
+      .as[(Long, Double)].collect().toMap
+    val cat = Scoring.bm25(docs, Seq("id"), "txt", Seq("cat"))
+      .as[(Long, Double)].collect().toMap
+    val dog = Scoring.bm25(docs, Seq("id"), "txt", Seq("dog"))
+      .as[(Long, Double)].collect().toMap
+    assert(both(1L) === cat(1L) + dog(1L))
+    assert(both(2L) === 0.0)
+  }
+
+  test("bm25: saturation — tf doubling gains less than linearly") {
+    val docs = Seq(
+      (1L, "x a a a a a a a"),
+      (2L, "x x a a a a a a"),
+      (4L, "x x x x a a a a")).toDF("id", "txt")
+    val s = Scoring.bm25(docs, Seq("id"), "txt", Seq("x"))
+      .as[(Long, Double)].collect().toMap
+    assert(s(2L) > s(1L) && s(4L) > s(2L))
+    assert(s(4L) - s(2L) < s(2L) - s(1L)) // diminishing returns in tf
+  }
+}
