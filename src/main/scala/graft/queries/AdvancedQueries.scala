@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.TemporalJoins
 import graft.similarity.Quantize
-import graft.text.Scoring
+import graft.text.{Scoring, TextAnalysis}
 
 /** Round-3 surface: temporal joins (as-of, range), reshaping
   * (pivot/unpivot/rollup), frame-window aggregates, grouped top-k,
@@ -14,6 +14,15 @@ import graft.text.Scoring
   */
 object AdvancedQueries {
   import Tables._
+
+  /** DuckDB fragment mirroring TextAnalysis.dupFraction: fraction of
+    * array elements that repeat an earlier element.
+    */
+  private def dupFracSql(x: String): String =
+    s"""CASE WHEN len($x) > 0
+          THEN (CAST(len($x) AS DOUBLE) - CAST(len(list_distinct($x)) AS DOUBLE))
+               / CAST(len($x) AS DOUBLE)
+          ELSE 0.0 END"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -223,6 +232,57 @@ object AdvancedQueries {
       (s, d) => Quantize.int8(embeddings(s, d), "embedding")
         .select(col("vec_id"), col("mn"), col("mx"),
           md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // within-document repetition signals (the Gopher/MassiveText-style
+    // quality rules): repeated-word and repeated-bigram fractions plus
+    // a keep flag — all map-side array HOFs, zero shuffles
+    QueryDef("q_repetition",
+      Some(s"""WITH t AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents),
+              b AS (SELECT doc_id, toks,
+                      CASE WHEN len(toks) >= 2 THEN
+                        list_transform(range(0, len(toks) - 1), i ->
+                          array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))
+                      ELSE [] END AS bg
+                    FROM t)
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                     ${dupFracSql("toks")} AS dup_word_frac,
+                     ${dupFracSql("bg")} AS dup_bigram_frac,
+                     (${dupFracSql("toks")} <= 0.55
+                       AND ${dupFracSql("bg")} <= 0.05) AS keep
+              FROM b ORDER BY doc_id"""),
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("bg", TextAnalysis.bigramsT(col("toks")))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+          TextAnalysis.dupFraction(col("toks")).as("dup_word_frac"),
+          TextAnalysis.dupFraction(col("bg")).as("dup_bigram_frac"))
+        .withColumn("keep",
+          col("dup_word_frac") <= 0.55 && col("dup_bigram_frac") <= 0.05)
+        .orderBy("doc_id")),
+
+    // batch twin of the stream-stream interval join (EventStreams
+    // .clickPurchaseJoin): the oracle pins the semantics the streaming
+    // path must reproduce (StreamingSpec asserts stream == batch)
+    QueryDef("q_stream_join",
+      Some("""WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+                   FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+                   FROM events WHERE event_type = 'purchase')
+              SELECT c.user_id, c.click_id, p.purchase_id,
+                     CAST(c.click_ts AS VARCHAR) AS click_ts,
+                     CAST(p.purchase_ts AS VARCHAR) AS purchase_ts
+              FROM c JOIN p ON c.user_id = p.user_id
+                AND p.purchase_ts >= c.click_ts
+                AND p.purchase_ts <= c.click_ts + INTERVAL 2 HOUR
+              ORDER BY click_id, purchase_id"""),
+      (s, d) => graft.streaming.EventStreams
+        .clickPurchaseJoin(events(s, d), streaming = false)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts").cast("string").as("click_ts"),
+          col("purchase_ts").cast("string").as("purchase_ts"))
+        .orderBy("click_id", "purchase_id"))
   )
 }

@@ -72,6 +72,35 @@ object EventStreams {
       key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream inner join: each purchase matched to the same
+    * user's clicks in the preceding `windowHours` — the canonical
+    * watermarked interval join (click-to-conversion attribution).
+    * The time-range predicate plus both watermarks bound the join
+    * state: rows older than watermark + window are GC'd, so state
+    * stays O(window), not O(stream). Identical code runs on static
+    * frames (batch twin `q_stream_join` pins semantics to the oracle).
+    */
+  def clickPurchaseJoin(events: DataFrame, windowHours: Int = 2,
+      streaming: Boolean = true): DataFrame = {
+    def side(df: DataFrame, tsCol: String) =
+      if (streaming) df.withWatermark(tsCol, "1 hour") else df
+    val clicks = side(events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts")), "click_ts")
+    val purchases = side(events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts")),
+      "purchase_ts")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr(s"INTERVAL $windowHours HOURS"),
+        "inner")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   case class Event(event_id: Long, ts_us: Long, user_id: Long)
   case class SessionState(sessionSeq: Int, lastTs: Long, n: Long, startTs: Long)
   case class SessionOut(user_id: Long, session_seq: Int, n_events: Long,

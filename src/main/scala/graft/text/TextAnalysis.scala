@@ -121,4 +121,24 @@ object TextAnalysis {
       regexp_replace(text,
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>")
+
+  /** Adjacent word bigrams of a token array, space-joined, in document
+    * order WITH repeats (repetition signals need the multiset, unlike
+    * the dedup shingle SETS).
+    */
+  def bigramsT(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fraction of elements that are repeats of an earlier element:
+    * (n - n_distinct) / n, 0.0 for an empty array. Integer counts in
+    * double, one division — engine-exact.
+    */
+  def dupFraction(arr: Column): Column =
+    when(size(arr) > 0,
+      (size(arr).cast("double") - size(array_distinct(arr)).cast("double"))
+        / size(arr).cast("double"))
+      .otherwise(0.0)
 }

@@ -82,4 +82,25 @@ class StreamingSpec extends SparkTestBase {
       EventStreams.readEventsStream(spark, sf), streaming = true)
     assert(stream.queryExecution.logical.toString.contains("EventTimeWatermark"))
   }
+
+  test("stream-stream click->purchase join matches the batch twin") {
+    import spark.implicits._
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val batch = key(EventStreams.clickPurchaseJoin(
+      graft.queries.Tables.eventsRaw(spark, sf), streaming = false))
+    val stream = EventStreams.clickPurchaseJoin(
+      EventStreams.readEventsStream(spark, sf), streaming = true)
+    // both sides watermarked: required for state GC on a real stream
+    assert(stream.queryExecution.logical.toString
+      .split("EventTimeWatermark").length >= 3)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_test").start()
+    try {
+      q.processAllAvailable()
+      val got = key(spark.table("ssjoin_test"))
+      assert(got === batch && got.nonEmpty)
+    } finally q.stop()
+  }
 }

@@ -36,6 +36,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps.forall(f => f >= 0 && f < 1000000007L))
   }
 
+  test("bigramsT: ordered with repeats; short arrays yield empty") {
+    val df = Seq("a b a b", "solo", "").toDF("t")
+      .select(TextAnalysis.bigramsT(TextAnalysis.tokens(col("t"))).as("bg"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got(0) === Seq("a b", "b a", "a b")) // multiset, not a shingle set
+    assert(got(1) === Seq.empty && got(2) === Seq.empty)
+  }
+
+  test("dupFraction: repeats over total, empty array is 0") {
+    val df = Seq(
+      Seq("a", "b", "a", "a"),  // 2 repeats of 4 -> 0.5
+      Seq("x", "y"),            // none -> 0.0
+      Seq.empty[String])        // empty -> 0.0
+      .toDF("arr").select(TextAnalysis.dupFraction(col("arr")).as("f"))
+    assert(df.as[Double].collect().toSeq === Seq(0.5, 0.0, 0.0))
+  }
+
   test("qualityScore ranks clean prose above junk") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and it is a fine day in the sun",
