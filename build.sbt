@@ -26,8 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: at local[32] the heavy dedup queries' persisted stages
-  // plus 75 back-to-back plans cause GC-pause outliers at 8g (a 1.1s
-  // query intermittently benched at 7s); headroom flattens the variance
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g default (the JDK-17 default of RAM/4 on this 128GiB box,
+  // pinned so it can't silently shrink): at local[32] the heavy dedup
+  // queries' persisted stages plus 80+ back-to-back plans cause GC
+  // outliers at smaller heaps — measured: q_dedup_minhash warm runs
+  // 4.3s at 32g vs 7.8s at 16g, same code
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
