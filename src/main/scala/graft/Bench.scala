@@ -33,24 +33,36 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     run(names.head) // session/codegen warmup on the first plan
     val results = names.map(n => n -> run(n))
-    // The harness that captures this output keeps only the LAST ~2000
-    // chars; a full-precision 80-query map overflows that window and
-    // clips the FRONT of the line (earlier rounds lost the headline
-    // total this way). So: 2-dp values, queries sorted cheapest-first
-    // (clipping costs the least-informative entries), and "value"
-    // LAST so the headline always survives. Full precision stays in
-    // the per-query stderr lines above.
+    // The harness that captures this output keeps only the LAST 2000
+    // chars and json-parses lines; a full-precision 80-query map
+    // overflows that window and clips the FRONT of the line (rounds 1
+    // and 2 lost the headline total this way). So: 2-dp values, keep
+    // only the slowest entries in "queries" until the line fits well
+    // inside the window, and fold the cheap tail into rest_sec/n_rest.
+    // The complete per-query map goes to bench_full_last.json and the
+    // per-query stderr lines above.
     def r2(v: Double): String = f"$v%.2f"
-    val qs = results.sortBy(_._2)
-      .map { case (k, v) => "\"" + k + "\":" + r2(v) }
-      .mkString("{", ",", "}")
+    def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + r2(kv._2)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":${r2(total)}}"""
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars" +
-        " — nearing the 2000-char capture window; shrink the queries map")
-    println(line)
+    val bySlowest = results.sortBy(-_._2)
+    def line(kept: Seq[(String, Double)]): String = {
+      val rest = bySlowest.drop(kept.size)
+      val restPart =
+        if (rest.isEmpty) ""
+        else s""","rest_sec":${r2(rest.map(_._2).sum)},"n_rest":${rest.size}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${
+        kept.map(entry).mkString("{", ",", "}")}$restPart,"value":${r2(total)}}"""
+    }
+    val kept = (bySlowest.size to 0 by -1).view
+      .map(bySlowest.take).find(k => line(k).length <= 1400)
+      .getOrElse(Seq.empty)
+    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${
+      bySlowest.map(entry).mkString("{", ",", "}")},"value":${r2(total)}}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full_last.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    println(line(kept))
     spark.stop()
   }
 }

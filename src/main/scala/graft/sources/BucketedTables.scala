@@ -19,13 +19,17 @@ object BucketedTables {
 
   /** Write `df` as a bucketed (optionally sorted) parquet table in the
     * session catalog. Sorting within buckets additionally removes the
-    * sort step of a sort-merge join on the bucket+sort key.
+    * sort step of a sort-merge join on the bucket+sort key. `path`
+    * makes the table external (data at an explicit location instead of
+    * the session warehouse directory).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      nBuckets: Int, sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    val w0 = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, bucketCol)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+    val w1 = path.fold(w0)(p => w0.option("path", p))
+    (if (sortCols.nonEmpty) w1.sortBy(sortCols.head, sortCols.tail: _*) else w1)
       .saveAsTable(table)
   }
 }

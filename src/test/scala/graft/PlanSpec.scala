@@ -58,6 +58,47 @@ class PlanSpec extends SparkTestBase {
       s"corpus shuffles before the IVF fine-search join: $shuffles")
   }
 
+  test("vocab top-k plans TakeOrderedAndProject over a partial+final agg") {
+    val p = plan("q_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab limit fell back to a global sort")
+    assert(p.linesIterator.count(_.trim.matches("\\(\\d+\\) HashAggregate.*")) +
+      p.linesIterator.count(_.trim.startsWith("+- HashAggregate")) >= 2 ||
+      p.contains("partial_count"), "expected map-side partial aggregation")
+  }
+
+  test("bucketed join runs with no shuffle exchange on either side") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q_bucketed_join")
+      // the only exchange allowed is the one ABOVE the join feeding the
+      // final groupBy(c_mktsegment); the join inputs read bucketed files
+      val joinAt = p.indexOf("SortMergeJoin")
+      assert(joinAt >= 0, "bucketed join should sort-merge bucket-to-bucket")
+      val tree = p.substring(0, p.indexOf("\n(1) "))
+      val belowJoin = tree.substring(tree.indexOf("SortMergeJoin"))
+      assert(!belowJoin.contains("Exchange"),
+        "bucketed join inputs still shuffle — bucket metadata not used")
+    }
+  }
+
+  test("incremental dedup anti-join carries digests, not documents") {
+    val p = plan("q_incremental_dedup")
+    assert(p.contains("LeftAnti"), "expected an anti join")
+    // the anti join's build side must project only the digest (md5),
+    // never the text column
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("text"), "sanity: scans read text to digest it")
+    // count shuffle exchanges in the TREE section only (the formatted
+    // output repeats each node in the numbered detail section);
+    // broadcast exchanges are fine — the digest index is tiny relative
+    // to documents. The one allowed shuffle is the final orderBy.
+    val tree = p.substring(0, p.indexOf("\n(1) "))
+    val shuffles = tree.linesIterator
+      .filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange")).size
+    assert(shuffles <= 1, s"too many shuffles in anti-join plan: $shuffles")
+  }
+
   test("ngram jaccard aggregates map-side before its exchange") {
     // inverted-index count: a partial HashAggregate must sit below the
     // Exchange that feeds the final HashAggregate
