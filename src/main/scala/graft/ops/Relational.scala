@@ -25,6 +25,19 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Latest-wins upsert (CDC apply / corpus-refresh merge): overlay
+    * `updates` on `base`, keeping for each key the row with the
+    * highest `versionCol` (ties broken toward `updates` — pass
+    * distinct versions when that matters). Both frames must share a
+    * schema; the merge is one union + one keyed window, so at scale it
+    * costs a single hash shuffle on the key — the same shape a
+    * MERGE INTO without a transactional table format compiles to.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame =
+    keepFirst(base.unionByName(updates), keys,
+      Seq(col(versionCol).desc) ++ keys.map(col(_).asc))
+
   /** Top-k by order — Spark plans TakeOrderedAndProject (no full sort /
     * single-partition shuffle of everything; reference `mu_extras.py:99`).
     */

@@ -23,12 +23,12 @@ object ExtQueries {
        ELSE [] END))"""
 
   /** DuckDB fragment: left-to-right double dot product of a and b. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
         i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))),
         (acc, x) -> acc + x)"""
 
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** DuckDB CTE chain ending in `scored` — tokenized docs with

@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Relational
+import graft.similarity.Ann
 import graft.sources.BucketedTables
 import graft.text.{Sampling, TextAnalysis}
 
@@ -125,6 +127,147 @@ object ScaleQueries {
           Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))))
         .filter(col("rk") <= 5)
         .select("doc_id", "source", "rk")
-        .orderBy("source", "doc_id"))
+        .orderBy("source", "doc_id")),
+
+    // skew-salted join: the fact side gets a per-row salt, the dim
+    // side is replicated once per salt value, and the join runs on
+    // (key, salt) — a hot fact key spreads over `salts` reducers
+    // instead of melting one. Result is row-identical to the plain
+    // join (the oracle IS the plain join); RelationalSpec pins the
+    // equivalence, this pins it through an aggregation at fixture scale
+    QueryDef("q_salted_join",
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1 ORDER BY s_nationkey"""),
+      (s, d) => Relational.saltedJoin(
+          lineitem(s, d).select("l_suppkey", "l_quantity"),
+          supplier(s, d).select(col("s_suppkey").as("l_suppkey"),
+            col("s_nationkey")),
+          key = "l_suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("s_nationkey")),
+
+    // latest-wins upsert (corpus refresh): overlay the recrawled
+    // snapshot (every 5th doc, bumped version) on the base corpus;
+    // each doc_id keeps its newest version. One union + one keyed
+    // window = one hash shuffle — the MERGE-INTO shape without a
+    // transactional table format
+    QueryDef("q_upsert",
+      Some("""SELECT doc_id, ver, source FROM (
+                SELECT doc_id, ver, source,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY ver DESC, doc_id) AS rn
+                FROM (SELECT doc_id, 1 AS ver, source FROM documents
+                      UNION ALL
+                      SELECT doc_id, 2 AS ver, 'recrawl' AS source
+                      FROM documents WHERE doc_id % 5 = 0))
+              WHERE rn = 1 ORDER BY doc_id"""),
+      (s, d) => {
+        val base = documents(s, d)
+          .select(col("doc_id"), lit(1).as("ver"), col("source"))
+        val recrawl = documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), lit(2).as("ver"), lit("recrawl").as("source"))
+        Relational.upsert(base, recrawl, Seq("doc_id"), "ver")
+          .orderBy("doc_id")
+      }),
+
+    // one Lloyd iteration of k-means over the embeddings (k=8,
+    // deterministic lowest-id seeds): centroids inline as literals so
+    // assignment is map-side; the only shuffle is the (cell, dim)
+    // mean — the building block of clustering-at-scale (IVF training,
+    // semantic dedup, topic bucketing)
+    QueryDef("q_kmeans_step",
+      Some(s"""WITH piv AS (
+                SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+                ORDER BY vec_id LIMIT 8),
+              cells AS (
+                SELECT vec_id, embedding, pid AS cell FROM (
+                  SELECT e.vec_id, e.embedding, p.pid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${ExtQueries.cosSql("e.embedding", "p.pvec")} DESC,
+                               p.pid) AS rn
+                  FROM embeddings e, piv p)
+                WHERE rn = 1),
+              flat AS (
+                SELECT cell, r.range AS dim,
+                       CAST(embedding[CAST(r.range AS INT)] AS DOUBLE) AS v
+                FROM cells, range(1, 65) AS r)
+              SELECT cell, dim, round(avg(v), 6) AS centroid_v,
+                     count(*) AS n_members
+              FROM flat GROUP BY 1, 2 ORDER BY cell, dim"""),
+      (s, d) => Ann.kmeansStep(embeddings(s, d), 8).orderBy("cell", "dim")),
+
+    // source-mixture rebalance: cap every source at ~10 docs EXPECTED
+    // via a rate gate (rate = min(1, 10/n_src)) instead of an exact
+    // rank cap — the gate is a pure map-side decision (no per-source
+    // window shuffle), which is what a 100 TB mixture job does; the
+    // rates are a broadcast-joined model parameter. Deterministic md5
+    // draw → nested samples across rate changes, identical across
+    // engines
+    QueryDef("q_mixture_sample",
+      Some("""WITH n AS (SELECT source, count(*) AS n_src
+                         FROM documents GROUP BY 1),
+              r AS (SELECT source, least(1.0, 10.0 / n_src) AS rate FROM n)
+              SELECT d.doc_id, d.source, d.lang
+              FROM documents d JOIN r ON d.source = r.source
+              WHERE CAST(floor(rate * 256 + 0.5) AS INT) >= 256
+                 OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                    lpad(lower(hex(CAST(floor(rate * 256 + 0.5) AS INT))), 2, '0')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        val rates = documents(s, d).groupBy("source")
+          .agg(least(lit(1.0), lit(10.0) / count(lit(1))).as("rate"))
+        documents(s, d)
+          .join(broadcast(rates), Seq("source"))
+          .filter(Sampling.rateGate(col("doc_id"), col("rate")))
+          .select("doc_id", "source", "lang")
+          .orderBy("doc_id")
+      }),
+
+    // cube aggregation: all four grouping sets over (returnflag,
+    // linestatus) in one pass — Spark expands the cube BEFORE the
+    // exchange, so the shuffle carries partially-aggregated rows per
+    // grouping set, not the corpus. grouping_id disambiguates the
+    // coalesced subtotal labels
+    QueryDef("q_cube",
+      Some("""SELECT CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
+                     coalesce(l_returnflag, 'ALL') AS rflag,
+                     coalesce(l_linestatus, 'ALL') AS lstatus,
+                     count(*) AS n,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem
+              GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY gid, rflag, lstatus"""),
+      (s, d) => lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("qty"))
+        .orderBy("gid", "rflag", "lstatus")),
+
+    // sequence-length histogram (packing/truncation config input):
+    // token-count buckets of width 32, capped at bucket 8 — one
+    // map-side bucket projection + one tiny agg
+    QueryDef("q_token_hist",
+      Some("""SELECT least(CAST(n_toks // 32 AS INT), 8) AS bucket,
+                     count(*) AS n_docs,
+                     CAST(sum(n_toks) AS BIGINT) AS total_toks
+              FROM (SELECT CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) AS n_toks FROM documents)
+              GROUP BY 1 ORDER BY bucket"""),
+      (s, d) => documents(s, d)
+        .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+        .select(least((col("n_toks") / 32).cast("int"), lit(8)).as("bucket"),
+          col("n_toks"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").cast("long").as("total_toks"))
+        .orderBy("bucket"))
   )
 }

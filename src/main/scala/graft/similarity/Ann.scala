@@ -168,6 +168,24 @@ object Ann {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** One Lloyd iteration of k-means over the embedding column: assign
+    * every vector to its nearest current centroid (cosine), then emit
+    * the recomputed per-cell per-dimension means. Centroids are model
+    * parameters (k × dim floats) inlined as literals, so assignment is
+    * a pure map-side projection — the only shuffle in the step is the
+    * (cell, dim) mean aggregation, which is map-side combined. At
+    * 100 TB the full k-means loop is this step run to convergence; the
+    * corpus is scanned once per iteration and never re-partitioned.
+    * Initial centroids default to the deterministic lowest-id rows
+    * (same convention as [[pivots]]).
+    */
+  def kmeansStep(corpus: DataFrame, k: Int): DataFrame =
+    assignCells(corpus, pivots(corpus, k))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("cell"), (col("p") + 1).as("dim"), col("v").cast("double").as("v"))
+      .groupBy("cell", "dim")
+      .agg(round(avg("v"), 6).as("centroid_v"), count(lit(1)).as("n_members"))
+
   /** Embedding-cosine near-duplicate pairs within a blocking column. */
   def cosinePairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val base = df.select(col(blockCol).as("blk"), col("vec_id").as("id"),

@@ -26,6 +26,21 @@ object Sampling {
     else substring(md5(id.cast("string")), 1, 2) < lit(f"$t%02x")
   }
 
+  /** Column-valued variant of [[hashGate]]: the keep-fraction is a
+    * (data-dependent) DOUBLE column instead of a literal — e.g. a
+    * per-source rate computed from group counts. Same 1/256
+    * granularity and the same md5 draw, so a row kept at rate r is
+    * also kept at every rate ≥ r (nested samples). The threshold
+    * arithmetic (`floor(r*256 + 0.5)`, lowercase hex, 2-char pad) is
+    * engine-portable — the DuckDB oracle spells the identical
+    * expression.
+    */
+  def rateGate(id: Column, rate: Column): Column = {
+    val t = floor(rate * 256 + 0.5).cast("int")
+    (t >= 256) ||
+      (substring(md5(id.cast("string")), 1, 2) < lpad(lower(hex(t)), 2, "0"))
+  }
+
   /** Per-stratum deterministic sample: each stratum value keeps its own
     * fraction; strata absent from `fractions` keep `default`.
     */

@@ -81,4 +81,13 @@ class RelationalSpec extends SparkTestBase {
     val anti = Relational.antiByKey(df, "k", lookup, "other").as[Long].collect().toSet
     assert(semi === Set(2L, 4L) && anti === Set(1L, 3L))
   }
+
+  test("upsert keeps the newest version per key, passes through the rest") {
+    val base = Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 1, "c")).toDF("k", "ver", "v")
+    val upd = Seq((2L, 2, "B"), (4L, 2, "D")).toDF("k", "ver", "v")
+    val out = Relational.upsert(base, upd, Seq("k"), "ver")
+      .orderBy("k").as[(Long, Int, String)].collect().toSeq
+    assert(out === Seq((1L, 1, "a"), (2L, 2, "B"), (3L, 1, "c"), (4L, 2, "D")))
+  }
+
 }

@@ -71,4 +71,23 @@ class AnnSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L), (2L, 3L)))
   }
+
+  test("kmeansStep: every vector lands in one cell; means are per-cell") {
+    // k=2 seeds = ids 0 and 1 (both near the x axis), so cluster 0/1
+    // splits {0,1} and {2,3,4} fall to whichever seed is nearer
+    val out = Ann.kmeansStep(vecs, 2)
+      .orderBy("cell", "dim")
+      .as[(Long, Int, Double, Long)].collect()
+    val dims = out.map(_._2).distinct.sorted
+    assert(dims.toSeq === Seq(1, 2, 3))
+    // membership counts are consistent across dims within a cell and
+    // sum to the corpus size
+    val byCell = out.groupBy(_._1).map { case (c, rs) =>
+      val ns = rs.map(_._4).distinct
+      assert(ns.length === 1, s"cell $c has inconsistent n_members")
+      ns.head
+    }
+    assert(byCell.sum === 5L)
+  }
+
 }

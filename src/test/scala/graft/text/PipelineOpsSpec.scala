@@ -79,4 +79,18 @@ class PipelineOpsSpec extends SparkTestBase {
       .filter(col("tot") > 512 && col("n") > 1)
     assert(bins.count() === 0L)
   }
+
+  test("rateGate: column rate matches hashGate at the same literal rate; nested") {
+    val df = spark.range(0, 1000).toDF("id")
+    for (r <- Seq(0.0, 0.25, 1.0)) {
+      val viaRate = df.filter(Sampling.rateGate(col("id"), lit(r))).count()
+      val viaLit = df.filter(Sampling.hashGate(col("id"), r)).count()
+      assert(viaRate === viaLit, s"rate $r: column gate $viaRate != literal $viaLit")
+    }
+    // monotone: everything kept at 0.2 is kept at 0.6
+    val low = df.filter(Sampling.rateGate(col("id"), lit(0.2)))
+    val high = df.filter(Sampling.rateGate(col("id"), lit(0.6)))
+    assert(low.exceptAll(high).count() === 0)
+  }
+
 }
