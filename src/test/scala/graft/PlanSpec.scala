@@ -99,6 +99,44 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles <= 1, s"too many shuffles in anti-join plan: $shuffles")
   }
 
+  test("kmeans step assigns cells map-side: no join, agg directly over the scan") {
+    val p = plan("q_kmeans_step")
+    val tree = p.substring(0, p.indexOf("\n(1) "))
+    assert(!tree.contains("Join"), "cell assignment should not join pivots")
+    // exactly two shuffles: the (cell,dim) agg and the final sort
+    val shuffles = tree.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 2, s"expected agg+sort shuffles only, got $shuffles")
+  }
+
+  test("mixture sample broadcasts the rates and gates map-side") {
+    val p = plan("q_mixture_sample")
+    val tree = p.substring(0, p.indexOf("\n(1) "))
+    assert(tree.contains("BroadcastHashJoin"),
+      "per-source rates should broadcast, not shuffle the corpus")
+  }
+
+  test("cube expands before the exchange (partial agg per grouping set)") {
+    val p = plan("q_cube")
+    val tree = p.substring(0, p.indexOf("\n(1) "))
+    val lines = tree.linesIterator.toSeq
+    val expandAt = lines.indexWhere(_.contains("Expand"))
+    val exchangeAt = lines.lastIndexWhere(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(expandAt > exchangeAt,
+      "Expand must sit below the shuffle (deeper in the tree prints later)")
+    assert(lines.count(_.trim.matches(".*HashAggregate.*")) >= 2,
+      "expected partial+final aggregation around the cube shuffle")
+  }
+
+  test("salted join replicates the dim inside the broadcast side") {
+    val p = plan("q_salted_join")
+    val tree = p.substring(0, p.indexOf("\n(1) "))
+    val bAt = tree.indexOf("BroadcastExchange")
+    assert(bAt >= 0 && tree.indexOf("Generate", bAt) > bAt,
+      "salt explode (Generate) should run under the BroadcastExchange")
+  }
+
   test("ngram jaccard aggregates map-side before its exchange") {
     // inverted-index count: a partial HashAggregate must sit below the
     // Exchange that feeds the final HashAggregate
