@@ -153,4 +153,54 @@ object EventStreams {
         timestamp_micros(col("start_us")).as("start_ts"),
         timestamp_micros(col("end_us")).as("end_ts"))
   }
+
+  /** Streaming CDC apply: maintain a latest-wins keyed snapshot from a
+    * change stream. Each micro-batch is first collapsed to one row per
+    * key ([[graft.ops.Relational.keepFirst]] by version desc), then
+    * merged onto the current snapshot ([[graft.ops.Relational.upsert]])
+    * and the result swapped in atomically (write `_tmp`, rename —
+    * readers see the old or the new snapshot, never a partial one).
+    *
+    * Idempotence = exactly-once effect: foreachBatch re-delivers a
+    * micro-batch after a failure, but latest-wins-by-version is a
+    * commutative/idempotent merge, so re-applying a batch (or applying
+    * overlapping batches out of order, as long as versions are
+    * monotone per key) converges to the same snapshot. This is the
+    * standard exactly-once recipe for a non-transactional sink.
+    *
+    * Use with `Trigger.AvailableNow` for catch-up runs (drain the
+    * backlog, then stop) or a processing-time trigger for continuous
+    * apply.
+    */
+  def applyCdc(changes: DataFrame, snapshotDir: String, keys: Seq[String],
+      versionCol: String)(batch: (DataFrame, Long) => Unit = null)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      applyCdcBatch(b, snapshotDir, keys, versionCol)
+      if (batch != null) batch(b, id)
+    }
+
+  /** One CDC merge step (the foreachBatch body, callable from batch
+    * jobs for backfills).
+    */
+  def applyCdcBatch(b: DataFrame, snapshotDir: String, keys: Seq[String],
+      versionCol: String): Unit = {
+    val spark = b.sparkSession
+    val ordered = Seq(col(versionCol).desc) ++ keys.map(col(_).asc)
+    val batchLatest = graft.ops.Relational.keepFirst(b, keys, ordered)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = path.getFileSystem(conf)
+    val merged =
+      if (fs.exists(path))
+        graft.ops.Relational.upsert(
+          spark.read.parquet(snapshotDir), batchLatest, keys, versionCol)
+      else batchLatest
+    val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "_tmp")
+    // materialize BEFORE touching the live dir (merged lazily reads it)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"CDC snapshot swap failed: $tmp -> $path")
+  }
 }

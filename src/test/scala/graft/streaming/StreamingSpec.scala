@@ -103,4 +103,38 @@ class StreamingSpec extends SparkTestBase {
       assert(got === batch && got.nonEmpty)
     } finally q.stop()
   }
+
+  test("CDC apply: AvailableNow drain builds the latest-wins snapshot; idempotent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_test").toString
+    val changesDir = s"$tmp/changes"
+    val snapDir = s"$tmp/snapshot"
+    // two change files -> with maxFilesPerTrigger=1, two micro-batches
+    Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")).toDF("k", "ver", "v")
+      .coalesce(1).write.parquet(changesDir)
+    Seq((2L, 2L, "B"), (4L, 2L, "D"), (2L, 3L, "B2")).toDF("k", "ver", "v")
+      .coalesce(1).write.mode("append").parquet(changesDir)
+
+    val changes = spark.readStream
+      .schema("k LONG, ver LONG, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(changesDir)
+    val q = EventStreams.applyCdc(changes, snapDir, Seq("k"), "ver")()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.awaitTermination(120000)
+
+    def snap = spark.read.parquet(snapDir).orderBy("k")
+      .as[(Long, Long, String)].collect().toSeq
+    val expected = Seq((1L, 1L, "a"), (2L, 3L, "B2"), (3L, 1L, "c"), (4L, 2L, "D"))
+    assert(snap === expected)
+
+    // idempotence: re-applying a batch leaves the snapshot unchanged
+    EventStreams.applyCdcBatch(
+      Seq((2L, 2L, "B"), (4L, 2L, "D"), (2L, 3L, "B2")).toDF("k", "ver", "v"),
+      snapDir, Seq("k"), "ver")
+    assert(snap === expected)
+  }
+
 }
