@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.ZOrder
 import graft.ops.Relational
 import graft.similarity.Ann
 import graft.sources.BucketedTables
@@ -269,5 +270,96 @@ object ScaleQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").cast("long").as("total_toks"))
         .orderBy("bucket"))
+  ,
+
+    // z-order (Morton) layout: interleave the bits of two dimensions
+    // so sorting by z clusters rows close in BOTH — parquet min/max
+    // zone maps then prune scans filtered on EITHER column. Pure
+    // shift/mask arithmetic inside whole-stage codegen
+    // (functions.ZOrder); the per-z-bucket min/max spans emitted here
+    // are exactly the zone-map bounds a 2-D-pruned layout would get
+    QueryDef("q_zorder",
+      Some("""WITH base AS (
+                SELECT (user_id & 65535) AS x,
+                       (CAST(floor(value * 100 + 0.5) AS BIGINT) & 65535) AS y
+                FROM events),
+              s1 AS (SELECT x, y, ((x | (x << 8)) & 16711935) AS xs,
+                            ((y | (y << 8)) & 16711935) AS ys FROM base),
+              s2 AS (SELECT x, y, ((xs | (xs << 4)) & 252645135) AS xs,
+                            ((ys | (ys << 4)) & 252645135) AS ys FROM s1),
+              s3 AS (SELECT x, y, ((xs | (xs << 2)) & 858993459) AS xs,
+                            ((ys | (ys << 2)) & 858993459) AS ys FROM s2),
+              s4 AS (SELECT x, y, ((xs | (xs << 1)) & 1431655765) AS xs,
+                            ((ys | (ys << 1)) & 1431655765) AS ys FROM s3),
+              z AS (SELECT x, y, (xs | (ys << 1)) AS z FROM s4)
+              SELECT CAST(z >> 24 AS INT) AS bucket, count(*) AS n,
+                     CAST(min(x) AS BIGINT) AS min_x,
+                     CAST(max(x) AS BIGINT) AS max_x,
+                     CAST(min(y) AS BIGINT) AS min_y,
+                     CAST(max(y) AS BIGINT) AS max_y
+              FROM z GROUP BY 1 ORDER BY bucket"""),
+      (s, d) => events(s, d)
+        .select(col("user_id").bitwiseAND(lit(65535L)).as("x"),
+          floor(col("value") * 100 + 0.5).cast("long")
+            .bitwiseAND(lit(65535L)).as("y"))
+        .withColumn("z", ZOrder.zvalue(col("x"), col("y")))
+        .groupBy(shiftright(col("z"), 24).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("bucket")),
+
+    // round-3 capstone: the daily "train-ready dataset build" composed
+    // from the scale kit — exact dedup (digest-keyed keep-first) →
+    // source-mixture rebalance (rate gate over post-dedup counts) →
+    // leakage-safe group split → per-(split, lang) token/char budget
+    // report. One window shuffle (dedup), one broadcast (rates), one
+    // tiny agg; everything else map-side
+    QueryDef("q_dataset_build",
+      Some("""WITH dedup AS (
+                SELECT doc_id, text, lang, source, n_chars FROM (
+                  SELECT doc_id, text, lang, source, n_chars,
+                         row_number() OVER (PARTITION BY md5(text)
+                           ORDER BY doc_id) AS rn
+                  FROM documents) WHERE rn = 1),
+              n AS (SELECT source, count(*) AS n_src FROM dedup GROUP BY 1),
+              r AS (SELECT source, least(1.0, 20.0 / n_src) AS rate FROM n),
+              mixed AS (
+                SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+                FROM dedup d JOIN r ON d.source = r.source
+                WHERE CAST(floor(rate * 256 + 0.5) AS INT) >= 256
+                   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                      lpad(lower(hex(CAST(floor(rate * 256 + 0.5) AS INT))), 2, '0')),
+              labeled AS (
+                SELECT CASE WHEN substring(md5(source), 1, 2) < 'c0'
+                         THEN 'train' ELSE 'val' END AS split,
+                       lang,
+                       CAST(len(string_split_regex(trim(text), '\s+'))
+                         AS BIGINT) AS n_toks,
+                       n_chars
+                FROM mixed)
+              SELECT split, lang, count(*) AS n_docs,
+                     CAST(sum(n_toks) AS BIGINT) AS total_toks,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars
+              FROM labeled GROUP BY 1, 2 ORDER BY split, lang"""),
+      (s, d) => {
+        val dedup = Relational.keepFirst(
+          documents(s, d).withColumn("digest", md5(col("text"))),
+          Seq("digest"), Seq(col("doc_id").asc)).drop("digest")
+        val rates = dedup.groupBy("source")
+          .agg(least(lit(1.0), lit(20.0) / count(lit(1))).as("rate"))
+        dedup.join(broadcast(rates), Seq("source"))
+          .filter(Sampling.rateGate(col("doc_id"), col("rate")))
+          .withColumn("split",
+            when(Sampling.hashGate(col("source"), 0.75), "train")
+              .otherwise("val"))
+          .withColumn("n_toks",
+            size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_toks").cast("long").as("total_toks"),
+            sum("n_chars").cast("long").as("total_chars"))
+          .orderBy("split", "lang")
+      })
   )
 }
