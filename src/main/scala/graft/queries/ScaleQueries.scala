@@ -309,6 +309,37 @@ object ScaleQueries {
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("bucket")),
 
+    // corpus-trained unigram model scoring: token frequencies learned
+    // from the corpus itself, joined back per token, reduced to
+    // integer-only rarity signals (rare-token count + frequency mass —
+    // integer sums are accumulation-order-proof, so the oracle is
+    // hash-exact where a float perplexity would wobble). The freq
+    // table co-partitions with the exploded tokens on tok; at 100 TB
+    // the head of the vocabulary can be broadcast instead (freq skew
+    // mirrors token skew)
+    QueryDef("q_token_rarity",
+      Some("""WITH t AS (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents),
+              f AS (SELECT tok, count(*) AS freq FROM t GROUP BY 1)
+              SELECT doc_id, count(*) AS n_toks,
+                     CAST(sum(CASE WHEN freq <= 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_rare,
+                     CAST(sum(freq) AS BIGINT) AS sum_freq
+              FROM t JOIN f USING (tok)
+              GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val freqs = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+        toks.join(freqs, Seq("tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(when(col("freq") <= 2, 1).otherwise(0)).cast("long").as("n_rare"),
+            sum("freq").cast("long").as("sum_freq"))
+          .orderBy("doc_id")
+      }),
+
     // round-3 capstone: the daily "train-ready dataset build" composed
     // from the scale kit — exact dedup (digest-keyed keep-first) →
     // source-mixture rebalance (rate gate over post-dedup counts) →
