@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ZOrder
-import graft.ops.Relational
+import graft.ops.{Profiler, Relational}
 import graft.similarity.Ann
 import graft.sources.BucketedTables
 import graft.text.{Sampling, TextAnalysis}
@@ -308,6 +308,47 @@ object ScaleQueries {
           min("x").as("min_x"), max("x").as("max_x"),
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("bucket")),
+
+    // distributed column profiling (ingest data-quality screen):
+    // null/distinct/min/max per column in ONE pass; values profiled as
+    // 16-char prefixes so a 100 TB text column contributes O(1)-sized
+    // profile rows, never documents (ops.Profiler)
+    QueryDef("q_profile",
+      Some("""WITH p AS (
+                SELECT 'doc_id' AS col_name,
+                  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                  min(substring(CAST(doc_id AS VARCHAR), 1, 16)) AS min_v,
+                  max(substring(CAST(doc_id AS VARCHAR), 1, 16)) AS max_v
+                FROM documents
+                UNION ALL
+                SELECT 'lang',
+                  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT lang) AS BIGINT),
+                  min(substring(lang, 1, 16)), max(substring(lang, 1, 16))
+                FROM documents
+                UNION ALL
+                SELECT 'n_chars',
+                  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT n_chars) AS BIGINT),
+                  min(substring(CAST(n_chars AS VARCHAR), 1, 16)),
+                  max(substring(CAST(n_chars AS VARCHAR), 1, 16))
+                FROM documents
+                UNION ALL
+                SELECT 'source',
+                  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT source) AS BIGINT),
+                  min(substring(source, 1, 16)), max(substring(source, 1, 16))
+                FROM documents
+                UNION ALL
+                SELECT 'text',
+                  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT text) AS BIGINT),
+                  min(substring(text, 1, 16)), max(substring(text, 1, 16))
+                FROM documents)
+              SELECT * FROM p ORDER BY col_name"""),
+      (s, d) => Profiler.profile(documents(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
     // corpus-trained unigram model scoring: token frequencies learned
     // from the corpus itself, joined back per token, reduced to
