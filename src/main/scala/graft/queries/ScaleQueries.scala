@@ -309,6 +309,33 @@ object ScaleQueries {
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("bucket")),
 
+    // bigram LM table (n-gram language-model prep, the companion to
+    // q_vocab's unigrams): bigrams WITH multiplicity built map-side
+    // from built-ins (sequence/transform/element_at — no shuffle until
+    // the count), partial-agg'd, top-k via TakeOrderedAndProject.
+    // Vocabulary-sized shuffle, corpus-sized scan — same shape at any
+    // corpus size
+    QueryDef("q_bigrams",
+      Some("""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+                         FROM documents),
+              b AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                      list_transform(range(1, len(toks)), i ->
+                        toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])
+                      ELSE [] END) AS bigram FROM t)
+              SELECT bigram, count(*) AS n FROM b
+              GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""),
+      (s, d) => documents(s, d)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .select(explode(when(size(col("toks")) >= 2,
+          expr("""transform(sequence(1, size(toks) - 1),
+                    i -> concat(element_at(toks, i), ' ',
+                                element_at(toks, i + 1)))"""))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram"))
+        .limit(20)),
+
     // distributed column profiling (ingest data-quality screen):
     // null/distinct/min/max per column in ONE pass; values profiled as
     // 16-char prefixes so a 100 TB text column contributes O(1)-sized
