@@ -309,6 +309,59 @@ object ScaleQueries {
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("bucket")),
 
+    // conversation/transcript assembly (SFT data prep): each user's
+    // event stream reassembled into one ordered transcript string.
+    // collect_list + sort_array gives a deterministic total order
+    // (ts, event_id, type) regardless of partitioning — the grouped
+    // rows arrive unordered at the reducer; sorting INSIDE the
+    // aggregated array is the partition-proof formulation
+    QueryDef("q_transcript",
+      Some("""WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                         FROM events)
+              SELECT user_id,
+                     array_to_string(list(event_type || '@' ||
+                         CAST(epoch_us(ts) AS VARCHAR)
+                       ORDER BY ts, event_id, event_type), ' > ') AS transcript,
+                     count(*) AS n_events
+              FROM e GROUP BY 1 ORDER BY user_id"""),
+      (s, d) => events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(
+          array_join(
+            transform(
+              sort_array(collect_list(
+                struct(col("ts_us"), col("event_id"), col("event_type")))),
+              e => concat(e("event_type"), lit("@"), e("ts_us"))),
+            " > ").as("transcript"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")),
+
+    // join-skew diagnosis: the top heavy keys of a prospective join
+    // key with their share in basis points — the report that decides
+    // between plain, AQE-skew, and salted joins. Two partial-agg'd
+    // aggregations, one broadcast scalar; never sorts the key space
+    // (TakeOrderedAndProject on the count)
+    QueryDef("q_skew_report",
+      Some("""WITH c AS (SELECT l_suppkey AS key, count(*) AS n
+                         FROM lineitem GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+              SELECT key, n,
+                     CAST(round(n * 10000.0 / total, 0) AS BIGINT) AS share_bp
+              FROM c, t ORDER BY n DESC, key LIMIT 10"""),
+      (s, d) => {
+        val c = lineitem(s, d).groupBy(col("l_suppkey").as("key"))
+          .agg(count(lit(1)).as("n"))
+        val t = c.agg(sum("n").cast("long").as("total"))
+        c.crossJoin(broadcast(t))
+          .select(col("key"), col("n"),
+            round(col("n") * 10000.0 / col("total"), 0).cast("long")
+              .as("share_bp"))
+          .orderBy(desc("n"), asc("key"))
+          .limit(10)
+      }),
+
     // bigram LM table (n-gram language-model prep, the companion to
     // q_vocab's unigrams): bigrams WITH multiplicity built map-side
     // from built-ins (sequence/transform/element_at — no shuffle until
