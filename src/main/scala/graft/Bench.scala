@@ -22,8 +22,14 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $secs%8.2f s")
       // isolate queries: the dedup/ANN pipelines persist sketch stages
-      // that would otherwise accumulate memory pressure across the run
+      // that would otherwise accumulate memory pressure across the run;
+      // the forced GC (outside the timed section) stops 100 queries'
+      // worth of heap debt from landing as a multi-second pause inside
+      // whichever later query crosses the collection threshold
+      // (measured: q_json_extract 1.5s isolated vs 7.9s late in a full
+      // run, same plan)
       spark.catalog.clearCache()
+      System.gc()
       secs
     }
     // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b benches a subset
@@ -31,7 +37,12 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.allDefs.map(_.name)
       .filter(n => only.forall(_.contains(n)))
-    run(names.head) // session/codegen warmup on the first plan
+    // session/codegen/JIT warmup across the main physical archetypes
+    // (join+agg, window, scan+sort) — with a single warmup query the
+    // first window/sort queries in the run pay JIT compilation inside
+    // their timed sections (measured: q_keepfirst 3.4s cold vs 1.5s)
+    Seq(names.head, "q_keepfirst", "q_select_rename")
+      .filter(SparkEntry.queries.contains).distinct.foreach(run)
     val results = names.map(n => n -> run(n))
     // The harness that captures this output keeps only the LAST 2000
     // chars and json-parses lines; a full-precision 80-query map
