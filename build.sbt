@@ -36,12 +36,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // outliers at smaller heaps — measured: q_dedup_minhash warm runs
   // 4.3s at 32g vs 7.8s at 16g, same code
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  // pin initial = max and pre-fault the pages at JVM startup: Bench
-  // forces a GC between queries, and an unpinned heap uncommits
-  // regions after each full GC — the next query then pays page
-  // re-commit inside its timed section; without pre-touch the
-  // first-touch faults of a pinned 32g heap land in the first
-  // allocation-heavy query instead (measured 16s q_dedup_minhash)
+)
+// Bench-only (run, not test — tests shouldn't pay a 32g pre-fault at
+// JVM startup): pin initial = max and pre-touch the pages. Bench
+// forces a GC between queries, and an unpinned heap uncommits regions
+// after each full GC — the next query then pays page re-commit inside
+// its timed section; without pre-touch the first-touch faults of a
+// pinned 32g heap land in the first allocation-heavy query instead
+// (measured 16s q_dedup_minhash).
+run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   "-XX:+AlwaysPreTouch",
 )
