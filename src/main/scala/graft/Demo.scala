@@ -54,6 +54,20 @@ object Demo {
     val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id_a", "id_b")
     graft.dedup.Dedup.clusters(pairs).orderBy("id").show(false)
 
+    // round 3: latest-wins upsert (CDC / corpus refresh)
+    val base = Seq((1L, 1, "a"), (2L, 1, "b")).toDF("k", "ver", "v")
+    val upd = Seq((2L, 2, "B"), (3L, 2, "C")).toDF("k", "ver", "v")
+    Relational.upsert(base, upd, Seq("k"), "ver").orderBy("k").show(false)
+
+    // round 3: one-pass column profile (ingest data-quality screen)
+    graft.ops.Profiler.profile(fact, Seq("k", "payload")).show(false)
+
+    // round 3: z-order layout value — sort by z before writing to get
+    // 2-D zone-map pruning
+    fact.select(col("k"),
+      graft.functions.ZOrder.zvalue(col("k"), length(col("payload")).cast("long"))
+        .as("z")).orderBy("z").show(false)
+
     spark.stop()
   }
 }

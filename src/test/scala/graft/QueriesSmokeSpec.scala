@@ -30,4 +30,28 @@ class QueriesSmokeSpec extends SparkTestBase {
       df.count() // executes the plan; throws on any analysis/runtime error
     }
   }
+
+  test("transcript assembly is partition-invariant (order lives in the array)") {
+    // same result regardless of how the input is split — the ordering
+    // happens inside sort_array, not in shuffle arrival order
+    val base = SparkEntry.queries("q_transcript")(spark, sf).collect().toSeq
+    val shuffled = graft.queries.Tables.eventsRaw(spark, sf).repartition(7)
+    val alt = shuffled
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    // re-run the same aggregation over the repartitioned input
+    import org.apache.spark.sql.functions._
+    val got = alt.groupBy("user_id")
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(
+              struct(col("ts_us"), col("event_id"), col("event_type")))),
+            e => concat(e("event_type"), lit("@"), e("ts_us"))),
+          " > ").as("transcript"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect().toSeq
+    assert(got === base)
+  }
 }

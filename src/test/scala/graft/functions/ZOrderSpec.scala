@@ -59,4 +59,18 @@ class ZOrderSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("zvalue roundtrips on 200 seeded-random 16-bit pairs in one pass") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    def unspread(v: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, i) => acc | (((v >> (2 * i)) & 1L) << i))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zvalue(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(unspread(z) === x && unspread(z >> 1) === y, s"($x, $y) -> $z")
+    }
+  }
+
 }

@@ -93,4 +93,15 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(low.exceptAll(high).count() === 0)
   }
 
+
+  test("rateGate equals hashGate across 16 random rates (same draws)") {
+    val rnd = new scala.util.Random(11)
+    val df = spark.range(0, 500).toDF("id")
+    (1 to 16).map(_ => rnd.nextDouble()).foreach { r =>
+      val viaRate = df.filter(Sampling.rateGate(col("id"), lit(r))).count()
+      val viaLit = df.filter(Sampling.hashGate(col("id"), r)).count()
+      assert(viaRate === viaLit, s"rate $r")
+    }
+  }
+
 }
