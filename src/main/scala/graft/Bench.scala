@@ -61,7 +61,8 @@ object Bench {
       val restPart =
         if (rest.isEmpty) ""
         else s""","rest_sec":${r2(rest.map(_._2).sum)},"n_rest":${rest.size}"""
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${
+        results.size},"queries":${
         kept.map(entry).mkString("{", ",", "}")}$restPart,"value":${r2(total)}}"""
     }
     val kept = (bySlowest.size to 0 by -1).view
