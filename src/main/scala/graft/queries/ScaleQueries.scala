@@ -309,6 +309,33 @@ object ScaleQueries {
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("bucket")),
 
+    // analytic ranks: quartile bucketing (ntile), percent_rank and
+    // cume_dist in one window pass — the distribution-position
+    // features (price percentile within customer, doc length rank
+    // within source, ...) that quota/curriculum samplers key on.
+    // Ratios are single IEEE divisions of exact ints — identical in
+    // both engines; round(6) belt-and-braces
+    QueryDef("q_rank_kit",
+      Some("""SELECT o_custkey, o_orderkey,
+                     CAST(ntile(4) OVER w AS INT) AS quartile,
+                     round(percent_rank() OVER w, 6) AS pr,
+                     round(cume_dist() OVER w, 6) AS cd
+              FROM orders
+              WHERE o_custkey % 50 = 0
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_custkey, o_orderkey"""),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_totalprice", "o_orderkey")
+        orders(s, d).filter(pmod(col("o_custkey"), lit(50)) === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
     // conversation/transcript assembly (SFT data prep): each user's
     // event stream reassembled into one ordered transcript string.
     // collect_list + sort_array gives a deterministic total order
