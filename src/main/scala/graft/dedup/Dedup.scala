@@ -115,6 +115,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** LSH quality evaluation: run the banding WITHOUT the verify
+    * threshold and report how many candidate pairs the buckets
+    * produced vs how many survive true-Jaccard verification — the
+    * precision report that tunes (k, bands) before a 100 TB dedup run
+    * ships. One extra aggregate over the same pipeline; recall tuning
+    * (threshold vs band count) reads straight off `n_verified /
+    * n_candidates` at a given threshold.
+    */
+  def minhashEval(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 16, bands: Int = 8,
+      threshold: Double = 0.1): DataFrame = {
+    val shDf = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = shDf
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
+        .as(Seq("band", "bucket")))
+    val candidates = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(shDf.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shDf.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= threshold, 1).otherwise(0)).cast("long")
+          .as("n_verified"))
+      .select(col("n_candidates"), col("n_verified"),
+        floor(col("n_verified") * 10000.0 / col("n_candidates") + 0.5)
+          .cast("long").as("precision_bp"))
+  }
+
   /** 16-bit SimHash from per-token md5 nibble MSBs: dimension i gets
     * +1 when nibble i of md5(token) is >= 8, else -1; bit i of the
     * sketch is the sign of the sum. Returns array<int> of 16 bits.

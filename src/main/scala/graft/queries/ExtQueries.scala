@@ -73,7 +73,10 @@ object ExtQueries {
     * (k=16, b=8, r=2, jaccard >= 0.1) shared by q_dedup_minhash and
     * q_dedup_clusters.
     */
-  private val minhashPairsCtes =
+  /** CTE chain base..buckets (shingles -> minhash sigs -> LSH band
+    * buckets) shared by the pairs oracle and q_dedup_eval.
+    */
+  private[queries] val minhashBucketCtes =
     s"""base AS (
           SELECT doc_id AS id, $shinglesSql AS sh
           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -91,7 +94,10 @@ object ExtQueries {
         buckets AS (
           SELECT id, sh, CAST(r.range AS INT) AS band,
                  bandkeys[CAST(r.range + 1 AS INT)] AS bucket
-          FROM banded, range(0, 8) AS r),
+          FROM banded, range(0, 8) AS r)"""
+
+  private val minhashPairsCtes =
+    s"""$minhashBucketCtes,
         mh_pairs AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b,
             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /

@@ -309,6 +309,29 @@ object ScaleQueries {
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("bucket")),
 
+    // LSH-dedup quality evaluation: candidate volume vs true-Jaccard
+    // survivors in basis points — the precision report that tunes
+    // (k, bands) BEFORE a 100 TB dedup ships (graft.dedup.Dedup
+    // .minhashEval; same banding pipeline, one aggregate instead of a
+    // pair dump)
+    QueryDef("q_dedup_eval",
+      Some(s"""WITH ${ExtQueries.minhashBucketCtes},
+              cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    AS jaccard
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+              SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+                CAST(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_verified,
+                CAST(floor(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END)
+                    * 10000.0 / count(*) + 0.5) AS BIGINT) AS precision_bp
+              FROM cand"""),
+      (s, d) => graft.dedup.Dedup.minhashEval(
+        documents(s, d), "doc_id", "text", 2, 16, 8, 0.1)),
+
     // analytic ranks: quartile bucketing (ntile), percent_rank and
     // cume_dist in one window pass — the distribution-position
     // features (price percentile within customer, doc length rank
