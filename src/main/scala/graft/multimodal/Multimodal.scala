@@ -81,6 +81,23 @@ object Multimodal {
       .otherwise(array().cast("array<binary>"))
   }
 
+  /** Per-row high-nibble values of the first `sampleBytes` payload
+    * bytes, as 1-char hex strings ('0'–'F'). Aggregated corpus-wide
+    * this is the byte-distribution screen that catches mistyped or
+    * corrupt blobs at ingest (a JPEG corpus whose high-nibble
+    * histogram suddenly flattens is not JPEG anymore). Pure hex/
+    * substring Column arithmetic — map-side, engine-reproducible.
+    */
+  def highNibbles(payload: org.apache.spark.sql.Column,
+      sampleBytes: Int): org.apache.spark.sql.Column = {
+    require(sampleBytes > 0, s"sampleBytes=$sampleBytes must be positive")
+    val nb = least(lit(sampleBytes), length(payload))
+    when(nb > 0,
+      transform(sequence(lit(1), nb),
+        i => hex(payload).substr((i - 1) * 2 + 1, lit(1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Oracle-expressible slice of the media pipeline: payload byte
     * length, md5 hex, and metadata projection (no mapPartitions).
     */

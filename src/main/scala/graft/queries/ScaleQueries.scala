@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ZOrder
+import graft.multimodal.Multimodal
 import graft.ops.{Profiler, Relational}
 import graft.similarity.Ann
 import graft.sources.BucketedTables
@@ -308,6 +309,25 @@ object ScaleQueries {
           min("x").as("min_x"), max("x").as("max_x"),
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("bucket")),
+
+    // multimodal byte-distribution screen: corpus-wide histogram of
+    // the high nibble of the first 32 payload bytes — the cheap
+    // content sniff that flags mistyped/corrupt blobs at ingest
+    // (Multimodal.highNibbles; map-side, one tiny 16-row agg)
+    QueryDef("q_byte_hist",
+      Some("""WITH m AS (SELECT hex(CAST(text AS BLOB)) AS hx,
+                       CAST(least(32, octet_length(CAST(text AS BLOB)))
+                         AS INT) AS nb
+                     FROM documents),
+              n AS (SELECT unnest(list_transform(range(1, nb + 1),
+                      i -> substring(hx, CAST((i - 1) * 2 + 1 AS INT), 1)))
+                      AS nib FROM m WHERE nb > 0)
+              SELECT nib, count(*) AS n FROM n GROUP BY 1 ORDER BY nib"""),
+      (s, d) => Multimodal.asMedia(documents(s, d))
+        .select(explode(Multimodal.highNibbles(col("payload"), 32)).as("nib"))
+        .groupBy("nib")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("nib")),
 
     // LSH-dedup quality evaluation: candidate volume vs true-Jaccard
     // survivors in basis points — the precision report that tunes
