@@ -310,6 +310,60 @@ object ScaleQueries {
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("bucket")),
 
+    // winsorization (outlier clipping for training signals): clip each
+    // value to its group's [p5, p95] band — quantile bands are a tiny
+    // broadcast model, the clip is map-side, and the report sums
+    // integer cents so the oracle is order-proof. The standard
+    // "cap the reward/score tails before they dominate the loss" step
+    QueryDef("q_winsorize",
+      Some("""WITH q AS (SELECT event_type,
+                       quantile_cont(value, 0.05) AS p5,
+                       quantile_cont(value, 0.95) AS p95
+                     FROM events GROUP BY 1)
+              SELECT e.event_type, count(*) AS n,
+                     CAST(sum(CAST(floor(
+                       least(greatest(e.value, q.p5), q.p95) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS clipped_cents
+              FROM events e JOIN q ON e.event_type = q.event_type
+              GROUP BY e.event_type ORDER BY e.event_type"""),
+      (s, d) => {
+        val q = events(s, d).groupBy("event_type")
+          .agg(percentile(col("value"), lit(0.05)).as("p5"),
+            percentile(col("value"), lit(0.95)).as("p95"))
+        events(s, d).join(broadcast(q), Seq("event_type"))
+          .select(col("event_type"),
+            floor(least(greatest(col("value"), col("p5")), col("p95"))
+              * 100 + 0.5).cast("long").as("cents"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("cents").cast("long").as("clipped_cents"))
+          .orderBy("event_type")
+      }),
+
+    // null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys
+    // match null keys — the semantics fill-then-join pipelines fake
+    // with sentinel values; Spark hashes null-safe keys like any
+    // other, so the plan is a plain hash join, no special casing
+    QueryDef("q_nullsafe_join",
+      Some("""WITH a AS (SELECT doc_id, nullif(lang, 'de') AS k
+                         FROM documents WHERE doc_id % 3 = 0),
+                   b AS (SELECT nullif(lang, 'de') AS k, count(*) AS nb
+                         FROM documents GROUP BY 1)
+              SELECT a.doc_id, coalesce(a.k, 'NULL') AS k, b.nb
+              FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+              ORDER BY doc_id"""),
+      (s, d) => {
+        val a = documents(s, d).filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"), nullif(col("lang"), lit("de")).as("k"))
+        val b = documents(s, d)
+          .groupBy(nullif(col("lang"), lit("de")).as("kb"))
+          .agg(count(lit(1)).as("nb"))
+        a.join(broadcast(b), col("k") <=> col("kb"))
+          .select(col("doc_id"), coalesce(col("k"), lit("NULL")).as("k"),
+            col("nb"))
+          .orderBy("doc_id")
+      }),
+
     // multimodal byte-distribution screen: corpus-wide histogram of
     // the high nibble of the first 32 payload bytes — the cheap
     // content sniff that flags mistyped/corrupt blobs at ingest
