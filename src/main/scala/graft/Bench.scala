@@ -41,7 +41,7 @@ object Bench {
     // (join+agg, window, scan+sort) — with a single warmup query the
     // first window/sort queries in the run pay JIT compilation inside
     // their timed sections (measured: q_keepfirst 3.4s cold vs 1.5s)
-    Seq(names.head, "q_keepfirst", "q_select_rename")
+    (names.headOption.toSeq ++ Seq("q_keepfirst", "q_select_rename"))
       .filter(SparkEntry.queries.contains).distinct.foreach(run)
     val results = names.map(n => n -> run(n))
     // The harness that captures this output keeps only the LAST 2000

@@ -27,16 +27,22 @@ object Relational {
 
   /** Latest-wins upsert (CDC apply / corpus-refresh merge): overlay
     * `updates` on `base`, keeping for each key the row with the
-    * highest `versionCol` (ties broken toward `updates` — pass
-    * distinct versions when that matters). Both frames must share a
-    * schema; the merge is one union + one keyed window, so at scale it
-    * costs a single hash shuffle on the key — the same shape a
-    * MERGE INTO without a transactional table format compiles to.
+    * highest `versionCol`. Equal-version ties break toward `updates`
+    * deterministically: rows are tagged with a provenance column
+    * (base=0, updates=1) that sorts descending right after the
+    * version. Both frames must share a schema; the merge is one union
+    * + one keyed window, so at scale it costs a single hash shuffle on
+    * the key — the same shape a MERGE INTO without a transactional
+    * table format compiles to.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
       versionCol: String): DataFrame =
-    keepFirst(base.unionByName(updates), keys,
-      Seq(col(versionCol).desc) ++ keys.map(col(_).asc))
+    keepFirst(
+      base.withColumn("__src", lit(0))
+        .unionByName(updates.withColumn("__src", lit(1))),
+      keys,
+      Seq(col(versionCol).desc, col("__src").desc) ++ keys.map(col(_).asc))
+      .drop("__src")
 
   /** Top-k by order — Spark plans TakeOrderedAndProject (no full sort /
     * single-partition shuffle of everything; reference `mu_extras.py:99`).

@@ -33,7 +33,12 @@ object TemporalJoins {
     * not collide with left column names; `rightTime` may be listed to
     * carry the matched time). The right side must be unique per
     * (keys, rightTime) — pre-aggregate duplicates or the carried
-    * payload is nondeterministic.
+    * payload is nondeterministic. Right rows with a null `rightTime`
+    * are dropped (a null event time matches nothing). The payload is
+    * carried as ONE struct per right row, so a legitimately-null field
+    * in the matched row stays null — it is never back-filled from an
+    * older right row, and all carried fields always come from the SAME
+    * matched row (SQL ASOF JOIN semantics).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame = {
@@ -41,31 +46,41 @@ object TemporalJoins {
     require(collisions.isEmpty,
       s"rightCols collide with left columns: ${collisions.mkString(", ")}")
     val leftPayload = left.columns.filterNot(keys.contains).toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(right.schema.fieldIndex(c))))
     // Right rows sort BEFORE left rows at equal time (__side 0 < 1), so
     // an exactly-simultaneous right row is visible to the left row.
     val lPart = left.select(
       keys.map(col) ++ leftPayload.map(col) ++
-        Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val rPart = right.select(
+        Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+          lit(null).cast(payloadType).as("__rpay")): _*)
+    val rPart = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
-        rightCols.map(col): _*)
+        Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+          struct(rightCols.map(col): _*).as("__rpay")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The struct itself is non-null iff SOME right row precedes, so
+    // last(ignoreNulls) finds the matched row; its fields then expand
+    // verbatim (nulls included).
     lPart.unionByName(rPart)
       .select(
-        keys.map(col) ++ leftPayload.map(col) ++ Seq(col("__side")) ++
-          rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        keys.map(col) ++ leftPayload.map(col) ++ Seq(col("__side"),
+          last(col("__rpay"), ignoreNulls = true).over(w).as("__rpay")): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(
+        keys.map(col) ++ leftPayload.map(col) ++
+          rightCols.map(c => col("__rpay").getField(c).as(c)): _*)
   }
 
   /** Inner range join: rows of `points` whose `pointCol` timestamp
     * falls in [startCol, endCol) of an interval. Column sets of the
-    * two frames must be disjoint.
+    * two frames must be disjoint. Degenerate intervals (end <= start)
+    * contain no points by definition and are dropped up front — without
+    * that guard `sequence(a, b)` with a > b emits a DESCENDING bin
+    * range, fanning one bad row out across the whole reversed span.
     */
   def rangeJoinBinned(intervals: DataFrame, startCol: String, endCol: String,
       points: DataFrame, pointCol: String, binSeconds: Long): DataFrame = {
@@ -76,7 +91,9 @@ object TemporalJoins {
     // below compares the ORIGINAL columns, so the cast can't change
     // which rows match.
     def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
-    val iv = intervals.withColumn("__bin", explode(sequence(
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin", explode(sequence(
       floor(micros(col(startCol)) / binUs),
       floor((micros(col(endCol)) - 1) / binUs))))
     val pt = points.withColumn("__bin", floor(micros(col(pointCol)) / binUs))

@@ -197,10 +197,19 @@ object EventStreams {
           spark.read.parquet(snapshotDir), batchLatest, keys, versionCol)
       else batchLatest
     val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "_tmp")
+    val old = new org.apache.hadoop.fs.Path(snapshotDir + "_old")
     // materialize BEFORE touching the live dir (merged lazily reads it)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
+    // Swap via rename-aside so a live snapshot exists at every instant
+    // except the sub-ms between the two renames, and a crash anywhere
+    // leaves a recoverable full copy (_old or _tmp) rather than none:
+    //   live -> _old; _tmp -> live; delete _old.
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    val hadLive = fs.exists(path)
+    if (hadLive && !fs.rename(path, old))
+      throw new java.io.IOException(s"CDC snapshot swap failed: $path -> $old")
     if (!fs.rename(tmp, path))
       throw new java.io.IOException(s"CDC snapshot swap failed: $tmp -> $path")
+    if (hadLive) fs.delete(old, true)
   }
 }

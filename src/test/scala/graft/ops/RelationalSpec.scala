@@ -90,4 +90,12 @@ class RelationalSpec extends SparkTestBase {
     assert(out === Seq((1L, 1, "a"), (2L, 2, "B"), (3L, 1, "c"), (4L, 2, "D")))
   }
 
+  test("upsert breaks equal-version ties toward updates, deterministically") {
+    val base = Seq((1L, 5, "old"), (2L, 5, "keep")).toDF("k", "ver", "v")
+    val upd = Seq((1L, 5, "new")).toDF("k", "ver", "v")
+    val out = Relational.upsert(base, upd, Seq("k"), "ver")
+      .orderBy("k").as[(Long, Int, String)].collect().toSeq
+    assert(out === Seq((1L, 5, "new"), (2L, 5, "keep")))
+  }
+
 }

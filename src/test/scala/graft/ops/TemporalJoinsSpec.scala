@@ -29,6 +29,34 @@ class TemporalJoinsSpec extends SparkTestBase {
       (4L, Some(300L))))
   }
 
+  test("asofJoin: null payload field in the matched row stays null (not back-filled)") {
+    val left = Seq(("u1", ts("2024-01-01 10:00:00"))).toDF("sym", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), Some(100L), Some("a")),
+      // matched row: quote is legitimately null, src is "b" — the output
+      // must carry (null, "b"), never mix in 100L from the older row
+      ("u1", ts("2024-01-01 09:30:00"), None, Some("b"))
+    ).toDF("sym", "qt", "quote", "src")
+    val out = TemporalJoins.asofJoin(left, right, Seq("sym"), "t", "qt",
+        Seq("quote", "src"))
+      .select("quote", "src").as[(Option[Long], Option[String])].collect().toSeq
+    assert(out === Seq((None, Some("b"))))
+  }
+
+  test("asofJoin: right rows with null time are dropped, not matched-first") {
+    val left = Seq(("u1", ts("2024-01-01 10:00:00")),
+      ("u2", ts("2024-01-01 10:00:00"))).toDF("sym", "t")
+    val right = Seq(
+      ("u1", None, Some(999L)),                            // null time: ignored
+      ("u1", Some(ts("2024-01-01 09:00:00")), Some(100L)),
+      ("u2", None, Some(888L))                             // only a null-time row
+    ).toDF("sym", "qt", "quote")
+    val out = TemporalJoins.asofJoin(left, right, Seq("sym"), "t", "qt",
+        Seq("quote"))
+      .orderBy("sym").select("quote").as[Option[Long]].collect().toSeq
+    assert(out === Seq(Some(100L), None))
+  }
+
   test("asofJoin rejects colliding right column names") {
     val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("v", "t")
     val r = Seq((2L, ts("2024-01-01 09:00:00"))).toDF("v", "qt")
@@ -53,6 +81,18 @@ class TemporalJoinsSpec extends SparkTestBase {
     val out = TemporalJoins.rangeJoinBinned(iv, "s", "e", pts, "pt", 86400L)
       .select("ivid", "pid").as[(Long, Long)].collect().toSet
     assert(out === Set((10L, 1L), (10L, 3L), (20L, 2L), (20L, 3L)))
+  }
+
+  test("rangeJoinBinned: inverted interval (end <= start) is dropped, no fanout") {
+    val iv = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),  // valid
+      (2L, ts("2024-06-01 00:00:00"), ts("2024-01-01 00:00:00")),  // inverted
+      (3L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))   // empty
+    ).toDF("ivid", "s", "e")
+    val pts = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("pid", "pt")
+    val out = TemporalJoins.rangeJoinBinned(iv, "s", "e", pts, "pt", 3600L)
+      .select("ivid").as[Long].collect().toSeq
+    assert(out === Seq(1L))
   }
 
   test("rangeJoinBinned: interval longer than the bin still matches exactly") {
