@@ -151,4 +151,34 @@ object Relational {
     */
   def sampleN(df: DataFrame, n: Int, seedCols: Seq[String]): DataFrame =
     df.orderBy(xxhash64(seedCols.map(col): _*)).limit(n)
+
+  /** Blocked edit-distance self-match: candidate pairs (a, b) within
+    * the same `blockCol` value whose `strCol` values are within
+    * `maxDist` Levenshtein edits — the exact-distance complement to the
+    * Jaro-Winkler fuzzy join (reference `od.py`-style name matching,
+    * here with a metric threshold instead of a similarity score).
+    *
+    * The block key bounds the quadratic: the self-join is an EQUI join
+    * on `blockCol` (one shuffle, co-located pairing) and only
+    * in-block pairs ever exist, so cost is sum(block²), not n². At
+    * 100 TB pick blocks so the largest is ~10⁴ rows (add a prefix or
+    * length bucket to the key); levenshtein(a, b) itself is codegen'd,
+    * and the `keyCol` inequality keeps each unordered pair once.
+    * A length prefilter (|len(a)-len(b)| <= maxDist) discards most
+    * pairs before the O(len²) distance loop runs.
+    */
+  def editDistancePairs(df: DataFrame, keyCol: String, blockCol: String,
+      strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    val a = df.select(col(blockCol).as("__blk"), col(keyCol).as("key_a"),
+      col(strCol).as("str_a"))
+    val b = df.select(col(blockCol).as("__blk"), col(keyCol).as("key_b"),
+      col(strCol).as("str_b"))
+    a.join(b, Seq("__blk"))
+      .filter(col("key_a") < col("key_b"))
+      .filter(abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .filter(col("dist") <= maxDist)
+      .withColumnRenamed("__blk", blockCol)
+  }
 }

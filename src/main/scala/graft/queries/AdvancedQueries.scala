@@ -284,5 +284,27 @@ object AdvancedQueries {
           col("click_ts").cast("string").as("click_ts"),
           col("purchase_ts").cast("string").as("purchase_ts"))
         .orderBy("click_id", "purchase_id"))
+        ,
+
+    // cohort retention triangle (graft.ops.Cohorts.retention):
+    // customers bucketed by first-order month, distinct actives per
+    // (cohort, month-offset). Months are integer year*12+month — no
+    // date-diff float surface in either engine.
+    QueryDef("q_cohort",
+      Some("""WITH m AS (
+                SELECT o_custkey AS u,
+                       year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi
+                FROM orders),
+              f AS (SELECT u, min(mi) AS ci FROM m GROUP BY u)
+              SELECT printf('%04d-%02d', ci // 12, ci % 12 + 1)
+                       AS cohort_month,
+                     CAST(mi - ci AS INT) AS month_offset,
+                     CAST(count(DISTINCT m.u) AS BIGINT) AS n_users
+              FROM m JOIN f ON m.u = f.u
+              WHERE mi - ci <= 3
+              GROUP BY 1, 2 ORDER BY cohort_month, month_offset"""),
+      (s, d) => graft.ops.Cohorts.retention(orders(s, d), "o_custkey",
+          "o_orderdate", 3)
+        .orderBy("cohort_month", "month_offset"))
   )
 }

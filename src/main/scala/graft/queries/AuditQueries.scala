@@ -56,6 +56,29 @@ object AuditQueries {
           "lineitem rows with non-positive quantity")
         li.groupBy("l_linestatus").agg(count(lit(1)).as("n"))
           .orderBy("l_linestatus")
-      })
+      }),
+
+    // k-anonymity release screen (graft.ops.Privacy.report): how much
+    // of the table sits in quasi-identifier groups smaller than k=5
+    // (nation × market segment × account-balance bucket). Rate in
+    // basis points — integer-only, engine-portable.
+    QueryDef("q_k_anon",
+      Some("""WITH g AS (
+                SELECT c_nationkey, c_mktsegment,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+                       count(*) AS n
+                FROM customer GROUP BY 1, 2, 3)
+              SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                     CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unsafe_groups,
+                     CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_suppressed_rows,
+                     CAST(floor(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                         * 10000.0 / sum(n) + 0.5) AS BIGINT) AS suppressed_bp
+              FROM g"""),
+      (s, d) => graft.ops.Privacy.report(
+        customer(s, d).withColumn("bal_bucket",
+          floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment", "bal_bucket"), 5))
   )
 }

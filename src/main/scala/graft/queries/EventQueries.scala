@@ -169,11 +169,29 @@ object EventQueries {
           md5(hex(try_element_at(col("frames"), lit(1)))).as("first_frame_md5"))
         .orderBy("doc_id")),
 
-    // multimodal: batched decode stub (mapPartitions) — rows-only check
-    QueryDef("q_media_features", None,
+    // multimodal: batched decode stub (mapPartitions). Fully oracled:
+    // the stub's feature i is u16(md5[2i..2i+1])/65535f, so multiplying
+    // back and rounding recovers the exact integer (float32 round-trip
+    // error < 0.004 « 0.5); DuckDB rebuilds the same u16 from the md5
+    // hex digits via strpos arithmetic.
+    QueryDef("q_media_features",
+      Some("""WITH m AS (
+                SELECT doc_id, md5(text) AS h,
+                       octet_length(encode(text)) AS n_bytes
+                FROM documents),
+              d AS (
+                SELECT doc_id, n_bytes,
+                  (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+                  (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+                  (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+                  (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS f0_u16
+                FROM m)
+              SELECT doc_id, n_bytes, CAST(f0_u16 AS BIGINT) AS f0_u16
+              FROM d ORDER BY doc_id"""),
       (s, d) => Multimodal.decodeStub(s, Multimodal.asMedia(documents(s, d)))
-        .toDF().select(col("doc_id"), col("n_bytes"),
-          round(element_at(col("features"), 1), 6).as("f0"))
+        .toDF().select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          floor(element_at(col("features"), 1) * 65535.0 + 0.5).cast("long")
+            .as("f0_u16"))
         .orderBy("doc_id"))
   )
 }

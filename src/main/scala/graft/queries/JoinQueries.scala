@@ -226,6 +226,30 @@ object JoinQueries {
             round(JaroWinkler(col("full_name"), col("cand")), 4).as("ratio"))
         matchStage(extract(0, "disp")).unionByName(matchStage(extract(1, "odt")))
           .orderBy("ckey", "skey", "src")
-      })
+      }),
+
+    // blocked Levenshtein self-match (graft.ops.Relational
+    // .editDistancePairs): exact-edit-distance complement to the
+    // Jaro-Winkler join — near-identical customer names (<=1 edit)
+    // inside a nation block. The block key turns the quadratic into
+    // an equi-shuffle; the length prefilter runs before the O(len²)
+    // distance.
+    QueryDef("q_lev_join",
+      Some("""SELECT a.c_nationkey AS nkey,
+                     a.c_custkey AS key_a, b.c_custkey AS key_b,
+                     levenshtein(a.c_name, b.c_name) AS dist
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey
+              WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+                AND levenshtein(a.c_name, b.c_name) <= 1
+              ORDER BY nkey, key_a, key_b"""),
+      (s, d) => Relational.editDistancePairs(
+          customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+            col("c_name")),
+          "c_custkey", "c_nationkey", "c_name", 1)
+        .select(col("c_nationkey").as("nkey"), col("key_a"), col("key_b"),
+          col("dist"))
+        .orderBy("nkey", "key_a", "key_b"))
   )
 }

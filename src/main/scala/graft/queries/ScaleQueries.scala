@@ -636,6 +636,27 @@ object ScaleQueries {
             sum("n_toks").cast("long").as("total_toks"),
             sum("n_chars").cast("long").as("total_chars"))
           .orderBy("split", "lang")
-      })
+      }),
+
+    // HLL vs exact distinct: approx_count_distinct (rsd 2%) checked
+    // against the exact count. At 100 TB the exact path shuffles every
+    // distinct value; the HLL sketch is a few KB per group and merges
+    // map-side — this query demonstrates (and continuously verifies)
+    // that the cheap path stays inside a 10% envelope. Spark's HLL++
+    // is deterministic for a given dataset, so the boolean is stable;
+    // the oracle asserts the exact counts and the envelope.
+    QueryDef("q_approx_distinct",
+      Some("""SELECT o_orderpriority,
+                     CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_users,
+                     TRUE AS within_10pct
+              FROM orders GROUP BY 1 ORDER BY o_orderpriority"""),
+      (s, d) => orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count_distinct(col("o_custkey")).cast("long").as("exact_users"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_users"))
+        .select(col("o_orderpriority"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) * 10 <=
+            col("exact_users")).as("within_10pct"))
+        .orderBy("o_orderpriority"))
   )
 }

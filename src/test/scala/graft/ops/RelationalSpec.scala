@@ -90,6 +90,19 @@ class RelationalSpec extends SparkTestBase {
     assert(out === Seq((1L, 1, "a"), (2L, 2, "B"), (3L, 1, "c"), (4L, 2, "D")))
   }
 
+  test("editDistancePairs: in-block pairs within maxDist, each pair once") {
+    val df = Seq(
+      (1L, "n1", "kitten"),
+      (2L, "n1", "sitten"),   // dist 1 from kitten
+      (3L, "n1", "sitting"),  // dist 2 from sitten, 3 from kitten
+      (4L, "n2", "kitten")    // other block: never paired with n1 rows
+    ).toDF("id", "blk", "name")
+    val out = Relational.editDistancePairs(df, "id", "blk", "name", 2)
+      .select("key_a", "key_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((1L, 2L, 1), (2L, 3L, 2)))
+  }
+
   test("upsert breaks equal-version ties toward updates, deterministically") {
     val base = Seq((1L, 5, "old"), (2L, 5, "keep")).toDF("k", "ver", "v")
     val upd = Seq((1L, 5, "new")).toDF("k", "ver", "v")
