@@ -25,6 +25,8 @@ object Privacy {
     */
   def suppress(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
+    require(!df.columns.contains("__n"),
+      "suppress uses a temp __n count column; input already has one")
     val w = Window.partitionBy(quasiIds.map(col): _*)
     df.withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") >= k)

@@ -19,6 +19,8 @@ object Relational {
     * column if the priority key has duplicates — SURVEY.md §7 trap (b)).
     */
   def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "keepFirst uses a temp __rn column; input already has one")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -36,13 +38,16 @@ object Relational {
     * table format compiles to.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
-      versionCol: String): DataFrame =
+      versionCol: String): DataFrame = {
+    require(!base.columns.contains("__src") && !updates.columns.contains("__src"),
+      "upsert uses a temp __src provenance column; input already has one")
     keepFirst(
       base.withColumn("__src", lit(0))
         .unionByName(updates.withColumn("__src", lit(1))),
       keys,
       Seq(col(versionCol).desc, col("__src").desc) ++ keys.map(col(_).asc))
       .drop("__src")
+  }
 
   /** Top-k by order — Spark plans TakeOrderedAndProject (no full sort /
     * single-partition shuffle of everything; reference `mu_extras.py:99`).
@@ -162,10 +167,13 @@ object Relational {
     * on `blockCol` (one shuffle, co-located pairing) and only
     * in-block pairs ever exist, so cost is sum(block²), not n². At
     * 100 TB pick blocks so the largest is ~10⁴ rows (add a prefix or
-    * length bucket to the key); levenshtein(a, b) itself is codegen'd,
-    * and the `keyCol` inequality keeps each unordered pair once.
-    * A length prefilter (|len(a)-len(b)| <= maxDist) discards most
-    * pairs before the O(len²) distance loop runs.
+    * length bucket to the key); for maxDist=1 prefer
+    * [[deletionNeighborhoodPairs]], which replaces the O(block²)
+    * pairing with an O(n·len) equi-join and needs no block-size tuning
+    * at all. The distance is the BOUNDED 3-arg levenshtein (banded DP,
+    * early exit at maxDist+1) so a far-apart pair costs O(len·maxDist),
+    * not O(len²); a length prefilter (|len(a)-len(b)| <= maxDist)
+    * discards cheap rejections before even that runs.
     */
   def editDistancePairs(df: DataFrame, keyCol: String, blockCol: String,
       strCol: String, maxDist: Int): DataFrame = {
@@ -177,8 +185,56 @@ object Relational {
     a.join(b, Seq("__blk"))
       .filter(col("key_a") < col("key_b"))
       .filter(abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
-      .filter(col("dist") <= maxDist)
+      // bounded levenshtein returns -1 when dist > maxDist (and the
+      // true distance otherwise), so the filter is a sign test
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .withColumnRenamed("__blk", blockCol)
+  }
+
+  /** Edit-distance self-match for maxDist = 1 via a deletion
+    * neighborhood (SymSpell): two strings are within one edit iff they
+    * share a member of each other's single-deletion neighborhood —
+    * equal strings share the string itself, a substitution at position
+    * i means both sides' delete-at-i variants coincide, and an
+    * insertion/deletion means the longer side's variant equals the
+    * shorter string. So each row emits its string plus all len
+    * single-deletion variants (len+1 keys, deduped) and candidates come
+    * from an EQUI join on (block, variant) — O(n·len) index rows
+    * instead of O(block²) pairs, which is what makes the operator
+    * independent of block-key cardinality: a 25-value block key that
+    * would be quadratic death for [[editDistancePairs]] is irrelevant
+    * here because the variant itself is the discriminating key.
+    * Candidates are verified with the bounded levenshtein (a shared
+    * variant does not by itself bound the distance: delete-at-i ∘
+    * insert-at-j reaches distance-2 strings).
+    *
+    * Same output shape as [[editDistancePairs]]: (blockCol, key_a,
+    * str_a, key_b, str_b, dist) with key_a < key_b, each unordered
+    * pair once.
+    */
+  def deletionNeighborhoodPairs(df: DataFrame, keyCol: String,
+      blockCol: String, strCol: String): DataFrame = {
+    val s = col("__str")
+    val variants = array_distinct(transform(
+      sequence(lit(0), length(s)),
+      i => when(i === 0, s)
+        .otherwise(concat(s.substr(lit(1), i - 1),
+          s.substr(i + 1, length(s) - i)))))
+    val idx = df.select(col(blockCol).as("__blk"), col(keyCol).as("__key"),
+        col(strCol).as("__str"))
+      .select(col("__blk"), col("__key"), col("__str"),
+        explode(variants).as("__var"))
+    val a = idx.select(col("__blk"), col("__var"),
+      col("__key").as("key_a"), col("__str").as("str_a"))
+    val b = idx.select(col("__blk"), col("__var"),
+      col("__key").as("key_b"), col("__str").as("str_b"))
+    a.join(b, Seq("__blk", "__var"))
+      .filter(col("key_a") < col("key_b"))
+      .select("__blk", "key_a", "str_a", "key_b", "str_b")
+      .distinct() // a pair can share several variants — count it once
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b"), 1))
+      .filter(col("dist") >= 0)
       .withColumnRenamed("__blk", blockCol)
   }
 }

@@ -75,9 +75,13 @@ object JoinQueries {
               ORDER BY ckey, skey"""),
       (s, d) => customer(s, d)
         .join(broadcast(supplier(s, d)), col("c_nationkey") === col("s_nationkey"))
-        .filter(JaroWinkler(col("c_name"), col("s_name")) >= 0.78)
+        // JW computed ONCE per pair: the filter boundary defeats
+        // common-subexpression reuse if the expression appears in both
+        // filter and select, doubling the dominant cost
+        .withColumn("__sim", JaroWinkler(col("c_name"), col("s_name")))
+        .filter(col("__sim") >= 0.78)
         .select(col("c_custkey").as("ckey"), col("s_suppkey").as("skey"),
-          round(JaroWinkler(col("c_name"), col("s_name")), 4).as("sim"))
+          round(col("__sim"), 4).as("sim"))
         .orderBy("ckey", "skey")),
 
     // J7: two-stage fallback matching — exact key, else fallback key,
@@ -221,19 +225,23 @@ object JoinQueries {
           .select(col("s_suppkey").as("skey"), col("s_nationkey").as("dob_key"),
             upper(col("s_name")).as("cand"), lit(src).as("src"))
         def matchStage(ex: DataFrame): DataFrame = cases.join(ex, Seq("dob_key"))
-          .filter(JaroWinkler(col("full_name"), col("cand")) >= 0.72)
+          // single JW eval per candidate pair (see q_fuzzy_join note)
+          .withColumn("__ratio", JaroWinkler(col("full_name"), col("cand")))
+          .filter(col("__ratio") >= 0.72)
           .select(col("ckey"), col("skey"), col("src"),
-            round(JaroWinkler(col("full_name"), col("cand")), 4).as("ratio"))
+            round(col("__ratio"), 4).as("ratio"))
         matchStage(extract(0, "disp")).unionByName(matchStage(extract(1, "odt")))
           .orderBy("ckey", "skey", "src")
       }),
 
-    // blocked Levenshtein self-match (graft.ops.Relational
-    // .editDistancePairs): exact-edit-distance complement to the
-    // Jaro-Winkler join — near-identical customer names (<=1 edit)
-    // inside a nation block. The block key turns the quadratic into
-    // an equi-shuffle; the length prefilter runs before the O(len²)
-    // distance.
+    // Levenshtein self-match (graft.ops.Relational
+    // .deletionNeighborhoodPairs): exact-edit-distance complement to
+    // the Jaro-Winkler join — near-identical customer names (<=1 edit)
+    // inside a nation block. SymSpell-style: candidates come from an
+    // equi-join on single-deletion variants (O(n·len) index rows), not
+    // an in-block self-join (O(block²) pairs — quadratic death on a
+    // 25-value block key), and the verify step is the bounded 3-arg
+    // levenshtein (banded DP, early exit past the threshold).
     QueryDef("q_lev_join",
       Some("""SELECT a.c_nationkey AS nkey,
                      a.c_custkey AS key_a, b.c_custkey AS key_b,
@@ -244,10 +252,10 @@ object JoinQueries {
               WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
                 AND levenshtein(a.c_name, b.c_name) <= 1
               ORDER BY nkey, key_a, key_b"""),
-      (s, d) => Relational.editDistancePairs(
+      (s, d) => Relational.deletionNeighborhoodPairs(
           customer(s, d).select(col("c_custkey"), col("c_nationkey"),
             col("c_name")),
-          "c_custkey", "c_nationkey", "c_name", 1)
+          "c_custkey", "c_nationkey", "c_name")
         .select(col("c_nationkey").as("nkey"), col("key_a"), col("key_b"),
           col("dist"))
         .orderBy("nkey", "key_a", "key_b"))

@@ -191,13 +191,23 @@ object EventStreams {
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(snapshotDir)
     val fs = path.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "_tmp")
+    val old = new org.apache.hadoop.fs.Path(snapshotDir + "_old")
+    // CRASH RECOVERY before anything reads the snapshot: a crash
+    // between the two swap renames leaves live missing while _old
+    // holds the complete prior snapshot — restore it, or this merge
+    // would silently drop every key not present in the current batch.
+    // (_old alongside a live dir is the other crash window — after the
+    // second rename, before the delete — and live is already complete
+    // there, so _old really is leftover and dies below.)
+    if (!fs.exists(path) && fs.exists(old) && !fs.rename(old, path))
+      throw new java.io.IOException(
+        s"CDC snapshot recovery failed: $old -> $path")
     val merged =
       if (fs.exists(path))
         graft.ops.Relational.upsert(
           spark.read.parquet(snapshotDir), batchLatest, keys, versionCol)
       else batchLatest
-    val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "_tmp")
-    val old = new org.apache.hadoop.fs.Path(snapshotDir + "_old")
     // materialize BEFORE touching the live dir (merged lazily reads it)
     merged.write.mode("overwrite").parquet(tmp.toString)
     // Swap via rename-aside so a live snapshot exists at every instant
