@@ -502,6 +502,193 @@ object ExtQueries {
       (s, d) => Ann.ivfTopK(
         embeddings(s, d).filter(col("vec_id") % 50 === 0),
         embeddings(s, d), 5, 10, nprobe = 2)
-        .orderBy("qid", "rank"))
+        .orderBy("qid", "rank")),
+
+    // ---- similarity search: LSH multi-probe (nprobe=2) — the query
+    // also probes the bucket with its lowest-|margin| sign bit flipped
+    // (the bit most likely to have landed on the wrong side of the
+    // hyperplane), curing the single-bucket recall cliff; corpus-side
+    // indexing is unchanged, the query side just emits 2 keys ----
+    QueryDef("q_ann_lsh2",
+      Some(s"""WITH piv AS (
+                SELECT vec_id AS pid, embedding AS pv,
+                       row_number() OVER (ORDER BY vec_id) AS bitpos
+                FROM embeddings ORDER BY vec_id LIMIT 8),
+              dots AS (
+                SELECT e.vec_id, p.bitpos, ${dotSql("e.embedding", "p.pv")} AS d
+                FROM embeddings e, piv p),
+              sigs AS (
+                SELECT vec_id, string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END,
+                  '' ORDER BY bitpos) AS bucket
+                FROM dots GROUP BY vec_id),
+              v AS (SELECT s.vec_id AS nid, s.bucket, e.embedding AS nv
+                    FROM sigs s JOIN embeddings e ON s.vec_id = e.vec_id),
+              flip AS (
+                SELECT vec_id, bitpos AS fpos FROM (
+                  SELECT vec_id, bitpos,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY abs(d), bitpos) AS rn
+                  FROM dots WHERE vec_id % 50 = 0) WHERE rn = 1),
+              sigs2 AS (
+                SELECT d.vec_id, string_agg(
+                  CASE WHEN (d.d >= 0) <> (d.bitpos = f.fpos)
+                    THEN '1' ELSE '0' END, '' ORDER BY d.bitpos) AS bucket
+                FROM dots d JOIN flip f ON d.vec_id = f.vec_id
+                GROUP BY d.vec_id),
+              q AS (
+                SELECT s.vec_id AS qid, e.embedding AS qv, s.bucket
+                FROM sigs s JOIN embeddings e ON s.vec_id = e.vec_id
+                WHERE s.vec_id % 50 = 0
+                UNION ALL
+                SELECT s2.vec_id AS qid, e.embedding AS qv, s2.bucket
+                FROM sigs2 s2 JOIN embeddings e ON s2.vec_id = e.vec_id),
+              scored AS (
+                SELECT q.qid, c.nid, ${cosSql("q.qv", "c.nv")} AS sim
+                FROM q JOIN v c ON q.bucket = c.bucket AND q.qid <> c.nid)
+              SELECT qid, nid, rank, sim FROM (
+                SELECT qid, nid, sim,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nid) AS INT) AS rank
+                FROM scored)
+              WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => Ann.lshTopK(
+        embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        embeddings(s, d), 5, 8, nprobe = 2)
+        .orderBy("qid", "rank")),
+
+    // ---- ANN recall evaluation: recall@5 of every approximate path
+    // (IVF nprobe 1/2, LSH nprobe 1/2) against the exact brute-force
+    // top-k, in integer basis points — the tuning report a similarity
+    // deployment ships with before trading recall for candidate count.
+    // Float-proof: only pair-set intersections are counted; no score
+    // crosses the engine boundary ----
+    QueryDef("q_ann_recall",
+      Some(s"""WITH bq AS (
+                SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                WHERE vec_id % 50 = 0),
+              brute AS (
+                SELECT qid, nid FROM (
+                  SELECT bq.qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY bq.qid
+                      ORDER BY ${cosSql("bq.qv", "c.embedding")} DESC, c.vec_id) AS rank
+                  FROM bq, embeddings c WHERE bq.qid <> c.vec_id)
+                WHERE rank <= 5),
+              piv AS (
+                SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+                ORDER BY vec_id LIMIT 10),
+              ranked AS (
+                SELECT e.vec_id, e.embedding, p.pid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${cosSql("e.embedding", "p.pvec")} DESC, p.pid) AS rn
+                FROM embeddings e, piv p),
+              cells AS (
+                SELECT vec_id, embedding, pid AS cell FROM ranked WHERE rn = 1),
+              ivf1 AS (
+                SELECT qid, nid FROM (
+                  SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+                  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                  WHERE q.vec_id % 50 = 0)
+                WHERE rank <= 5),
+              ivf2 AS (
+                SELECT qid, nid FROM (
+                  SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+                  FROM ranked q JOIN cells c ON q.pid = c.cell AND q.vec_id <> c.vec_id
+                  WHERE q.vec_id % 50 = 0 AND q.rn <= 2)
+                WHERE rank <= 5),
+              piv8 AS (
+                SELECT vec_id AS pid, embedding AS pv,
+                       row_number() OVER (ORDER BY vec_id) AS bitpos
+                FROM embeddings ORDER BY vec_id LIMIT 8),
+              dots AS (
+                SELECT e.vec_id, p.bitpos, ${dotSql("e.embedding", "p.pv")} AS d
+                FROM embeddings e, piv8 p),
+              sigs AS (
+                SELECT vec_id, string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END,
+                  '' ORDER BY bitpos) AS bucket
+                FROM dots GROUP BY vec_id),
+              v AS (SELECT s.vec_id AS nid, s.bucket, e.embedding AS nv
+                    FROM sigs s JOIN embeddings e ON s.vec_id = e.vec_id),
+              flip AS (
+                SELECT vec_id, bitpos AS fpos FROM (
+                  SELECT vec_id, bitpos,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY abs(d), bitpos) AS rn
+                  FROM dots WHERE vec_id % 50 = 0) WHERE rn = 1),
+              sigs2 AS (
+                SELECT d.vec_id, string_agg(
+                  CASE WHEN (d.d >= 0) <> (d.bitpos = f.fpos)
+                    THEN '1' ELSE '0' END, '' ORDER BY d.bitpos) AS bucket
+                FROM dots d JOIN flip f ON d.vec_id = f.vec_id
+                GROUP BY d.vec_id),
+              q1 AS (
+                SELECT s.vec_id AS qid, e.embedding AS qv, s.bucket
+                FROM sigs s JOIN embeddings e ON s.vec_id = e.vec_id
+                WHERE s.vec_id % 50 = 0),
+              q2 AS (
+                SELECT * FROM q1
+                UNION ALL
+                SELECT s2.vec_id AS qid, e.embedding AS qv, s2.bucket
+                FROM sigs2 s2 JOIN embeddings e ON s2.vec_id = e.vec_id),
+              lsh1 AS (
+                SELECT qid, nid FROM (
+                  SELECT q.qid, c.nid,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY ${cosSql("q.qv", "c.nv")} DESC, c.nid) AS rank
+                  FROM q1 q JOIN v c ON q.bucket = c.bucket AND q.qid <> c.nid)
+                WHERE rank <= 5),
+              lsh2 AS (
+                SELECT qid, nid FROM (
+                  SELECT q.qid, c.nid,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY ${cosSql("q.qv", "c.nv")} DESC, c.nid) AS rank
+                  FROM q2 q JOIN v c ON q.bucket = c.bucket AND q.qid <> c.nid)
+                WHERE rank <= 5),
+              counted AS (
+                SELECT 'ivf' AS method,
+                  (SELECT count(*) FROM brute) AS n_brute,
+                  (SELECT count(*) FROM ivf1 i JOIN brute b
+                    ON i.qid = b.qid AND i.nid = b.nid) AS n_hit
+                UNION ALL
+                SELECT 'ivf2',
+                  (SELECT count(*) FROM brute),
+                  (SELECT count(*) FROM ivf2 i JOIN brute b
+                    ON i.qid = b.qid AND i.nid = b.nid)
+                UNION ALL
+                SELECT 'lsh',
+                  (SELECT count(*) FROM brute),
+                  (SELECT count(*) FROM lsh1 i JOIN brute b
+                    ON i.qid = b.qid AND i.nid = b.nid)
+                UNION ALL
+                SELECT 'lsh2',
+                  (SELECT count(*) FROM brute),
+                  (SELECT count(*) FROM lsh2 i JOIN brute b
+                    ON i.qid = b.qid AND i.nid = b.nid))
+              SELECT method, n_brute, n_hit,
+                CAST(floor(n_hit * 10000.0 / n_brute + 0.5) AS BIGINT) AS recall_bp
+              FROM counted ORDER BY method"""),
+      (s, d) => {
+        val qs = embeddings(s, d).filter(col("vec_id") % 50 === 0)
+        val corpus = embeddings(s, d)
+        val brute = Ann.bruteForceTopK(qs, corpus, 5).select("qid", "nid")
+          .persist()
+        def hitsOf(m: String, approx: org.apache.spark.sql.DataFrame) =
+          brute.join(approx.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
+            .agg(count(lit(1)).cast("long").as("n_hit"))
+            .select(lit(m).as("method"), col("n_hit"))
+        val nb = brute.agg(count(lit(1)).cast("long").as("n_brute"))
+        hitsOf("ivf", Ann.ivfTopK(qs, corpus, 5, 10))
+          .unionByName(hitsOf("ivf2", Ann.ivfTopK(qs, corpus, 5, 10, nprobe = 2)))
+          .unionByName(hitsOf("lsh", Ann.lshTopK(qs, corpus, 5, 8)))
+          .unionByName(hitsOf("lsh2", Ann.lshTopK(qs, corpus, 5, 8, nprobe = 2)))
+          .crossJoin(broadcast(nb))
+          .select(col("method"), col("n_brute"), col("n_hit"),
+            floor(col("n_hit") * 10000.0 / col("n_brute") + 0.5)
+              .cast("long").as("recall_bp"))
+          .orderBy("method")
+      })
   )
 }

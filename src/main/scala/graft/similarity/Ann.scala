@@ -147,18 +147,44 @@ object Ann {
     * the fine search joins on the bucket key.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nBits: Int = 8): DataFrame = {
+      nBits: Int = 8, nprobe: Int = 1): DataFrame = {
     val normals: Seq[Array[Float]] = corpus.orderBy("vec_id").limit(nBits)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray).toSeq
-    def bucketOf(v: Column): Column =
-      concat(normals.map(nv =>
-        when(dot(v, typedlit(nv)) >= 0, lit("1")).otherwise(lit("0"))): _*)
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nvec"),
-      norm(col("embedding")).as("nnrm"), bucketOf(col("embedding")).as("bucket"))
-    val q = broadcast(queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qvec"), norm(col("embedding")).as("qnrm"),
-      bucketOf(col("embedding")).as("bucket")))
+    val bits = normals.length // < nBits on a tiny corpus
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      s"nprobe=$nprobe must be in [1, bits+1=${bits + 1}]")
+    // the per-hyperplane dot products, computed ONCE per row into an
+    // array column — bucket, probe buckets, and flip margins all read
+    // from it instead of re-evaluating the fold
+    def dotsOf(v: Column): Column =
+      array(normals.map(nv => dot(v, typedlit(nv))): _*)
+    // bit i of the bucket, optionally flipped: '1' iff sign XOR flip
+    def bucketFrom(dots: Column, flipPos: Column): Column =
+      concat((0 until bits).map { i =>
+        val bit = element_at(dots, i + 1) >= 0
+        when(bit =!= (flipPos === i), lit("1")).otherwise(lit("0"))
+      }: _*)
+    val noFlip = lit(-1)
+    // bit positions by ascending |margin| (the multi-probe order: the
+    // cheapest bits to have landed on the wrong side), ties by position
+    def flipOrder(dots: Column): Column = sort_array(
+      array((0 until bits).map(i =>
+        struct(abs(element_at(dots, i + 1)).as("m"), lit(i).as("i"))): _*))
+    val c = corpus.withColumn("__dots", dotsOf(col("embedding")))
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+        norm(col("embedding")).as("nnrm"),
+        bucketFrom(col("__dots"), noFlip).as("bucket"))
+    // query probes: own bucket + (nprobe-1) single-bit flips. Probe
+    // keys are pairwise distinct and a corpus row lives in exactly one
+    // bucket, so multi-probe candidates are distinct by construction.
+    val q = broadcast(queries.withColumn("__dots", dotsOf(col("embedding")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        norm(col("embedding")).as("qnrm"),
+        explode(array((bucketFrom(col("__dots"), noFlip) +:
+          (1 until nprobe).map(j => bucketFrom(col("__dots"),
+            element_at(flipOrder(col("__dots")), j).getField("i")))): _*))
+          .as("bucket")))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))

@@ -65,6 +65,22 @@ class AnnSpec extends SparkTestBase {
     assert(out === Seq((0L, 1L, 1)))
   }
 
+  test("lshTopK nprobe=2 also probes the lowest-margin flipped bucket") {
+    // normals = 2 lowest-id vectors: n0=(1,0), n1=(0,1). Buckets:
+    // 0,1 -> "11"; 2,3 -> "10". Query 2=(0.9,-0.1): own bucket "10"
+    // holds only 3; its lowest-|margin| bit is n1 (|−0.1| < |0.9|),
+    // flipping it probes "11" and reaches 0 and 1.
+    val planar = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, -0.1f)), (3L, Array(0.8f, -0.2f)))
+      .toDF("vec_id", "embedding")
+    def nids(nprobe: Int): Set[Long] =
+      Ann.lshTopK(planar.filter(col("vec_id") === 2), planar, 5, 2, nprobe)
+        .select("nid").as[Long].collect().toSet
+    assert(nids(1) === Set(3L))
+    assert(nids(2) === Set(3L, 0L, 1L))
+  }
+
   test("cosinePairs finds the two close pairs under blocking") {
     val blocked = vecs.withColumn("blk", lit(1))
     val pairs = Ann.cosinePairs(blocked, "blk", 0.9)

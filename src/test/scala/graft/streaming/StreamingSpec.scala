@@ -137,4 +137,27 @@ class StreamingSpec extends SparkTestBase {
     assert(snap === expected)
   }
 
+  test("CDC apply recovers a snapshot stranded at _old by a mid-swap crash") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_crash").toString
+    val snapDir = s"$tmp/snapshot"
+    EventStreams.applyCdcBatch(
+      Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "v"),
+      snapDir, Seq("k"), "ver")
+    // simulate a crash between the two swap renames: live is gone,
+    // _old holds the full prior snapshot
+    val fs = new org.apache.hadoop.fs.Path(snapDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(snapDir),
+      new org.apache.hadoop.fs.Path(snapDir + "_old")))
+    // next batch touches only k=2; k=1 must survive via _old recovery
+    EventStreams.applyCdcBatch(
+      Seq((2L, 2L, "B")).toDF("k", "ver", "v"),
+      snapDir, Seq("k"), "ver")
+    val snap = spark.read.parquet(snapDir).orderBy("k")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(snap === Seq((1L, 1L, "a"), (2L, 2L, "B")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(snapDir + "_old")))
+  }
+
 }
