@@ -309,10 +309,73 @@ object Dedup {
     * and the per-pair count uses map-side partial aggregation on the
     * join's existing (block, shingle) partitioning. A within-block
     * stop-shingle ("of the") is the residual skew risk at 100 TB —
-    * AQE skew-join handles moderate cases; beyond that, PPJoin-style
-    * frequency-ordered prefixes prune further but need a vocabulary
-    * shuffle, not worth it below extreme skew.
+    * AQE skew-join handles moderate cases; beyond that use
+    * [[ngramJaccardPairsPruned]], whose frequency-ordered PPJoin
+    * prefix keeps stop-shingles out of the index entirely.
     */
+  /** PPJoin-style prefix-filtered candidates for
+    * [[ngramJaccardPairsPruned]]: each doc indexes only the FIRST
+    * `|sh| - ceil(t·|sh|) + 1` shingles in a global
+    * rarest-first order (ascending document frequency, ties by token).
+    * Correctness: J(a,b) >= t implies |a∩b| >= t·|a∪b| >= ceil(t·|a|),
+    * and two sets with overlap >= α must collide inside their first
+    * `|·| - α + 1` elements of ANY shared total order — so no
+    * qualifying pair is lost, while stop-shingles ("of the") that sit
+    * at the frequent END of the order never enter the index, which is
+    * what caps the within-block skew the unpruned inverted index is
+    * exposed to at 100 TB. The df ranking costs one vocabulary-sized
+    * aggregate + one window over the exploded index — both keyed
+    * shuffles of data that moves anyway.
+    */
+  private[graft] def ngramPrefixCandidates(df: DataFrame, idCol: String,
+      textCol: String, blockCols: Seq[String], n: Int,
+      threshold: Double): DataFrame = {
+    val inv = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+
+        shingles(col(textCol), n).as("sh")): _*)
+      .select((blockCols.map(col) :+ col("id") :+ size(col("sh")).as("sz") :+
+        explode(col("sh")).as("tok")): _*)
+    val freq = inv.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy("id").orderBy(col("__df").asc, col("tok").asc)
+    // ceil(t·sz) with a safety epsilon: float error must never round
+    // the required overlap UP (a longer prefix is merely slower; a
+    // shorter one drops pairs)
+    val prefix = inv.join(freq, Seq("tok"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+    val a = prefix.select(
+      (blockCols.map(col) :+ col("tok") :+ col("id").as("id_a")): _*)
+    val b = prefix.select(
+      (blockCols.map(col) :+ col("tok") :+ col("id").as("id_b")): _*)
+    a.join(b, blockCols :+ "tok")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** [[ngramJaccardPairs]] with the PPJoin prefix filter: candidates
+    * from [[ngramPrefixCandidates]], verified by the exact merge-walk
+    * Jaccard on the full shingle sets. Same answer as the unpruned
+    * operator (DedupSpec pins the equivalence; the registered
+    * q_ngram_prefix query shares q_ngram_jaccard's oracle), fewer
+    * candidates — the trade is a vocabulary aggregate + doc-length
+    * window against immunity to stop-shingle bucket blowup.
+    */
+  def ngramJaccardPairsPruned(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 2, threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0,
+      "ngramJaccardPairsPruned prunes by required overlap; threshold must be > 0")
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ngramPrefixCandidates(df, idCol, textCol, blockCols, n, threshold)
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 2, threshold: Double = 0.2): DataFrame = {
     require(threshold > 0,

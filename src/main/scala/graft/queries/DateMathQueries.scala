@@ -142,6 +142,39 @@ object DateMathQueries {
           col("o_orderkey").as("okey"), npi.as("npi"),
           Checksums.npiValid(npi).as("npi_ok")
         ).orderBy("okey")
+      }),
+
+    // D7 (frame-scale form): business-day deadline per row via the
+    // closed-form BusinessCalendar.addBusinessDaysCol — no UDF, no
+    // iteration (reference `delinquent_data_submitters.py:407,432`:
+    // add_business_days deadline stamped onto every row). The oracle
+    // replays the same roll-forward + whole-weeks + remainder
+    // arithmetic; DuckDB's dayofweek is 0=Sun..6=Sat vs Spark's
+    // 1=Sun..7=Sat, both normalized to Monday-0-based first.
+    QueryDef("q_deadline",
+      Some("""WITH t AS (
+                SELECT o_orderkey AS okey, CAST(o_orderdate AS DATE) AS d,
+                       (dayofweek(CAST(o_orderdate AS DATE)) + 6) % 7 AS mon0
+                FROM orders),
+              r AS (
+                SELECT okey, d,
+                  d + CASE WHEN mon0 = 5 THEN 2 WHEN mon0 = 6 THEN 1 ELSE 0 END
+                    AS rolled,
+                  CASE WHEN mon0 >= 5 THEN 0 ELSE mon0 END AS wd
+                FROM t)
+              SELECT okey, d AS odate,
+                rolled + CAST(((wd + 5) // 5) * 7 + ((wd + 5) % 5) - wd AS INT)
+                  AS deadline5,
+                rolled + CAST(((wd + 10) // 5) * 7 + ((wd + 10) % 5) - wd AS INT)
+                  AS deadline10
+              FROM r ORDER BY okey"""),
+      (s, d) => {
+        val od = to_date(col("o_orderdate"))
+        orders(s, d).select(
+          col("o_orderkey").as("okey"), od.as("odate"),
+          graft.time.BusinessCalendar.addBusinessDaysCol(od, 5).as("deadline5"),
+          graft.time.BusinessCalendar.addBusinessDaysCol(od, 10).as("deadline10")
+        ).orderBy("okey")
       })
   )
 }

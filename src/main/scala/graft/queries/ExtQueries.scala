@@ -364,6 +364,28 @@ object ExtQueries {
         Seq("lang", "source"), n = 2, threshold = 0.09)
         .orderBy("id_a", "id_b")),
 
+    // ---- dedup: n-gram Jaccard with the PPJoin prefix filter — the
+    // stop-shingle-skew-proof variant. Same final answer by the prefix
+    // filtering theorem, so it shares q_ngram_jaccard's oracle: the
+    // hash match IS the equivalence proof ----
+    QueryDef("q_ngram_prefix",
+      Some(s"""WITH base AS (
+                SELECT lang, source, doc_id AS id, $shinglesSql AS sh
+                FROM (SELECT doc_id, lang, source,
+                        string_split_regex(trim(text), '\\s+') AS toks
+                      FROM documents))
+              SELECT a.id AS id_a, b.id AS id_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+              FROM base a JOIN base b
+                ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.09
+              ORDER BY id_a, id_b"""),
+      (s, d) => Dedup.ngramJaccardPairsPruned(documents(s, d), "doc_id", "text",
+        Seq("lang", "source"), n = 2, threshold = 0.09)
+        .orderBy("id_a", "id_b")),
+
     // ---- dedup: embedding-cosine near-dup within label block ----
     QueryDef("q_embed_dupes",
       Some(s"""WITH e AS (SELECT label AS blk, vec_id AS id, embedding AS v

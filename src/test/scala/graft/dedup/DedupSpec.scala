@@ -49,6 +49,35 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((4L, 5L)), "shared words but no shared bigram set >= 0.5")
   }
 
+  test("ppjoin prefix prune: same answer as unpruned, fewer candidates") {
+    import org.apache.spark.sql.functions.{col, explode, lit, size}
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val unpruned = key(Dedup.ngramJaccardPairs(
+      real, "doc_id", "text", Seq("lang", "source"), n = 2, threshold = 0.09))
+    val pruned = key(Dedup.ngramJaccardPairsPruned(
+      real, "doc_id", "text", Seq("lang", "source"), n = 2, threshold = 0.09))
+    assert(pruned === unpruned)
+    assert(pruned.nonEmpty)
+    // candidate-count report: the prefix index must generate strictly
+    // fewer verify pairs than the any-shared-shingle inverted index
+    val inv = real.select(col("lang"), col("source"), col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 2).as("sh"))
+      .select(col("lang"), col("source"), col("id"), explode(col("sh")).as("tok"))
+    val allCand = inv.select(col("lang"), col("source"), col("tok"), col("id").as("id_a"))
+      .join(inv.select(col("lang"), col("source"), col("tok"), col("id").as("id_b")),
+        Seq("lang", "source", "tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().count()
+    val prefCand = Dedup.ngramPrefixCandidates(
+      real, "doc_id", "text", Seq("lang", "source"), 2, 0.09).count()
+    info(s"candidates: unpruned=$allCand prefix=$prefCand")
+    assert(prefCand < allCand)
+    assert(prefCand >= pruned.size)
+  }
+
   test("clusters: transitive pairs collapse to the min reachable id") {
     // chain 1-2, 2-3 plus disjoint 7-5: clusters {1,2,3}->1, {5,7}->5
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 5L)).toDF("id_a", "id_b")
