@@ -103,6 +103,40 @@ class RelationalSpec extends SparkTestBase {
     assert(out === Set((1L, 2L, 1), (2L, 3L, 2)))
   }
 
+  test("deletionNeighborhoodPairs covers every edit kind and nothing past 1") {
+    val df = Seq(
+      (1L, "n1", "kitten"),
+      (2L, "n1", "sitten"),   // substitution -> dist 1
+      (3L, "n1", "kittens"),  // insertion -> dist 1
+      (4L, "n1", "kitte"),    // deletion -> dist 1
+      (5L, "n1", "kitten"),   // equal -> dist 0
+      (6L, "n1", "sittin"),   // dist 2 from kitten: shares a deletion
+                              // variant with sitten only
+      (7L, "n2", "kitten")    // other block: never paired with n1 rows
+    ).toDF("id", "blk", "name")
+    val out = Relational.deletionNeighborhoodPairs(df, "id", "blk", "name")
+      .select("key_a", "key_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 0),
+      (2L, 5L, 1), (3L, 5L, 1), (4L, 5L, 1), (2L, 6L, 1)))
+  }
+
+  test("deletionNeighborhoodPairs agrees with editDistancePairs at maxDist=1") {
+    // randomized-ish corpus without RNG: md5-derived 6-char strings over
+    // a 3-letter alphabet make distance-<=1 collisions common
+    val base = spark.range(300).selectExpr("id",
+      "cast(id % 3 as string) as blk",
+      "substring(regexp_replace(md5(cast(id as string)), '[^abc]', ''), 1, 4) as name")
+      .filter(length(col("name")) >= 2)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("key_a", "key_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = key(Relational.editDistancePairs(base, "id", "blk", "name", 1))
+    val symspell = key(Relational.deletionNeighborhoodPairs(base, "id", "blk", "name"))
+    assert(symspell === brute)
+    assert(brute.nonEmpty)
+  }
+
   test("upsert breaks equal-version ties toward updates, deterministically") {
     val base = Seq((1L, 5, "old"), (2L, 5, "keep")).toDF("k", "ver", "v")
     val upd = Seq((1L, 5, "new")).toDF("k", "ver", "v")
