@@ -48,6 +48,46 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn", "__dig")
   }
 
+  /** Exact-substring span dedup (the ExactSubstr op of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * per document, how many of its distinct `w`-token windows appear
+    * verbatim in at least one OTHER document. Whole-doc dedup misses
+    * boilerplate (licenses, navigation chrome, quoted replies) pasted
+    * into otherwise-distinct pages; span-level counts are what a
+    * training pipeline cuts on.
+    *
+    * Scale shape: each doc emits its distinct rolling windows
+    * keyed by md5 digest — a 32-char key crosses the shuffle, never
+    * the window text — and "shared" resolves as one count-over window
+    * on the digest (rows per digest = docs per digest, because the
+    * (doc, digest) pairs are distinct). That plus the per-doc count
+    * are the only two shuffles, both map-side combinable; cost is
+    * O(total tokens), independent of duplicate-cluster size — the
+    * suffix-array formulation of the paper is the single-node answer,
+    * the inverted digest index is the distributed one. Returns
+    * (idCol, n_spans, n_dup_spans) for every input row; docs shorter
+    * than `w` tokens have zero spans.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 1, s"window w=$w must be >= 1")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // rolling windows; sequence() counts DOWN when start > stop, so
+    // short docs need the explicit empty-array branch
+    val wins = when(size(toks) >= w,
+      array_distinct(transform(sequence(lit(1), size(toks) - w + 1),
+        i => md5(concat_ws(" ", slice(toks, i, lit(w)))))))
+      .otherwise(array().cast("array<string>"))
+    val spans = df.select(col(idCol), explode_outer(wins).as("__dig"))
+    val perDig = Window.partitionBy(col("__dig"))
+    spans
+      .withColumn("__docs", when(col("__dig").isNotNull,
+        count(lit(1)).over(perDig)).otherwise(lit(0L)))
+      .groupBy(idCol)
+      .agg(count(col("__dig")).as("n_spans"),
+        sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+  }
+
   /** Distinct word n-shingles of the text, sorted (set semantics).
     * Native single-pass expression; semantics identical to the
     * composable split→slice→concat_ws→distinct→sort chain the oracle

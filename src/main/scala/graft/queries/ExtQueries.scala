@@ -386,6 +386,30 @@ object ExtQueries {
         Seq("lang", "source"), n = 2, threshold = 0.09)
         .orderBy("id_a", "id_b")),
 
+    // ---- dedup: exact-substring span dedup (ExactSubstr; Lee et al.)
+    // — per-doc count of 8-token windows shared verbatim with another
+    // doc; the span-level complement to whole-doc/minhash dedup ----
+    QueryDef("q_substr_dedup",
+      Some("""WITH t AS (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS toks
+                FROM documents),
+              sp AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(toks) >= 8 THEN
+                    list_transform(range(1, len(toks) - 6), i ->
+                      md5(array_to_string(
+                        toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')))
+                  ELSE [] END)) AS dig
+                FROM t),
+              d AS (SELECT doc_id, dig,
+                  count(*) OVER (PARTITION BY dig) AS n_docs
+                FROM sp)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_spans
+              FROM d GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => Dedup.duplicateSpans(documents(s, d), "doc_id", "text", w = 8)
+        .orderBy("doc_id")),
+
     // ---- dedup: embedding-cosine near-dup within label block ----
     QueryDef("q_embed_dupes",
       Some(s"""WITH e AS (SELECT label AS blk, vec_id AS id, embedding AS v
@@ -397,6 +421,32 @@ object ExtQueries {
               ORDER BY id_a, id_b"""),
       (s, d) => Ann.cosinePairs(embeddings(s, d), "label", 0.3)
         .orderBy("id_a", "id_b")),
+
+    // ---- dedup: SemDeDup — IVF-cell coarse clustering, then drop
+    // every vector with a lower-id cosine neighbor >= 0.3 in its cell;
+    // the keep/drop DECISION layered on the q_embed_dupes primitive ----
+    QueryDef("q_semantic_dedup",
+      Some(s"""WITH piv AS (
+                SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+                ORDER BY vec_id LIMIT 10),
+              cells AS (
+                SELECT vec_id, embedding, pid AS cell FROM (
+                  SELECT e.vec_id, e.embedding, p.pid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosSql("e.embedding", "p.pvec")} DESC, p.pid) AS rn
+                  FROM embeddings e, piv p)
+                WHERE rn = 1),
+              dropped AS (
+                SELECT DISTINCT b.vec_id
+                FROM cells a JOIN cells b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3)
+              SELECT vec_id, cell FROM cells
+              WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+              ORDER BY vec_id"""),
+      (s, d) => Ann.semanticDedup(embeddings(s, d), nPivots = 10,
+        threshold = 0.3)
+        .orderBy("vec_id")),
 
     // ---- vector aggregation: element-wise label centroids ----
     // posexplode -> groupBy (label, dim) -> avg -> reassemble; rounded

@@ -226,4 +226,40 @@ object Ann {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): coarse-
+    * cluster the embeddings into IVF cells, then within each cell drop
+    * every vector that has a LOWER-id neighbor with cosine similarity
+    * >= `threshold` — one deterministic survivor per semantic
+    * near-dup group (the pair rule, not transitive chaining: b dies
+    * to a, c dies only if it also has its own lower-id neighbor).
+    * Returns the kept rows as (vec_id, cell).
+    *
+    * Scale shape: cell assignment is the inlined-pivot map-side
+    * projection of [[assignCells]] (no index shuffle); the candidate
+    * pairing is quadratic ONLY within a cell — the whole point of the
+    * coarse clustering is that cells are capped (at 100 TB: pick
+    * nPivots ~ n/10⁴, or recurse the split on oversized cells); the
+    * drop set carries bare ids and resolves as a LEFT ANTI join on
+    * vec_id. Embeddings never cross a shuffle: both pair sides read
+    * from the same cell-partitioned scan.
+    */
+  def semanticDedup(corpus: DataFrame, nPivots: Int,
+      threshold: Double): DataFrame = {
+    val cells = assignCells(corpus, pivots(corpus, nPivots))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val base = cells.select(col("cell"), col("vec_id").as("id"),
+      col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+    val dropped = base.select(col("cell"), col("id").as("id_a"),
+        col("v").as("v_a"), col("nrm").as("nrm_a"))
+      .join(base.select(col("cell"), col("id").as("id_b"),
+        col("v").as("v_b"), col("nrm").as("nrm_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    cells.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
 }

@@ -126,4 +126,22 @@ class DedupSpec extends SparkTestBase {
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(got.map(_._2).distinct === Seq(5L, big - 2))
   }
+
+  test("duplicateSpans counts 4-token windows shared across docs") {
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", w = 4)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // docs 1/2 identical: all 6 windows shared; doc 3 shares exactly
+    // "the quick brown fox" and "over the lazy dog" with them; docs
+    // 4/5 share words but no 4-token span
+    assert(got === Seq((1L, 6L, 6L), (2L, 6L, 6L), (3L, 6L, 2L),
+      (4L, 4L, 0L), (5L, 3L, 0L)))
+  }
+
+  test("duplicateSpans: docs shorter than the window emit zero spans") {
+    val short = Seq((1L, "too few tokens"), (2L, "too few tokens"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(short, "doc_id", "text", w = 4)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L, 0L), (2L, 0L, 0L)))
+  }
 }

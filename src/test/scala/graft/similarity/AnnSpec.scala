@@ -106,4 +106,20 @@ class AnnSpec extends SparkTestBase {
     assert(byCell.sum === 5L)
   }
 
+  test("semanticDedup keeps the lowest-id survivor per in-cell group") {
+    // 2 pivots = vecs 0 and 1, each its own cell: 1 SURVIVES despite
+    // cos(0,1)=0.994 because near-dups in different coarse cells are
+    // never compared — the documented SemDeDup tradeoff. 2/3 both land
+    // in pivot 1's cell (cos 0.11 vs 0) and 3 dies to 2; 4 ties 0.0 to
+    // both pivots -> lowest pid's cell, orthogonal to 0, survives.
+    val kept = Ann.semanticDedup(vecs, nPivots = 2, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 1L, 2L, 4L))
+  }
+
+  test("semanticDedup at an impossible threshold keeps everything") {
+    val kept = Ann.semanticDedup(vecs, nPivots = 2, threshold = 1.1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 1L, 2L, 3L, 4L))
+  }
 }
