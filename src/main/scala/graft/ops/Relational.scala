@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShim}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -156,6 +156,38 @@ object Relational {
     */
   def sampleN(df: DataFrame, n: Int, seedCols: Seq[String]): DataFrame =
     df.orderBy(xxhash64(seedCols.map(col): _*)).limit(n)
+
+  /** Bloom-filter-accelerated semi join: membership of `fact(factKey)`
+    * in `dim(dimKey)`, exact. The dim keys are folded into a Bloom
+    * filter (one aggregate over the SMALL side — a model parameter,
+    * like the ANN pivots), inlined into the plan, and applied at the
+    * fact scan inside whole-stage codegen; the exact semi join then
+    * runs only on the survivors, so its cost is O(matches + n·fpp)
+    * instead of O(fact).
+    *
+    * Why this matters at 100 TB: a plain semi join shuffles (or at
+    * best re-scans) every fact row to find the typically-few that
+    * match a selective dim; the bloom test drops non-matches at the
+    * scan for `expectedItems·~10 bits` of broadcast — independent of
+    * fact size. False positives only cost residual join work, never
+    * correctness. `expectedItems` should bound the dim-side distinct
+    * count (oversizing wastes broadcast bytes; undersizing inflates
+    * the effective fpp). This is what Spark's AQE runtime filter does
+    * for equi-joins it can see through — wiring it explicitly keeps
+    * the guarantee under plans the optimizer can't prove (unioned
+    * facts, pre-aggregated keys, non-equi residuals).
+    */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, math.max(expectedItems, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val test = graft.functions.BloomMightContain(
+      GraftShim.expression(col(factKey).cast("long")), bos.toByteArray)
+    fact.filter(GraftShim.column(test))
+      .join(dim.select(col(dimKey).as(factKey)).distinct(),
+        Seq(factKey), "left_semi")
+  }
 
   /** Blocked edit-distance self-match: candidate pairs (a, b) within
     * the same `blockCol` value whose `strCol` values are within

@@ -152,6 +152,32 @@ object ScaleQueries {
           sum(col("l_quantity").cast("long")).as("qty"))
         .orderBy("s_nationkey")),
 
+    // bloom-prefiltered semi join: the selective dim side (top-balance
+    // customers) folds into a Bloom filter applied at the orders scan
+    // inside codegen; the exact semi join then sees only survivors.
+    // Result is row-identical to the plain semi join (the oracle IS
+    // the plain IN-subquery); RelationalSpec pins equivalence + the
+    // false-positive bound, PlanSpec pins the filter sitting at the
+    // scan
+    QueryDef("q_bloom_semi",
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS price_cents
+              FROM orders
+              WHERE o_custkey IN
+                (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+              GROUP BY 1 ORDER BY o_orderpriority"""),
+      (s, d) => Relational.bloomSemiJoin(
+          orders(s, d),
+          customer(s, d).filter(col("c_acctbal") > 9000),
+          factKey = "o_custkey", dimKey = "c_custkey",
+          expectedItems = 2048)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("price_cents"))
+        .orderBy("o_orderpriority")),
+
     // latest-wins upsert (corpus refresh): overlay the recrawled
     // snapshot (every 5th doc, bumped version) on the base corpus;
     // each doc_id keeps its newest version. One union + one keyed

@@ -146,4 +146,17 @@ class PlanSpec extends SparkTestBase {
       "expected partial+final aggregate pair")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("bloom semi join tests membership at the fact scan, pre-join") {
+    // the bloom_might_contain filter must run BELOW the semi join, so
+    // the join (and at scale, its exchange) sees only survivors
+    val p = plan("q_bloom_semi")
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(_.contains("bloom_might_contain"))
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("LeftSemi") || l.contains("left_semi"))
+    assert(filterIdx >= 0, "bloom_might_contain not in the plan")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "bloom filter is not below the semi join in the plan tree")
+  }
 }

@@ -145,4 +145,32 @@ class RelationalSpec extends SparkTestBase {
     assert(out === Seq((1L, 5, "new"), (2L, 5, "keep")))
   }
 
+  test("bloomSemiJoin matches the plain semi join exactly") {
+    val fact = (1L to 1000L).map(i => (i, i % 97)).toDF("row_id", "key")
+    val dim = Seq(3L, 42L, 96L).toDF("dk")
+    val got = Relational.bloomSemiJoin(fact, dim, "key", "dk",
+      expectedItems = 3)
+      .select("row_id").as[Long].collect().toSet
+    val want = fact.join(dim, fact("key") === dim("dk"), "left_semi")
+      .select("row_id").as[Long].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("bloomSemiJoin's filter prunes most non-matching rows pre-join") {
+    import org.apache.spark.sql.GraftShim
+    val dim = Seq(5L, 10L).toDF("dk")
+    val bf = dim.stat.bloomFilter("dk", 2, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val fact = (1L to 10000L).toDF("key")
+    val survivors = fact.filter(GraftShim.column(
+        graft.functions.BloomMightContain(
+          GraftShim.expression(col("key")), bos.toByteArray)))
+      .count()
+    // 2 true keys + ~1% fpp of 10k — generous ceiling, zero flake
+    assert(survivors >= 2 && survivors <= 500,
+      s"bloom let $survivors of 10000 rows through")
+  }
+
 }
