@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ZOrder
 import graft.multimodal.Multimodal
-import graft.ops.{Profiler, Relational}
+import graft.ops.{Profiler, Relational, Sketches}
 import graft.similarity.Ann
 import graft.sources.BucketedTables
 import graft.text.{Sampling, TextAnalysis}
@@ -610,6 +610,53 @@ object ScaleQueries {
             sum("freq").cast("long").as("sum_freq"))
           .orderBy("doc_id")
       }),
+
+    // per-document top-3 tf-idf terms (keyword extraction): BM25's
+    // sibling with the same unlogged odds-idf bit-exactness recipe;
+    // ranking equals textbook tf-idf because log is monotone
+    QueryDef("q_tfidf",
+      Some("""WITH t AS (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS term
+                   FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+              dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              scored AS (
+                SELECT doc_id, term,
+                  CAST(tf AS DOUBLE) *
+                    ((CAST(n_docs AS DOUBLE) - CAST(dft AS DOUBLE) + 0.5) /
+                     (CAST(dft AS DOUBLE) + 0.5)) AS score
+                FROM tf JOIN dft USING (term) CROSS JOIN n)
+              SELECT doc_id, term, rk, score FROM (
+                SELECT doc_id, term, score,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS INT) AS rk
+                FROM scored)
+              WHERE rk <= 3 ORDER BY doc_id, rk"""),
+      (s, d) => graft.text.Scoring.tfidfTopTerms(
+          documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")),
+
+    // count-min-sketch heavy-hitter screen: exact top-10 tokens, each
+    // probed against a CMS of the token stream. cms_ge_exact pins the
+    // sketch's one-sided bound (estimate never undercounts) — an
+    // engine-independent invariant, so the oracle asserts TRUE without
+    // reproducing Spark's sketch (same accepted pattern as
+    // q_approx_distinct; the bound is mathematical, not sketch-version
+    // behavior). Completes the sketch family: HLL (q_approx_distinct),
+    // Bloom (q_bloom_semi), MinHash/SimHash (dedup), CMS here
+    QueryDef("q_cms_topk",
+      Some("""WITH t AS (SELECT
+                  unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents)
+              SELECT tok, count(*) AS exact_cnt, TRUE AS cms_ge_exact
+              FROM t GROUP BY tok
+              ORDER BY exact_cnt DESC, tok LIMIT 10"""),
+      (s, d) => Sketches.heavyHitters(
+          documents(s, d)
+            .select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+          "tok", k = 10)
+        .orderBy(col("exact_cnt").desc, col("tok"))),
 
     // round-3 capstone: the daily "train-ready dataset build" composed
     // from the scale kit — exact dedup (digest-keyed keep-first) →

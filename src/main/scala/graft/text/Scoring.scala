@@ -48,4 +48,37 @@ object Scoring {
     withTf.crossJoin(broadcast(stats))
       .select(idCols.map(col) :+ score.as("score"): _*)
   }
+
+  /** Per-document top-`k` terms by tf-idf, with the same rational
+    * ("odds") idf as [[bm25]] — `(N - df + 0.5) / (df + 0.5)` unlogged,
+    * so the score is pure +,-,*,/ on doubles (bit-identical across
+    * engines; log is monotone, so the RANKING equals textbook tf-idf).
+    * Returns (idCol, term, rk, score), rk in 1..k, ties broken by term.
+    *
+    * Scale shape: tf is one (id, term) aggregation of the exploded
+    * tokens; df reduces the tf table again on term (map-side
+    * combinable — input rows are already distinct per doc); the
+    * df-join back co-partitions on term with no extra exchange; N is a
+    * one-row broadcast. The top-k window shuffles on id — at 100 TB
+    * every stage is a keyed reduction of data that must move anyway;
+    * nothing is quadratic and no vocabulary table sits on the driver.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("dft"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        ((col("n_docs").cast("double") - col("dft").cast("double") + 0.5) /
+          (col("dft").cast("double") + 0.5)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("rk"), col("score"))
+  }
 }
