@@ -19,11 +19,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * [[graft.functions.Registry.registerAll]] instead.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
+  }
 }
