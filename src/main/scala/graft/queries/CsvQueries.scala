@@ -61,6 +61,22 @@ object CsvQueries {
           .orderBy("nkey")
       }),
 
+    // extension: JSON-lines round-trip (corpus interchange format) —
+    // write documents as JSONL, re-read with the EXPLICIT parquet
+    // schema, reproduce the parquet content exactly (escaping of
+    // quotes/newlines in text plus long/string types all survive)
+    QueryDef("q_jsonl_roundtrip",
+      Some("""SELECT doc_id, text, lang, source, n_chars
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        val dir = s"/tmp/graft_jsonl/docs_${d.replaceAll("[^0-9.]", "")}"
+        val docs = documents(s, d)
+        graft.sources.JsonSources.writeJsonl(docs, dir)
+        graft.sources.JsonSources.scanJsonl(s, dir, docs.schema)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      }),
+
     // S2: pipe-separated extract round-trip (reference scorecard.py:32)
     QueryDef("q_csv_pipe",
       Some("""SELECT s_suppkey AS skey, s_name AS sname,
