@@ -110,6 +110,29 @@ object ExtQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis ----
+    // ---- text: overlapping character chunking (retrieval / context-
+    // window prep): 200-char chunks, 50-char overlap; the final short
+    // chunk reaches the end of the text. Map-side only — chunking
+    // shuffles nothing ----
+    QueryDef("q_chunk",
+      Some("""WITH t AS (SELECT doc_id, text, length(text) AS len
+                FROM documents),
+              c AS (SELECT doc_id,
+                  CAST(unnest(range(1, greatest(len - 50, 1) + 1, 150))
+                    AS INT) AS start, text
+                FROM t)
+              SELECT doc_id,
+                CAST((start - 1) / 150 + 1 AS INT) AS chunk_idx,
+                substring(text, start, 200) AS chunk
+              FROM c ORDER BY doc_id, chunk_idx"""),
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), size = 200,
+            overlap = 50)).as(Seq("p", "chunk")))
+        .select(col("doc_id"), (col("p") + 1).cast("int").as("chunk_idx"),
+          col("chunk"))
+        .orderBy("doc_id", "chunk_idx")),
+
     QueryDef("q_text_analysis",
       Some(s"""WITH $scoredCtes
               SELECT doc_id, n_tokens,

@@ -246,8 +246,12 @@ object Ann {
     */
   def semanticDedup(corpus: DataFrame, nPivots: Int,
       threshold: Double): DataFrame = {
+    // persisted: the assigned corpus feeds both pair sides AND the
+    // final anti join — unpersisted, Spark would recompute the scan +
+    // pivot argmax three times (at cluster scale: a staging table)
     val cells = assignCells(corpus, pivots(corpus, nPivots))
       .select(col("vec_id"), col("embedding"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = cells.select(col("cell"), col("vec_id").as("id"),
       col("embedding").as("v"), norm(col("embedding")).as("nrm"))
     val dropped = base.select(col("cell"), col("id").as("id_a"),

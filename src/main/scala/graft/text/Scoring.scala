@@ -68,7 +68,11 @@ object Scoring {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    // persisted: tf feeds BOTH the df reduction and the join's probe
+    // side — without it Spark duplicates the explode+aggregate subtree
+    // on each (at cluster scale: a checkpoint/staging table)
     val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("dft"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)

@@ -28,6 +28,24 @@ object TextAnalysis {
 
   def subwordCount(text: Column): Column = subwordCountT(tokens(text))
 
+  /** Overlapping character chunks (retrieval/context-window prep):
+    * chunk i starts at 1 + i·(size − overlap) and spans `size` chars;
+    * starts run to len − overlap so the final (possibly short) chunk
+    * always reaches the end of the text, and every text yields at
+    * least one chunk (empty text → one empty chunk — drop upstream if
+    * unwanted). Returns an array of chunk strings in document order;
+    * pair with posexplode for (chunk_idx, chunk) rows. Pure map-side
+    * expression: chunking a 100 TB corpus shuffles nothing.
+    */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    transform(
+      sequence(lit(1), greatest(length(text) - overlap, lit(1)), lit(stride)),
+      start => text.substr(start, lit(size)))
+  }
+
   /** Tiny per-language stopword inventories for the n-gram/stopword
     * language-ID heuristic. Deliberately small and deterministic.
     */

@@ -62,4 +62,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(good > junk)
     assert(good >= 0.0 && good <= 1.0 && junk >= 0.0 && junk <= 1.0)
   }
+
+  test("chunks: overlap, trailing short chunk, and the 1-chunk edges") {
+    def chunk(s: String, size: Int, overlap: Int): Seq[String] =
+      Seq(s).toDF("t")
+        .select(TextAnalysis.chunks(col("t"), size, overlap).as("c"))
+        .as[Seq[String]].collect().head
+    val ten = "0123456789"
+    // size 4, overlap 1 -> stride 3: starts 1,4,7 cover to the end
+    assert(chunk(ten, 4, 1) === Seq("0123", "3456", "6789"))
+    // size 4, overlap 2 -> stride 2: last chunk short but reaches end
+    assert(chunk(ten, 4, 2) === Seq("0123", "2345", "4567", "6789"))
+    // text shorter than size -> exactly one chunk
+    assert(chunk("abc", 4, 1) === Seq("abc"))
+    // exact fit -> one chunk, no phantom trailing chunk
+    assert(chunk("abcd", 4, 1) === Seq("abcd"))
+    // empty text -> one empty chunk (documented)
+    assert(chunk("", 4, 1) === Seq(""))
+  }
 }
