@@ -188,6 +188,27 @@ object AdvancedQueries {
           .orderBy("lang", "rn")
       }),
 
+    // grouped top-k AS AN AGGREGATE (typed Aggregator UDAF): same
+    // 3-longest-docs-per-lang answer as q_group_topk, but partial
+    // aggregation caps the exchange at k rows per group per partition
+    // where the window shuffles+sorts every row — the shape that wins
+    // at 100 TB. The window formulation IS the oracle
+    QueryDef("q_group_topk_agg",
+      Some("""SELECT lang, doc_id, n_chars, rn FROM (
+                SELECT lang, doc_id, n_chars,
+                  CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS INT) AS rn
+                FROM documents)
+              WHERE rn <= 3 ORDER BY lang, rn"""),
+      (s, d) => documents(s, d)
+        .groupBy("lang")
+        .agg(graft.functions.TopKBy.topKBy(3)(
+          col("n_chars"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("lang"), col("t._2").as("doc_id"),
+          col("t._1").as("n_chars"), (col("p") + 1).cast("int").as("rn"))
+        .orderBy("lang", "rn")),
+
     // BM25 relevance (rational idf — pure arithmetic, engine-exact;
     // graft.text.Scoring). Corpus stats are one tiny broadcast row.
     QueryDef("q_bm25",
