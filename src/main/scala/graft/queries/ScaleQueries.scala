@@ -611,6 +611,33 @@ object ScaleQueries {
           .orderBy("doc_id")
       }),
 
+    // corpus-trained bigram fluency: integer bigram/prefix frequency
+    // sums per doc (order-proof), one final double division — the
+    // bigram step up from q_token_rarity's unigram rarity
+    QueryDef("q_bigram_lm",
+      Some("""WITH t AS (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS toks
+                FROM documents),
+              e0 AS (SELECT doc_id, unnest(
+                  CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)), i ->
+                      toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)])
+                  ELSE [] END) AS bg
+                FROM t),
+              e AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM e0),
+              bf AS (SELECT bg, count(*) AS bfreq FROM e GROUP BY 1),
+              uf AS (SELECT w1, count(*) AS ufreq FROM e GROUP BY 1)
+              SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(bfreq) AS BIGINT) AS sum_bigram_freq,
+                CAST(sum(ufreq) AS BIGINT) AS sum_prefix_freq,
+                CAST(CAST(sum(bfreq) AS BIGINT) AS DOUBLE) /
+                  CAST(CAST(sum(ufreq) AS BIGINT) AS DOUBLE) AS fluency
+              FROM e JOIN bf USING (bg) JOIN uf USING (w1)
+              GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => graft.text.Scoring.bigramFluency(
+          documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // per-document top-3 tf-idf terms (keyword extraction): BM25's
     // sibling with the same unlogged odds-idf bit-exactness recipe;
     // ranking equals textbook tf-idf because log is monotone

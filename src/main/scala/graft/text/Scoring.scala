@@ -85,4 +85,43 @@ object Scoring {
       .filter(col("rk") <= k)
       .select(col(idCol), col("term"), col("rk"), col("score"))
   }
+
+  /** Corpus-trained bigram fluency (the KenLM-shaped signal without a
+    * model file): per document, how often its adjacent token pairs
+    * recur across the corpus, relative to how often their prefix
+    * tokens start ANY bigram — `fluency` = Σ count(w1 w2) / Σ count(w1 ·),
+    * a length-weighted average conditional probability. Boilerplate
+    * and fluent prose score high; token salad scores low. All
+    * accumulations are INTEGER sums (accumulation-order-proof, so the
+    * oracle hash-matches); the single double division happens once per
+    * doc at the end. Docs with fewer than 2 tokens emit no row.
+    *
+    * Scale shape: two vocabulary-sized aggregations (bigram and prefix
+    * counts) over the exploded pairs, joined back co-partitioned on
+    * their own keys, then one per-doc reduction — the exact shape of
+    * q_token_rarity one order up. Frequency-head skew mirrors token
+    * skew; at 100 TB broadcast the head of the bigram table.
+    */
+  def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val bgs = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val e = df.select(col(idCol), explode(bgs).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      // feeds both frequency tables AND the probe side — without the
+      // persist Spark recomputes the explode per consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = e.groupBy("bg").agg(count(lit(1)).as("bfreq"))
+    val uf = e.groupBy("w1").agg(count(lit(1)).as("ufreq"))
+    e.join(bf, Seq("bg")).join(uf, Seq("w1"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("bfreq").cast("long").as("sum_bigram_freq"),
+        sum("ufreq").cast("long").as("sum_prefix_freq"))
+      .withColumn("fluency",
+        col("sum_bigram_freq").cast("double") /
+          col("sum_prefix_freq").cast("double"))
+  }
 }

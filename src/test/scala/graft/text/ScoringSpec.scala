@@ -43,4 +43,27 @@ class ScoringSpec extends SparkTestBase {
     assert(s(2L) > s(1L) && s(4L) > s(2L))
     assert(s(4L) - s(2L) < s(2L) - s(1L)) // diminishing returns in tf
   }
+
+  test("bigramFluency: corpus-common continuations score above salad") {
+    // bigram counts: "the cat"=3, "cat sat"=2, "sat the"=1, "the dog"=1,
+    // "dog sat"=1, "sat down"=1; prefix counts: the=4, cat=2, sat=2, dog=1
+    val docs = Seq(
+      (1L, "the cat sat"),       // 5/6 — the corpus's repeated phrasing
+      (2L, "the cat sat"),
+      (3L, "sat the cat"),       // 4/6 — same tokens reshuffled
+      (4L, "x"),                 // < 2 tokens -> no row
+      (5L, "the dog sat down"))  // 3/7 — one-off continuations
+      .toDF("id", "txt")
+    val out = Scoring.bigramFluency(docs, "id", "txt")
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 5L))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L) === byId(2L).copy(_1 = 1L)) // identical docs tie
+    assert(byId(1L)._5 > byId(3L)._5,
+      "repeated phrasing must outscore the reshuffled token salad")
+    assert(byId(3L)._5 > byId(5L)._5)
+    assert(byId(1L)._5 === 5.0 / 6.0 && byId(3L)._5 === 4.0 / 6.0 &&
+      byId(5L)._5 === 3.0 / 7.0)
+  }
 }
