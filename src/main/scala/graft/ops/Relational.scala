@@ -157,6 +157,22 @@ object Relational {
   def sampleN(df: DataFrame, n: Int, seedCols: Seq[String]): DataFrame =
     df.orderBy(xxhash64(seedCols.map(col): _*)).limit(n)
 
+  /** Forward fill (Polars `fill_null(strategy="forward")` over a keyed
+    * order): each null in `valueCol` takes the most recent non-null
+    * value within its `partCols` group under `orderCols` — the
+    * observation-carried-forward gap fill of sensor/price/state
+    * streams. One window shuffle on the partition key; `orderCols`
+    * must be a total order within groups or the fill is
+    * nondeterministic (add a unique tiebreaker).
+    */
+  def forwardFill(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[Column], valueCol: String): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   /** Bloom-filter-accelerated semi join: membership of `fact(factKey)`
     * in `dim(dimKey)`, exact. The dim keys are folded into a Bloom
     * filter (one aggregate over the SMALL side — a model parameter,

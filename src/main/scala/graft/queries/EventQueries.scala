@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
+import graft.ops.Relational
 import graft.streaming.EventStreams
 
 /** Events-table (time-series) + multimodal queries. The event rollup
@@ -97,6 +98,26 @@ object EventQueries {
           get_json_object(col("props"), "$.k").cast("int").as("k_val"),
           get_json_object(col("props"), "$.missing").as("missing"))
         .filter(col("k_val") >= 50)
+        .orderBy("event_id")),
+
+    // forward fill (fill_null(strategy="forward")): value is observed
+    // only on purchase events; every later event of the same user
+    // carries the last purchase amount forward (null before the first
+    // purchase). Window order (ts, event_id) is total, so the fill is
+    // deterministic; one window shuffle on user_id
+    QueryDef("q_ffill",
+      Some("""SELECT event_id, user_id,
+                last_value(CASE WHEN event_type = 'purchase' THEN value
+                           END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS carried
+              FROM events ORDER BY event_id"""),
+      (s, d) => Relational.forwardFill(
+          events(s, d).withColumn("carried",
+            when(col("event_type") === "purchase", col("value"))),
+          Seq("user_id"), Seq(col("ts"), col("event_id")), "carried")
+        .select("event_id", "user_id", "carried")
         .orderBy("event_id")),
 
     // quantiles: interpolated percentiles (describe()/summary() family)

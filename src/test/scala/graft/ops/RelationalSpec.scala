@@ -145,6 +145,23 @@ class RelationalSpec extends SparkTestBase {
     assert(out === Seq((1L, 5, "new"), (2L, 5, "keep")))
   }
 
+  test("forwardFill carries the last non-null within the group only") {
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, None), ("a", 3L, Some(30.0)),
+      ("a", 4L, None),
+      ("b", 1L, None), ("b", 2L, Some(5.0))) // leading null stays null
+      .map { case (g, i, v) => (g, i, v.map(Double.box).orNull) }
+      .toDF("g", "i", "v")
+    val got = Relational.forwardFill(df, Seq("g"), Seq(col("i")), "v")
+      .orderBy("g", "i")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got === Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, Some(10.0)), ("a", 3L, Some(30.0)),
+      ("a", 4L, Some(30.0)),
+      ("b", 1L, None), ("b", 2L, Some(5.0))))
+  }
+
   test("bloomSemiJoin matches the plain semi join exactly") {
     val fact = (1L to 1000L).map(i => (i, i % 97)).toDF("row_id", "key")
     val dim = Seq(3L, 42L, 96L).toDF("dk")
