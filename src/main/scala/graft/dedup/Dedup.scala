@@ -71,14 +71,21 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     require(w >= 1, s"window w=$w must be >= 1")
-    val toks = split(trim(col(textCol)), "\\s+")
+    // tokenize into a projected column FIRST: slice(toks, i, w) inside
+    // the transform lambda re-evaluates its array subtree per window,
+    // so an inline split would run O(windows) times per doc — an
+    // attribute reference is evaluated once (CollapseProject keeps the
+    // barrier: the alias is non-cheap and multiply-referenced)
+    val toks = col("__toks")
     // rolling windows; sequence() counts DOWN when start > stop, so
     // short docs need the explicit empty-array branch
     val wins = when(size(toks) >= w,
       array_distinct(transform(sequence(lit(1), size(toks) - w + 1),
         i => md5(concat_ws(" ", slice(toks, i, lit(w)))))))
       .otherwise(array().cast("array<string>"))
-    val spans = df.select(col(idCol), explode_outer(wins).as("__dig"))
+    val spans = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol), explode_outer(wins).as("__dig"))
     val perDig = Window.partitionBy(col("__dig"))
     spans
       .withColumn("__docs", when(col("__dig").isNotNull,
