@@ -341,6 +341,25 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Apply near-dup cluster decisions to the corpus — the last mile of
+    * the dedup pipeline (pairs → [[clusters]] → THIS): keep exactly one
+    * representative per cluster (the cluster label, which is the
+    * cluster's minimum id by construction) plus every row that never
+    * appeared in a pair. Complementary to `Ann.semanticDedup`'s
+    * per-pair rule: components here are TRANSITIVE (a~b~c collapses to
+    * one row even when a and c never paired directly).
+    *
+    * Scale shape: the drop set carries bare ids and resolves as one
+    * LEFT ANTI join on the corpus id — the corpus crosses the wire
+    * once, documents never ride the cluster computation.
+    */
+  def applyClusters(df: DataFrame, clusterLabels: DataFrame,
+      idCol: String): DataFrame = {
+    val drops = clusterLabels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard similarity join within blocking keys, by inverted
     * index: explode each doc's (distinct) shingle set, equi-join on
     * (block, shingle), and COUNT the joined rows per pair — because

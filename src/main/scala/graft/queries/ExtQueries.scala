@@ -342,6 +342,40 @@ object ExtQueries {
         Ann.cosinePairs(embeddings(s, d), "label", 0.3))
         .orderBy("id")),
 
+    // ---- dedup: apply the cluster decisions — one representative
+    // (min id) per connected component + every unpaired row; the
+    // pairs → clusters → APPLY last mile. Transitive, vs
+    // q_semantic_dedup's per-pair rule ----
+    QueryDef("q_dedup_apply",
+      Some(s"""WITH RECURSIVE ev AS (
+                SELECT label AS blk, vec_id AS id, embedding AS v
+                FROM embeddings),
+              em_pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM ev a JOIN ev b ON a.blk = b.blk AND a.id < b.id
+                WHERE ${cosSql("a.v", "b.v")} >= 0.3),
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM em_pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM em_pairs),
+              nodes AS (SELECT DISTINCT src AS id FROM edges),
+              cc AS (
+                SELECT id, id AS label FROM nodes
+                UNION
+                SELECT e.dst AS id, cc.label
+                FROM cc JOIN edges e ON cc.id = e.src),
+              labels AS (
+                SELECT id, min(label) AS cluster FROM cc GROUP BY id)
+              SELECT vec_id, label FROM embeddings
+              WHERE vec_id NOT IN
+                (SELECT id FROM labels WHERE id <> cluster)
+              ORDER BY vec_id"""),
+      (s, d) => Dedup.applyClusters(
+          embeddings(s, d).select("vec_id", "label"),
+          Dedup.clusters(Ann.cosinePairs(embeddings(s, d), "label", 0.3)),
+          "vec_id")
+        .orderBy("vec_id")),
+
     // ---- dedup: SimHash (16-bit, two 8-bit bands, hamming <= 3) ----
     QueryDef("q_dedup_simhash",
       Some("""WITH t AS (SELECT doc_id AS id,

@@ -127,6 +127,16 @@ class DedupSpec extends SparkTestBase {
     assert(got.map(_._2).distinct === Seq(5L, big - 2))
   }
 
+  test("applyClusters keeps one representative per component + unpaired rows") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "payload")
+    // 1~2~3 transitively (1-2, 2-3); 4 pairs with nothing; 5 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.applyClusters(corpus, Dedup.clusters(pairs), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
   test("duplicateSpans counts 4-token windows shared across docs") {
     val got = Dedup.duplicateSpans(docs, "doc_id", "text", w = 4)
       .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
