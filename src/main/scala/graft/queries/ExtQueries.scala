@@ -133,6 +133,31 @@ object ExtQueries {
           col("chunk"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // ---- text: deterministic MLM-style token masking (~15% gate,
+    // md5(doc_id:pos) — stable across runs/partitions/engines) ----
+    QueryDef("q_mask_tokens",
+      Some("""WITH t AS (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS toks
+                FROM documents),
+              m AS (SELECT doc_id,
+                  list_transform(range(1, len(toks) + 1), i ->
+                    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(i AS VARCHAR)), 1, 2) < '26'
+                      THEN '<mask>' ELSE toks[CAST(i AS INT)] END) AS mt
+                FROM t)
+              SELECT doc_id, array_to_string(mt, ' ') AS masked,
+                CAST(len(list_filter(mt, x -> x = '<mask>')) AS BIGINT)
+                  AS n_masked
+              FROM m ORDER BY doc_id"""),
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          TextAnalysis.maskTokens(col("doc_id"), col("__toks"),
+            rate256 = 38).as("__m"))
+        .select(col("doc_id"), col("__m.masked").as("masked"),
+          col("__m.n_masked").as("n_masked"))
+        .orderBy("doc_id")),
+
     QueryDef("q_text_analysis",
       Some(s"""WITH $scoredCtes
               SELECT doc_id, n_tokens,

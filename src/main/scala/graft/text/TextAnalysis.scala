@@ -28,6 +28,34 @@ object TextAnalysis {
 
   def subwordCount(text: Column): Column = subwordCountT(tokens(text))
 
+  /** Deterministic MLM-style token masking (denoising corpus prep):
+    * token i of document `id` is replaced by `maskTok` iff the first
+    * two hex chars of md5(id:i) fall below the rate gate — the same
+    * engine-reproducible md5 recipe as text.Sampling, so masks are
+    * stable across runs, partitionings, and engines (no RNG state to
+    * carry). `rate256` is the gate in 1/256ths (38 ≈ 15%). Returns a
+    * struct(masked, n_masked); pure map-side expression.
+    *
+    * The token array must be a PROJECTED COLUMN (attribute), not an
+    * inline split — lambda bodies re-evaluate their subtrees per
+    * element (see Scoring.bigramFluency).
+    */
+  def maskTokens(id: Column, toks: Column, rate256: Int,
+      maskTok: String = "<mask>"): Column = {
+    require(rate256 >= 0 && rate256 <= 256, s"rate256=$rate256 out of range")
+    // "g" sorts above every hex digit -> rate 256 masks everything;
+    // %02x alone would render 256 as "100", which lpad-style
+    // truncation to 2 chars turns into a 1/16 gate
+    val gateHex = if (rate256 >= 256) lit("g") else lit(f"$rate256%02x")
+    val masked = zip_with(toks, sequence(lit(1), size(toks)),
+      (tok, i) => when(
+        substring(md5(concat(id.cast("string"), lit(":"), i.cast("string"))), 1, 2)
+          < gateHex, lit(maskTok)).otherwise(tok))
+    struct(
+      concat_ws(" ", masked).as("masked"),
+      size(filter(masked, t => t === maskTok)).cast("long").as("n_masked"))
+  }
+
   /** Overlapping character chunks (retrieval/context-window prep):
     * chunk i starts at 1 + i·(size − overlap) and spans `size` chars;
     * starts run to len − overlap so the final (possibly short) chunk

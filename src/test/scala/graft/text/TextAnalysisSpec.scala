@@ -63,6 +63,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(good >= 0.0 && good <= 1.0 && junk >= 0.0 && junk <= 1.0)
   }
 
+  test("maskTokens: deterministic, rate-gated, 0/256 extremes exact") {
+    val df = Seq((7L, "one two three four five six seven eight nine ten"))
+      .toDF("id", "txt")
+      .select(col("id"), TextAnalysis.tokens(col("txt")).as("toks"))
+    def run(rate: Int) = df
+      .select(TextAnalysis.maskTokens(col("id"), col("toks"), rate).as("m"))
+      .select(col("m.masked"), col("m.n_masked"))
+      .as[(String, Long)].collect().head
+    assert(run(0) === (("one two three four five six seven eight nine ten", 0L)))
+    val (allMasked, n) = run(256)
+    assert(n === 10L && allMasked === Seq.fill(10)("<mask>").mkString(" "))
+    // deterministic: two evaluations agree; gate is per (id, pos)
+    assert(run(38) === run(38))
+    val (_, n38) = run(38)
+    assert(n38 >= 0L && n38 < 10L)
+  }
+
   test("chunks: overlap, trailing short chunk, and the 1-chunk edges") {
     def chunk(s: String, size: Int, overlap: Int): Seq[String] =
       Seq(s).toDF("t")
