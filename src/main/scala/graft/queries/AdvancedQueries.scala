@@ -188,6 +188,32 @@ object AdvancedQueries {
           .orderBy("lang", "rn")
       }),
 
+    // RANGE-frame rolling aggregate: trailing 48 h of activity per
+    // user at every event — an INTERVAL window (peers by value), not
+    // the rows-frame of q_moving_avg; frame bounds in epoch micros so
+    // both engines draw identical boundaries from the same nanosecond
+    // fixture (ns -> us truncation matches Tables.events' `div 1000`)
+    QueryDef("q_range_window",
+      Some("""SELECT event_id, user_id,
+                     CAST(count(*) OVER w AS BIGINT) AS n_48h,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       OVER w AS BIGINT) AS cents_48h
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-172800000000L, 0L)
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_48h"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).over(w)
+              .as("cents_48h"))
+          .orderBy("event_id")
+      }),
+
     // grouped top-k AS AN AGGREGATE (typed Aggregator UDAF): same
     // 3-longest-docs-per-lang answer as q_group_topk, but partial
     // aggregation caps the exchange at k rows per group per partition
