@@ -78,4 +78,28 @@ class PropertySpec extends AnyFunSuite {
     val est = agree.toDouble / k
     assert(math.abs(est - 1.0 / 3.0) < 0.15, s"estimate $est far from 1/3")
   }
+
+  test("TopKBy: any reduce/merge order equals the sorted-truncate spec") {
+    // production merges partial buffers in nondeterministic order —
+    // the aggregate is only correct if every shuffle of the input and
+    // every split point reach the same answer as sort-and-take-k
+    val agg = new TopKBy(4)
+    def spec(xs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      xs.sortBy { case (v, id) => (-v, id) }.take(4)
+    (1 to trials).foreach { _ =>
+      val xs = Seq.fill(rnd.nextInt(12))(
+        (rnd.nextInt(5).toLong, rnd.nextInt(8).toLong)).distinct
+      val expected = spec(xs)
+      // sequential reduce over a shuffle
+      val shuffled = rnd.shuffle(xs)
+      assert(shuffled.foldLeft(agg.zero)(agg.reduce) === expected)
+      // arbitrary split -> partial buffers -> merge (both orders)
+      val cut = if (xs.isEmpty) 0 else rnd.nextInt(xs.length)
+      val (l, r) = shuffled.splitAt(cut)
+      val bl = l.foldLeft(agg.zero)(agg.reduce)
+      val br = r.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(bl, br) === expected)
+      assert(agg.merge(br, bl) === expected, "merge must be commutative")
+    }
+  }
 }
