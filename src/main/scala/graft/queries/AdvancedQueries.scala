@@ -188,6 +188,25 @@ object AdvancedQueries {
           .orderBy("lang", "rn")
       }),
 
+    // pure-SQL surface pin: temp view + spark.sql through the
+    // REGISTERED custom function (jaro_winkler) — the path a SQL-only
+    // user of the library takes; integer ten-thousandths so the float
+    // never meets engine rounding
+    QueryDef("q_sql_surface",
+      Some("""SELECT c_custkey AS id,
+                CAST(floor(jaro_winkler_similarity(c_name,
+                  'Customer#000000001') * 10000 + 0.5) AS BIGINT) AS sim_e4
+              FROM customer WHERE c_custkey <= 100 ORDER BY id"""),
+      (s, d) => {
+        graft.functions.Registry.registerAll(s)
+        val view = s"g_sql_cust_${d.replaceAll("[^0-9]", "")}"
+        customer(s, d).createOrReplaceTempView(view)
+        s.sql(s"""SELECT c_custkey AS id,
+            CAST(floor(jaro_winkler(c_name, 'Customer#000000001')
+              * 10000 + 0.5) AS BIGINT) AS sim_e4
+          FROM $view WHERE c_custkey <= 100 ORDER BY id""")
+      }),
+
     // RANGE-frame rolling aggregate: trailing 48 h of activity per
     // user at every event — an INTERVAL window (peers by value), not
     // the rows-frame of q_moving_avg; frame bounds in epoch micros so
