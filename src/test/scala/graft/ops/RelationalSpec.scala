@@ -145,6 +145,24 @@ class RelationalSpec extends SparkTestBase {
     assert(out === Seq((1L, 5, "new"), (2L, 5, "keep")))
   }
 
+  test("deletionNeighborhood ≡ blocked pairing on a dense random space") {
+    // tiny alphabet + short strings = the densest possible edit-1
+    // neighborhood, including empty and length-1 strings real name
+    // data never exercises
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 150L).map { i =>
+      val len = rnd.nextInt(5)
+      (i, "blk", (0 until len).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    }.toDF("id", "blk", "s")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("key_a", "key_b", "dist")
+        .as[(Long, Long, Int)].collect().toSet
+    val brute = key(Relational.editDistancePairs(rows, "id", "blk", "s", 1))
+    val sym = key(Relational.deletionNeighborhoodPairs(rows, "id", "blk", "s"))
+    assert(sym === brute)
+    assert(brute.size > 100, s"dense space expected, got ${brute.size} pairs")
+  }
+
   test("forwardFill carries the last non-null within the group only") {
     val df = Seq(
       ("a", 1L, Some(10.0)), ("a", 2L, None), ("a", 3L, Some(30.0)),
