@@ -68,6 +68,17 @@ object Demo {
       graft.functions.ZOrder.zvalue(col("k"), length(col("payload")).cast("long"))
         .as("z")).orderBy("z").show(false)
 
+    // round 5: input-freshness guard (reference files.warn_file_age) —
+    // warns on stderr for stale inputs, returns the age for hard gates
+    val f = java.nio.file.Files.createTempFile("demo_input", ".csv")
+    java.nio.file.Files.writeString(f, "a,b\n1,2\n")
+    val age = graft.sources.Freshness.warnFileAge(spark, f.toString)
+    println(s"freshness: ageMillis=${age.ageMillis} stale=${age.stale} (expect fresh)")
+
+    // round 5: apply dedup decisions — one representative per cluster
+    graft.dedup.Dedup.applyClusters(fact.withColumnRenamed("k", "id"),
+      graft.dedup.Dedup.clusters(pairs), "id").orderBy("id").show(false)
+
     spark.stop()
   }
 }
