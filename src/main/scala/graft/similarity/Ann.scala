@@ -227,6 +227,48 @@ object Ann {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Two-stage quantized search — the production memory path for a
+    * 100 TB embedding corpus: the COARSE pass scores int8-dequantized
+    * vectors (the index stores codes: 4× less scan IO than floats)
+    * and keeps `rerank` candidates per query; the FINE pass fetches
+    * only those candidates' float vectors (join back on id — the
+    * "fetch from the store" shape) and re-ranks with exact cosine to
+    * the final top `k`. Quantization noise can reorder NEIGHBORS but
+    * the re-rank restores exact order among survivors, so recall@k is
+    * governed by `rerank`/k, not by code precision.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    def dequantized(df: DataFrame) = Quantize.int8(df, "embedding")
+      .select(col("vec_id"),
+        Quantize.dequantize(col("q"), col("mn"), col("mx")).as("dv"))
+      .select(col("vec_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("dnrm"))
+    val q = broadcast(dequantized(queries)
+      .select(col("vec_id").as("qid"), col("dv").as("qv"), col("dnrm").as("qnrm")))
+    val c = dequantized(corpus)
+      .select(col("vec_id").as("nid"), col("dv").as("nv"), col("dnrm").as("nnrm"))
+    val wq = Window.partitionBy("qid").orderBy(col("qsim").desc, col("nid").asc)
+    val coarse = q.crossJoin(c)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("qsim", dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= rerank)
+      .select("qid", "nid")
+    // fine: fetch ONLY the candidates' float vectors, exact cosine
+    val qf = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"), norm(col("embedding")).as("qfn")))
+    val wf = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    coarse
+      .join(corpus.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"), norm(col("embedding")).as("nfn")), Seq("nid"))
+      .join(qf, Seq("qid"))
+      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qfn") * col("nfn")))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
   /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): coarse-
     * cluster the embeddings into IVF cells, then within each cell drop
     * every vector that has a LOWER-id neighbor with cosine similarity
