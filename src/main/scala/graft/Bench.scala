@@ -28,6 +28,7 @@ object Bench {
       // whichever later query crosses the collection threshold
       // (measured: q_json_extract 1.5s isolated vs 7.9s late in a full
       // run, same plan)
+      graft.ops.StageCache.releaseAll()
       spark.catalog.clearCache()
       System.gc()
       secs

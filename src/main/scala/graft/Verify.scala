@@ -27,7 +27,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // drop per-query persisted stages
+      finally {
+        // drop per-query persisted stages (releaseAll also empties the
+        // StageCache registry so it can't grow across 130+ queries)
+        graft.ops.StageCache.releaseAll()
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -138,14 +138,12 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8, threshold: Double = 0.3): DataFrame = {
-    val shDf = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val buckets = shDf
+    val shDf = graft.ops.StageCache.persisted(df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh")))
+    val buckets = graft.ops.StageCache.persisted(shDf
       .withColumn("sig", minhashSignature(col("sh"), k))
       .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
-        .as(Seq("band", "bucket")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        .as(Seq("band", "bucket"))))
     val candidates = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -173,9 +171,8 @@ object Dedup {
   def minhashEval(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8,
       threshold: Double = 0.1): DataFrame = {
-    val shDf = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shDf = graft.ops.StageCache.persisted(df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh")))
     val buckets = shDf
       .withColumn("sig", minhashSignature(col("sh"), k))
       .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
@@ -215,12 +212,12 @@ object Dedup {
     // self-join (unlike minhash shingle sets), so the pipeline is one
     // self-join -> native hamming filter -> distinct; no re-join of the
     // sketch table and the distinct shuffle only sees surviving pairs.
-    val buckets = df
+    val bucketsRaw = df
       .select(col(idCol).as("id"), simhashBits(col(textCol)).as("bits"))
       .select(col("id"), col("bits"), explode(array(
         concat_ws("", slice(col("bits"), 1, 8)),
         concat(lit("h2:"), concat_ws("", slice(col("bits"), 9, 8))))).as("bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = graft.ops.StageCache.persisted(bucketsRaw)
     buckets.select(col("bucket"), col("id").as("id_a"), col("bits").as("bits_a"))
       .join(buckets.select(col("bucket"), col("id").as("id_b"), col("bits").as("bits_b")),
         Seq("bucket"))
@@ -432,8 +429,8 @@ object Dedup {
       blockCols: Seq[String], n: Int = 2, threshold: Double = 0.2): DataFrame = {
     require(threshold > 0,
       "ngramJaccardPairsPruned prunes by required overlap; threshold must be > 0")
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docs = graft.ops.StageCache.persisted(
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
     ngramPrefixCandidates(df, idCol, textCol, blockCols, n, threshold)
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -153,9 +153,18 @@ object Relational {
   /** Exact-n deterministic pseudo-sample: stable hash order, first n
     * (the reference's `df.sample(20)` at `check_masked.py:73` is a
     * human-eyeball sample; determinism matters more than entropy here).
+    * The order key is `md5(concat_ws('|', seedCols))` — an
+    * engine-PORTABLE hash (any SQL engine computes the identical
+    * digest from the identical seed values), unlike xxhash64 whose
+    * seed/variant is Spark-private; seedCols break the (practically
+    * impossible) digest tie so the order is total. Spark plans this as
+    * TakeOrderedAndProject: no full sort, no single-partition shuffle.
     */
   def sampleN(df: DataFrame, n: Int, seedCols: Seq[String]): DataFrame =
-    df.orderBy(xxhash64(seedCols.map(col): _*)).limit(n)
+    df.orderBy(
+      md5(concat_ws("|", seedCols.map(col(_).cast("string")): _*)) +:
+        seedCols.map(col(_).asc): _*)
+      .limit(n)
 
   /** Forward fill (Polars `fill_null(strategy="forward")` over a keyed
     * order): each null in `valueCol` takes the most recent non-null
@@ -192,14 +201,35 @@ object Relational {
     * for equi-joins it can see through — wiring it explicitly keeps
     * the guarantee under plans the optimizer can't prove (unioned
     * facts, pre-aggregated keys, non-equi residuals).
+    *
+    * Key-type contract: BOTH keys must be integral (byte/short/int/
+    * long — hashed via the filter's long path) or BOTH strings (hashed
+    * via the filter's UTF-8 binary path). The two hash families are
+    * incompatible, so a mixed or unsupported pairing is rejected
+    * eagerly rather than silently dropping matches as false negatives.
     */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val factType = fact.schema(factKey).dataType
+    val dimType = dim.schema(dimKey).dataType
+    val probe =
+      if (integral(factType) && integral(dimType)) col(factKey).cast("long")
+      else if (factType == StringType && dimType == StringType) col(factKey)
+      else throw new IllegalArgumentException(
+        s"bloomSemiJoin keys must be both integral or both string; got " +
+          s"$factKey: ${factType.simpleString}, $dimKey: ${dimType.simpleString} " +
+          "(the filter's long and UTF-8 hash paths are incompatible — a " +
+          "mixed pairing would return false negatives, not an error)")
     val bf = dim.stat.bloomFilter(dimKey, math.max(expectedItems, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val test = graft.functions.BloomMightContain(
-      GraftShim.expression(col(factKey).cast("long")), bos.toByteArray)
+      GraftShim.expression(probe), bos.toByteArray)
     fact.filter(GraftShim.column(test))
       .join(dim.select(col(dimKey).as(factKey)).distinct(),
         Seq(factKey), "left_semi")
@@ -224,17 +254,84 @@ object Relational {
     * discards cheap rejections before even that runs.
     */
   def editDistancePairs(df: DataFrame, keyCol: String, blockCol: String,
-      strCol: String, maxDist: Int): DataFrame = {
+      strCol: String, maxDist: Int,
+      maxBlockRows: Option[Long] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
-    val a = df.select(col(blockCol).as("__blk"), col(keyCol).as("key_a"),
+    // Optional blowup guard: the docstring's "keep blocks ~10⁴" contract
+    // is otherwise unenforced, and a single hot block turns the pairing
+    // quadratic silently. The check is IN-PLAN (count-over window +
+    // raise_error), so the operator stays lazy and the guard travels
+    // with the plan to wherever it executes; the window shares the
+    // blockCol shuffle the join needs anyway.
+    val guarded = maxBlockRows match {
+      case Some(m) =>
+        require(m >= 1, s"maxBlockRows=$m must be >= 1")
+        val bc = count(lit(1)).over(Window.partitionBy(col(blockCol)))
+        df.withColumn("__bc", bc)
+          .filter(when(col("__bc") > m,
+            raise_error(concat(
+              lit("editDistancePairs: block '"), col(blockCol).cast("string"),
+              lit("' has "), col("__bc").cast("string"),
+              lit(s" rows > maxBlockRows=$m — pairing is quadratic per " +
+                "block; subsplit the key (editDistancePairsBucketed adds " +
+                "a length bucket) or use deletionNeighborhoodPairs for " +
+                "maxDist=1"))).cast("boolean"))
+            .otherwise(lit(true)))
+          .drop("__bc")
+      case None => df
+    }
+    val a = guarded.select(col(blockCol).as("__blk"), col(keyCol).as("key_a"),
       col(strCol).as("str_a"))
-    val b = df.select(col(blockCol).as("__blk"), col(keyCol).as("key_b"),
+    val b = guarded.select(col(blockCol).as("__blk"), col(keyCol).as("key_b"),
       col(strCol).as("str_b"))
     a.join(b, Seq("__blk"))
       .filter(col("key_a") < col("key_b"))
       .filter(abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
       // bounded levenshtein returns -1 when dist > maxDist (and the
       // true distance otherwise), so the filter is a sign test
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .withColumnRenamed("__blk", blockCol)
+  }
+
+  /** [[editDistancePairs]] with an automatic length-bucket subsplit —
+    * the answer to a block that is too hot to pair quadratically. Each
+    * string's home bucket is `floor(len / (maxDist+1))`; a pair within
+    * `maxDist` edits differs by at most `maxDist` characters of length,
+    * so its buckets are equal or adjacent (bucket width = maxDist+1
+    * makes a 2-apart pair differ by >= maxDist+1 in length). The probe
+    * side therefore indexes each row twice (home + home-1 "ghost") and
+    * the join key becomes (block, bucket): no qualifying pair is lost,
+    * and the quadratic is now per (block, LENGTH bucket) — bounded by
+    * the length distribution, not the block-key cardinality. Candidates
+    * are normalized to key_a < key_b and deduped (a same-bucket pair
+    * matches from both sides) before the bounded-levenshtein verify, so
+    * only (key, key) pairs ride the distinct, never the strings' DP.
+    * Same output shape and answer as [[editDistancePairs]].
+    */
+  def editDistancePairsBucketed(df: DataFrame, keyCol: String,
+      blockCol: String, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    val width = maxDist + 1
+    val base = df.select(col(blockCol).as("__blk"), col(keyCol).as("__key"),
+      col(strCol).as("__str"))
+    val home = floor(length(col("__str")) / width).cast("long")
+    val a = base.select(col("__blk"), home.as("__g"),
+      col("__key").as("key_a"), col("__str").as("str_a"))
+    val bHome = base.select(col("__blk"), home.as("__g"),
+      col("__key").as("key_b"), col("__str").as("str_b"))
+    val bGhost = base.select(col("__blk"), (home - 1).as("__g"),
+      col("__key").as("key_b"), col("__str").as("str_b"))
+    val swap = col("key_a") > col("key_b")
+    a.join(bHome.unionByName(bGhost), Seq("__blk", "__g"))
+      .filter(col("key_a") =!= col("key_b"))
+      .filter(abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
+      .select(col("__blk"),
+        when(swap, col("key_b")).otherwise(col("key_a")).as("key_a"),
+        when(swap, col("str_b")).otherwise(col("str_a")).as("str_a"),
+        when(swap, col("key_a")).otherwise(col("key_b")).as("key_b"),
+        when(swap, col("str_a")).otherwise(col("str_b")).as("str_b"))
+      .distinct()
       .withColumn("dist", levenshtein(col("str_a"), col("str_b"), maxDist))
       .filter(col("dist") >= 0)
       .withColumnRenamed("__blk", blockCol)

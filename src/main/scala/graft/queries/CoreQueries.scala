@@ -130,9 +130,19 @@ object CoreQueries {
       ).orderBy("okey", "line")),
 
     // P15: deterministic exact-n sample (reference `check_masked.py:73`).
-    // Hash function differs between engines -> rows-only check (no oracle).
-    QueryDef("q_sample", None,
+    // The sample orders by PORTABLE md5(concat_ws('|', seed)) — DuckDB
+    // computes the identical digests, so the same 20 rows fall out and
+    // the query is fully hash-checkable (closing the round-5 no_oracle
+    // gap). Final ORDER BY ckey makes row order total on both sides.
+    QueryDef("q_sample",
+      Some("""SELECT ckey, name FROM (
+                SELECT c_custkey AS ckey, c_name AS name FROM customer
+                ORDER BY md5(concat_ws('|', CAST(c_custkey AS VARCHAR))),
+                  c_custkey
+                LIMIT 20)
+              ORDER BY ckey"""),
       (s, d) => Relational.sampleN(customer(s, d), 20, Seq("c_custkey"))
-        .select(col("c_custkey").as("ckey"), col("c_name").as("name")))
+        .select(col("c_custkey").as("ckey"), col("c_name").as("name"))
+        .orderBy("ckey"))
   )
 }

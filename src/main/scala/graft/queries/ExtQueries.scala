@@ -472,6 +472,10 @@ object ExtQueries {
     // — per-doc count of 8-token windows shared verbatim with another
     // doc; the span-level complement to whole-doc/minhash dedup ----
     QueryDef("q_substr_dedup",
+      // the span counts LEFT-JOIN back onto t with COALESCE-to-0: a doc
+      // shorter than w tokens has zero spans, and DuckDB's unnest([])
+      // emits no row where Spark's explode_outer keeps the doc — the
+      // left join keeps the two engines aligned on short docs
       Some("""WITH t AS (SELECT doc_id,
                   string_split_regex(trim(text), '\s+') AS toks
                 FROM documents),
@@ -484,11 +488,16 @@ object ExtQueries {
                 FROM t),
               d AS (SELECT doc_id, dig,
                   count(*) OVER (PARTITION BY dig) AS n_docs
-                FROM sp)
-              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-                CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_dup_spans
-              FROM d GROUP BY doc_id ORDER BY doc_id"""),
+                FROM sp),
+              agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_dup_spans
+                FROM d GROUP BY doc_id)
+              SELECT t.doc_id,
+                COALESCE(agg.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+                COALESCE(agg.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans
+              FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+              ORDER BY t.doc_id"""),
       (s, d) => Dedup.duplicateSpans(documents(s, d), "doc_id", "text", w = 8)
         .orderBy("doc_id")),
 
@@ -827,8 +836,8 @@ object ExtQueries {
       (s, d) => {
         val qs = embeddings(s, d).filter(col("vec_id") % 50 === 0)
         val corpus = embeddings(s, d)
-        val brute = Ann.bruteForceTopK(qs, corpus, 5).select("qid", "nid")
-          .persist()
+        val brute = graft.ops.StageCache.persisted(
+          Ann.bruteForceTopK(qs, corpus, 5).select("qid", "nid"))
         def hitsOf(m: String, approx: org.apache.spark.sql.DataFrame) =
           brute.join(approx.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
             .agg(count(lit(1)).cast("long").as("n_hit"))

@@ -178,6 +178,26 @@ object ScaleQueries {
             .as("price_cents"))
         .orderBy("o_orderpriority")),
 
+    // bloom semi join on a STRING key: exercises the filter's UTF-8
+    // binary hash path end-to-end (the long path is q_bloom_semi) —
+    // the round-5 advice found that path returned false negatives;
+    // this query plus RelationalSpec pin the fix
+    QueryDef("q_bloom_semi_str",
+      Some("""SELECT o_orderkey AS okey, o_orderpriority AS prio
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+              ORDER BY okey"""),
+      (s, d) => {
+        import s.implicits._
+        val dim = Seq("1-URGENT", "2-HIGH").toDF("prio")
+        Relational.bloomSemiJoin(
+            orders(s, d).select(col("o_orderkey").as("okey"),
+              col("o_orderpriority").as("prio")),
+            dim, factKey = "prio", dimKey = "prio", expectedItems = 4)
+          .select("okey", "prio")
+          .orderBy("okey")
+      }),
+
     // latest-wins upsert (corpus refresh): overlay the recrawled
     // snapshot (every 5th doc, bumped version) on the base corpus;
     // each doc_id keeps its newest version. One union + one keyed

@@ -236,9 +236,16 @@ object Ann {
     * the final top `k`. Quantization noise can reorder NEIGHBORS but
     * the re-rank restores exact order among survivors, so recall@k is
     * governed by `rerank`/k, not by code precision.
+    *
+    * `excludeSelf` (default true) drops candidates with `nid == qid` —
+    * the right semantics ONLY when queries and corpus share one id
+    * space (the self-join "find my neighbors" use). With an
+    * INDEPENDENT query table pass false: a corpus vector that merely
+    * coincides with a query's vec_id is a legitimate neighbor there,
+    * and the default would silently exclude it.
     */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int, excludeSelf: Boolean = true): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     def dequantized(df: DataFrame) = Quantize.int8(df, "embedding")
       .select(col("vec_id"),
@@ -249,8 +256,9 @@ object Ann {
     val c = dequantized(corpus)
       .select(col("vec_id").as("nid"), col("dv").as("nv"), col("dnrm").as("nnrm"))
     val wq = Window.partitionBy("qid").orderBy(col("qsim").desc, col("nid").asc)
-    val coarse = q.crossJoin(c)
-      .filter(col("qid") =!= col("nid"))
+    val paired = q.crossJoin(c)
+    val coarse = (if (excludeSelf) paired.filter(col("qid") =!= col("nid"))
+                  else paired)
       .withColumn("qsim", dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= rerank)
@@ -290,10 +298,12 @@ object Ann {
       threshold: Double): DataFrame = {
     // persisted: the assigned corpus feeds both pair sides AND the
     // final anti join — unpersisted, Spark would recompute the scan +
-    // pivot argmax three times (at cluster scale: a staging table)
-    val cells = assignCells(corpus, pivots(corpus, nPivots))
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pivot argmax three times (at cluster scale: a staging table).
+    // Registered with StageCache: the result is lazy, so the caller
+    // owns release (StageCache.releaseAll after consuming).
+    val cells = graft.ops.StageCache.persisted(
+      assignCells(corpus, pivots(corpus, nPivots))
+        .select(col("vec_id"), col("embedding"), col("cell")))
     val base = cells.select(col("cell"), col("vec_id").as("id"),
       col("embedding").as("v"), norm(col("embedding")).as("nrm"))
     val dropped = base.select(col("cell"), col("id").as("id_a"),

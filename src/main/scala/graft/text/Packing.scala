@@ -28,9 +28,21 @@ import org.apache.spark.sql.types.{IntegerType, StructField}
   */
 object Packing {
 
+  /** Greedy packing (see object doc). With NO group columns the whole
+    * frame funnels through ONE partition — correct, but a silent scale
+    * trap on a large corpus, so the ungrouped path must be opted into
+    * with `allowGlobal = true` (or, better, use [[packBinsSharded]],
+    * which manufactures a shard key and keeps the scan parallel).
+    */
   def packBins(df: DataFrame, groupCols: Seq[String], orderCol: String,
-      weightCol: String, capacity: Int): DataFrame = {
+      weightCol: String, capacity: Int,
+      allowGlobal: Boolean = false): DataFrame = {
     require(capacity > 0, s"capacity must be positive (got $capacity)")
+    require(groupCols.nonEmpty || allowGlobal,
+      "packBins with no group columns coalesces the ENTIRE frame to one " +
+        "partition (greedy packing is a sequential scan). Pass group " +
+        "columns, use packBinsSharded for a manufactured shard key, or " +
+        "opt in explicitly with allowGlobal = true on a small frame.")
     val outSchema = df.schema.add(StructField("bin", IntegerType, nullable = false))
     val wIdx = df.schema.fieldIndex(weightCol)
     val gIdx = groupCols.map(df.schema.fieldIndex)
@@ -54,5 +66,26 @@ object Packing {
         Row.fromSeq(r.toSeq :+ bin)
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Global packing at scale: hash-shard by the order key into
+    * `nShards` deterministic shards, then pack each shard
+    * independently — the parallel answer to "pack the whole corpus"
+    * that [[packBins]]'s ungrouped path can't give. Bin ids are
+    * per-shard (output carries the `shardCol`); capacity holds within
+    * every (shard, bin). The packing is greedy per shard in `orderCol`
+    * order, so the result is deterministic for a fixed shard count —
+    * it is a DIFFERENT (equally valid) packing than the global
+    * single-scan one, which is the trade that buys the parallelism.
+    */
+  def packBinsSharded(df: DataFrame, nShards: Int, orderCol: String,
+      weightCol: String, capacity: Int,
+      shardCol: String = "shard"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    require(!df.columns.contains(shardCol),
+      s"packBinsSharded writes a '$shardCol' column; input already has one")
+    val sharded = df.withColumn(shardCol,
+      pmod(crc32(col(orderCol).cast("string")), lit(nShards)).cast("int"))
+    packBins(sharded, Seq(shardCol), orderCol, weightCol, capacity)
   }
 }

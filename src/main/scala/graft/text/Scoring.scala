@@ -70,9 +70,11 @@ object Scoring {
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     // persisted: tf feeds BOTH the df reduction and the join's probe
     // side — without it Spark duplicates the explode+aggregate subtree
-    // on each (at cluster scale: a checkpoint/staging table)
-    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // on each (at cluster scale: a checkpoint/staging table). Routed
+    // through StageCache: the result is lazy, so the CALLER releases
+    // (StageCache.releaseAll) once it has been consumed.
+    val tf = graft.ops.StageCache.persisted(
+      toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf")))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("dft"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
@@ -115,11 +117,11 @@ object Scoring {
         (a, b) => concat_ws(" ", a, b)), lit(1), size(t) - 1))
       .otherwise(array().cast("array<string>"))
     // the exploded pairs feed the frequency build AND the probe join —
-    // persisted so neither consumer recomputes the explode
-    val e = df
+    // persisted so neither consumer recomputes the explode (StageCache:
+    // caller releases after consuming the lazy result)
+    val e = graft.ops.StageCache.persisted(df
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(bgs).as("bg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), explode(bgs).as("bg")))
     // prefix counts DERIVE from the bigram vocab (sum of bfreq over
     // w1) — a vocabulary-sized reduction instead of a second full
     // shuffle of the exploded pairs; both frequencies then ride ONE

@@ -47,10 +47,15 @@ object TextAnalysis {
     // %02x alone would render 256 as "100", which lpad-style
     // truncation to 2 chars turns into a 1/16 gate
     val gateHex = if (rate256 >= 256) lit("g") else lit(f"$rate256%02x")
-    val masked = zip_with(toks, sequence(lit(1), size(toks)),
-      (tok, i) => when(
-        substring(md5(concat(id.cast("string"), lit(":"), i.cast("string"))), 1, 2)
-          < gateHex, lit(maskTok)).otherwise(tok))
+    // empty-array guard: sequence(1, 0) counts DOWN to [1, 0] and
+    // zip_with pads toks with null, which would mask up to 2 phantom
+    // tokens — same trap Dedup.duplicateSpans and bigramsT branch on
+    val masked = when(size(toks) >= 1,
+      zip_with(toks, sequence(lit(1), size(toks)),
+        (tok, i) => when(
+          substring(md5(concat(id.cast("string"), lit(":"), i.cast("string"))), 1, 2)
+            < gateHex, lit(maskTok)).otherwise(tok)))
+      .otherwise(array().cast("array<string>"))
     struct(
       concat_ws(" ", masked).as("masked"),
       size(filter(masked, t => t === maskTok)).cast("long").as("n_masked"))

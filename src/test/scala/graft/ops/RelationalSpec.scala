@@ -208,4 +208,79 @@ class RelationalSpec extends SparkTestBase {
       s"bloom let $survivors of 10000 rows through")
   }
 
+  test("bloomSemiJoin on STRING keys matches the plain semi join") {
+    // the round-5 advice case: stat.bloomFilter hashes strings via the
+    // UTF-8 binary path; probing with the long path returned false
+    // negatives. Pin the fixed string-probing branch exactly.
+    val fact = (1L to 500L).map(i => (i, s"name_${i % 37}")).toDF("row_id", "key")
+    val dim = Seq("name_3", "name_17", "name_36", "absent").toDF("dk")
+    val got = Relational.bloomSemiJoin(fact, dim, "key", "dk",
+      expectedItems = 4)
+      .select("row_id").as[Long].collect().toSet
+    val want = fact.join(dim, fact("key") === dim("dk"), "left_semi")
+      .select("row_id").as[Long].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("bloomSemiJoin rejects mixed key types eagerly") {
+    val fact = Seq(("1", 1L)).toDF("key", "v")
+    val dim = Seq(1L).toDF("dk")
+    val e = intercept[IllegalArgumentException] {
+      Relational.bloomSemiJoin(fact, dim, "key", "dk", expectedItems = 1)
+    }
+    assert(e.getMessage.contains("both integral or both string"))
+  }
+
+  test("editDistancePairs maxBlockRows guard: passes under, throws over") {
+    val df = Seq(
+      (1L, "n1", "kitten"), (2L, "n1", "sitten"), (3L, "n1", "sitting"),
+      (4L, "n2", "kitten")).toDF("id", "blk", "name")
+    // limit above the hottest block (3 rows): same answer as unguarded
+    val ok = Relational.editDistancePairs(df, "id", "blk", "name", 2,
+      maxBlockRows = Some(3L))
+      .select("key_a", "key_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(ok === Set((1L, 2L, 1), (2L, 3L, 2)))
+    // limit below: fails fast with the block named in the message
+    val e = intercept[Exception] {
+      Relational.editDistancePairs(df, "id", "blk", "name", 2,
+        maxBlockRows = Some(2L)).count()
+    }
+    assert(e.getMessage.contains("maxBlockRows"), e.getMessage)
+  }
+
+  test("editDistancePairsBucketed ≡ editDistancePairs on a dense space") {
+    // one hot block (the pathological input for the unguarded pairing),
+    // string lengths spanning several buckets so ghost-bucket matching
+    // is exercised across every adjacent-bucket boundary
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 200L).map { i =>
+      val len = rnd.nextInt(7) // buckets 0..3 at maxDist=1 (width 2)
+      (i, "blk", (0 until len).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    }.toDF("id", "blk", "s")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("key_a", "key_b", "dist")
+        .as[(Long, Long, Int)].collect().toSet
+    for (maxDist <- Seq(0, 1, 2)) {
+      val brute = key(Relational.editDistancePairs(rows, "id", "blk", "s", maxDist))
+      val bucketed = key(Relational.editDistancePairsBucketed(
+        rows, "id", "blk", "s", maxDist))
+      assert(bucketed === brute, s"maxDist=$maxDist")
+      assert(brute.size > 50, s"dense space expected at maxDist=$maxDist")
+    }
+  }
+
+  test("sampleN orders by the portable md5 key (DuckDB-recomputable)") {
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val got = Relational.sampleN(df, 5, Seq("k")).select("k").as[Long]
+      .collect().toSet
+    // reference order computed independently of the operator
+    val want = (1L to 100L)
+      .sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+      .take(5).toSet
+    assert(got === want)
+  }
+
 }

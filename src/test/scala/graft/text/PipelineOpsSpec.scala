@@ -80,6 +80,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bins.count() === 0L)
   }
 
+  test("packBins: ungrouped path requires explicit opt-in (scale trap)") {
+    val df = Seq((1L, 10L)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packBins(df, Seq.empty, "id", "w", 512)
+    }
+    assert(e.getMessage.contains("one partition"))
+    // opt-in still works for small frames
+    val out = Packing.packBins(df, Seq.empty, "id", "w", 512,
+      allowGlobal = true)
+    assert(out.select("bin").as[Int].collect().toSeq === Seq(0))
+  }
+
+  test("packBinsSharded: all rows kept, capacity holds per (shard, bin)") {
+    val df = (1L to 300L).map(i => (i, (i * 37 % 400) + 1)).toDF("id", "w")
+    val out = Packing.packBinsSharded(df, nShards = 8, "id", "w", 512)
+    assert(out.count() === 300L)
+    // shards actually spread the rows (crc32 over 300 ids hits >1 shard)
+    assert(out.select("shard").distinct().count() > 1L)
+    val over = out.groupBy("shard", "bin")
+      .agg(sum("w").as("tot"), count(lit(1)).as("n"))
+      .filter(col("tot") > 512 && col("n") > 1)
+    assert(over.count() === 0L)
+  }
+
   test("rateGate: column rate matches hashGate at the same literal rate; nested") {
     val df = spark.range(0, 1000).toDF("id")
     for (r <- Seq(0.0, 0.25, 1.0)) {

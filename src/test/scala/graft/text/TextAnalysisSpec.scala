@@ -80,6 +80,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(n38 >= 0L && n38 < 10L)
   }
 
+  test("maskTokens: empty token array yields no phantom masks") {
+    // sequence(1, 0) counts DOWN and zip_with null-pads: unguarded,
+    // an empty array could emit up to 2 spurious '<mask>' tokens
+    val df = Seq((1L, Seq.empty[String])).toDF("id", "toks")
+    val (masked, n) = df
+      .select(TextAnalysis.maskTokens(col("id"), col("toks"), 256).as("m"))
+      .select(col("m.masked"), col("m.n_masked"))
+      .as[(String, Long)].collect().head
+    assert(n === 0L)
+    assert(masked === "")
+  }
+
   test("chunks: overlap, trailing short chunk, and the 1-chunk edges") {
     def chunk(s: String, size: Int, overlap: Int): Seq[String] =
       Seq(s).toDF("t")
