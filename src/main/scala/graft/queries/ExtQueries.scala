@@ -852,6 +852,149 @@ object ExtQueries {
             floor(col("n_hit") * 10000.0 / col("n_brute") + 0.5)
               .cast("long").as("recall_bp"))
           .orderBy("method")
+      }),
+
+    // ---- ANN recall: k-means-TRAINED IVF pivots vs the untrained
+    // lowest-id seeds, same nprobe=1 — closing the recall gap the
+    // q_ann_recall report exposes. The raw embeddings fixture is
+    // ISOTROPIC noise (measured: intra-label mean cosine 0.0016 vs
+    // 0.0003 inter; true top-5 share the query's label 8% ≈ chance),
+    // where no partitioning beats chance and training can do nothing —
+    // so the query derives a CLUSTERED corpus deterministically from
+    // the fixture (blend each vector with 3× its label centroid,
+    // 6-dp-rounded float arithmetic both engines replay bit-exactly)
+    // and measures both paths there: untrained 19/50 vs trained 29/50
+    // at sf0.01. The oracle replays the 2 Lloyd iterations in SQL with
+    // the q_kmeans_step rounding recipe, so the trained centroids —
+    // and therefore cells, candidates, and recall counts — are
+    // bit-identical; only pair-set intersections cross the engine
+    // boundary ----
+    QueryDef("q_ann_recall_trained",
+      Some(s"""WITH cent AS (
+                SELECT label, list(v ORDER BY dim) AS cvec FROM (
+                  SELECT label, CAST(r.range AS INT) AS dim,
+                    CAST(round(avg(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)), 6)
+                      AS FLOAT) AS v
+                  FROM embeddings, range(1, 65) AS r GROUP BY label, dim)
+                GROUP BY label),
+              eb AS (
+                SELECT e.vec_id, list_transform(range(1, 65),
+                  i -> CAST(round(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                       + 3.0 * CAST(c.cvec[CAST(i AS INT)] AS DOUBLE), 6)
+                       AS FLOAT)) AS embedding
+                FROM embeddings e JOIN cent c ON e.label = c.label),
+              brute AS (
+                SELECT qid, nid FROM (
+                  SELECT bq.vec_id AS qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY bq.vec_id
+                      ORDER BY ${cosSql("bq.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+                  FROM eb bq, eb c WHERE bq.vec_id % 50 = 0 AND bq.vec_id <> c.vec_id)
+                WHERE rank <= 5),
+              piv AS (
+                SELECT vec_id AS pid, embedding AS pvec FROM eb
+                ORDER BY vec_id LIMIT 10),
+              cells AS (
+                SELECT vec_id, embedding, pid AS cell FROM (
+                  SELECT e.vec_id, e.embedding, p.pid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosSql("e.embedding", "p.pvec")} DESC, p.pid) AS rn
+                  FROM eb e, piv p)
+                WHERE rn = 1),
+              ivf1 AS (
+                SELECT qid, nid FROM (
+                  SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+                  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                  WHERE q.vec_id % 50 = 0)
+                WHERE rank <= 5),
+              m1 AS (
+                SELECT cell, CAST(r.range AS INT) AS dim,
+                  CAST(round(avg(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)), 6)
+                    AS FLOAT) AS v
+                FROM cells, range(1, 65) AS r GROUP BY cell, dim),
+              cent1 AS (SELECT cell AS pid, list(v ORDER BY dim) AS pvec
+                FROM m1 GROUP BY cell),
+              asn1 AS (
+                SELECT vec_id, embedding, pid AS cell FROM (
+                  SELECT e.vec_id, e.embedding, p.pid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosSql("e.embedding", "p.pvec")} DESC, p.pid) AS rn
+                  FROM eb e, cent1 p)
+                WHERE rn = 1),
+              m2 AS (
+                SELECT cell, CAST(r.range AS INT) AS dim,
+                  CAST(round(avg(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)), 6)
+                    AS FLOAT) AS v
+                FROM asn1, range(1, 65) AS r GROUP BY cell, dim),
+              cent2 AS (SELECT cell AS pid, list(v ORDER BY dim) AS pvec
+                FROM m2 GROUP BY cell),
+              cellst AS (
+                SELECT vec_id, embedding, pid AS cell FROM (
+                  SELECT e.vec_id, e.embedding, p.pid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosSql("e.embedding", "p.pvec")} DESC, p.pid) AS rn
+                  FROM eb e, cent2 p)
+                WHERE rn = 1),
+              ivft AS (
+                SELECT qid, nid FROM (
+                  SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+                  FROM cellst q JOIN cellst c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                  WHERE q.vec_id % 50 = 0)
+                WHERE rank <= 5),
+              counted AS (
+                SELECT 'ivf' AS method,
+                  (SELECT count(*) FROM brute) AS n_brute,
+                  (SELECT count(*) FROM ivf1 i JOIN brute b
+                    ON i.qid = b.qid AND i.nid = b.nid) AS n_hit
+                UNION ALL
+                SELECT 'ivf_t',
+                  (SELECT count(*) FROM brute),
+                  (SELECT count(*) FROM ivft i JOIN brute b
+                    ON i.qid = b.qid AND i.nid = b.nid))
+              SELECT method, n_brute, n_hit,
+                CAST(floor(n_hit * 10000.0 / n_brute + 0.5) AS BIGINT) AS recall_bp
+              FROM counted ORDER BY method"""),
+      (s, d) => {
+        val raw = embeddings(s, d)
+        // label centroids via the q_embed_centroid recipe (6-dp round,
+        // narrowed to float), reassembled into dim-ordered arrays
+        val cent = raw
+          .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+          .groupBy("label", "p")
+          .agg(round(avg(col("v").cast("double")), 6).cast("float").as("m"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("pm"))
+          .select(col("label"),
+            transform(col("pm"), s => s.getField("m")).as("cvec"))
+        // clustered corpus: vector + 3× its label centroid, double
+        // arithmetic rounded to 6 dp then narrowed — bit-identical to
+        // the oracle's replay. Persisted: feeds brute, both IVF paths,
+        // and the training scans.
+        val corpus = graft.ops.StageCache.persisted(
+          raw.join(broadcast(cent), Seq("label"))
+            .select(col("vec_id"),
+              zip_with(col("embedding"), col("cvec"),
+                (x, c) => round(x.cast("double") + lit(3.0) * c.cast("double"), 6)
+                  .cast("float")).as("embedding")))
+        val qs = corpus.filter(col("vec_id") % 50 === 0)
+        val brute = graft.ops.StageCache.persisted(
+          Ann.bruteForceTopK(qs, corpus, 5).select("qid", "nid"))
+        def hitsOf(m: String, approx: org.apache.spark.sql.DataFrame) =
+          brute.join(approx.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
+            .agg(count(lit(1)).cast("long").as("n_hit"))
+            .select(lit(m).as("method"), col("n_hit"))
+        val nb = brute.agg(count(lit(1)).cast("long").as("n_brute"))
+        hitsOf("ivf", Ann.ivfTopK(qs, corpus, 5, 10))
+          .unionByName(hitsOf("ivf_t",
+            Ann.ivfTopK(qs, corpus, 5, 10, trainIters = 2)))
+          .crossJoin(broadcast(nb))
+          .select(col("method"), col("n_brute"), col("n_hit"),
+            floor(col("n_hit") * 10000.0 / col("n_brute") + 0.5)
+              .cast("long").as("recall_bp"))
+          .orderBy("method")
       })
   )
 }

@@ -258,6 +258,43 @@ object JoinQueries {
           "c_custkey", "c_nationkey", "c_name")
         .select(col("c_nationkey").as("nkey"), col("key_a"), col("key_b"),
           col("dist"))
-        .orderBy("nkey", "key_a", "key_b"))
+        .orderBy("nkey", "key_a", "key_b")),
+
+    // the SAME edit-distance join through the PURE SQL surface: the
+    // query text writes the unbounded `levenshtein(a,b) <= 1` every
+    // user naturally writes, and the BoundedLevenshteinRule (installed
+    // imperatively — the driver session sets no spark.sql.extensions)
+    // rewrites it to the banded 3-arg form at optimization time.
+    // Same answer as q_lev_join (same oracle); PlanSpec pins that the
+    // optimized plan actually carries the bounded form, so this query
+    // is the end-to-end proof the rewrite fires for SQL-only users
+    QueryDef("q_sql_lev",
+      Some("""SELECT a.c_nationkey AS nkey,
+                     a.c_custkey AS key_a, b.c_custkey AS key_b,
+                     levenshtein(a.c_name, b.c_name) AS dist
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey
+              WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+                AND levenshtein(a.c_name, b.c_name) <= 1
+              ORDER BY nkey, key_a, key_b"""),
+      (s, d) => {
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.BoundedLevenshteinRule))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+
+              graft.plans.BoundedLevenshteinRule
+        val view = s"g_sql_lev_cust_${d.replaceAll("[^0-9]", "")}"
+        customer(s, d).createOrReplaceTempView(view)
+        s.sql(s"""SELECT a.c_nationkey AS nkey,
+            a.c_custkey AS key_a, b.c_custkey AS key_b,
+            levenshtein(a.c_name, b.c_name) AS dist
+          FROM $view a JOIN $view b
+            ON a.c_nationkey = b.c_nationkey
+           AND a.c_custkey < b.c_custkey
+          WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+            AND levenshtein(a.c_name, b.c_name) <= 1
+          ORDER BY nkey, key_a, key_b""")
+      })
   )
 }

@@ -111,14 +111,51 @@ object Ann {
         slice(sort_array(pivotSims(pivotData), asc = false), 1, nprobe),
         s => -s.getField("npid"))))
 
+  /** k-means-trained IVF pivots: run `iters` Lloyd iterations from the
+    * deterministic lowest-id seeds and return the refined centroids as
+    * inlinable pivot data. Per-(cell, dim) means are rounded to 6 dp
+    * and narrowed to float before re-inlining — the kmeansStep oracle
+    * recipe — so the trained pivots are bit-identical across engines
+    * and a DuckDB oracle can replay the whole training. Cells that
+    * lose every member drop out (both engines derive that from the
+    * same assignment). Each iteration is one corpus scan + one
+    * map-side-combined (cell, dim) mean aggregation; the centroids are
+    * model parameters, so the corpus never shuffles for training —
+    * at 100 TB the loop's cost is `iters` scans, same as any k-means.
+    */
+  private def trainedPivotData(corpus: DataFrame, nPivots: Int,
+      iters: Int): Array[(Long, Array[Float], Double)] = {
+    var piv = collectPivots(pivots(corpus, nPivots))
+    for (_ <- 1 to iters) {
+      val means = assignInlined(corpus, piv)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .groupBy("cell", "p")
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .collect()
+      piv = means.groupBy(_.getLong(0)).toArray.sortBy(_._1).map {
+        case (pid, rows) =>
+          val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+          // same fold as collectPivots: left-to-right, terms in double
+          val pn = math.sqrt(vec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+          (pid, vec, pn)
+      }
+    }
+    piv
+  }
+
   /** IVF top-k: the corpus is coarse-quantized to its nearest pivot's
     * cell; each query searches its `nprobe` nearest cells (cells
     * partition the corpus, so multi-probe candidates are distinct by
-    * construction).
+    * construction). `trainIters > 0` refines the seed pivots with that
+    * many k-means iterations first ([[trainedPivotData]]) — better
+    * cell boundaries, higher recall at the same nprobe, for the cost
+    * of `trainIters` extra corpus scans at index-build time.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPivots: Int,
-      nprobe: Int = 1): DataFrame = {
-    val piv = collectPivots(pivots(corpus, nPivots))
+      nprobe: Int = 1, trainIters: Int = 0): DataFrame = {
+    val piv =
+      if (trainIters > 0) trainedPivotData(corpus, nPivots, trainIters)
+      else collectPivots(pivots(corpus, nPivots))
     val cells = assignInlined(corpus, piv)
     val qcells =
       if (nprobe <= 1) assignInlined(queries, piv)

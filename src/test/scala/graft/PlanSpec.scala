@@ -159,4 +159,20 @@ class PlanSpec extends SparkTestBase {
     assert(joinIdx >= 0 && filterIdx > joinIdx,
       "bloom filter is not below the semi join in the plan tree")
   }
+
+  test("q_sql_lev: the SQL-surface levenshtein predicate is bounded") {
+    // the registered query writes the unbounded `levenshtein(a,b) <= 1`
+    // in SQL text; the optimizer rule (installed imperatively by the
+    // query itself) must rewrite the PREDICATE to the banded 3-arg form
+    // — the projection's copy legitimately stays 2-arg, so count the
+    // bounded occurrences rather than the absence of unbounded ones
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    val df = SparkEntry.queries("q_sql_lev")(spark, sf)
+    var bounded = 0
+    df.queryExecution.optimizedPlan.transformAllExpressions {
+      case e @ Levenshtein(_, _, Some(_)) => bounded += 1; e
+    }
+    assert(bounded >= 1,
+      "SQL-surface levenshtein(a,b) <= 1 was not rewritten to the 3-arg form")
+  }
 }

@@ -122,4 +122,30 @@ class AnnSpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSet
     assert(kept === Set(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("ivfTopK trainIters: k-means pivots recover clusters bad seeds split") {
+    // 18 vectors in 3 tight axis clusters; the 3 LOWEST ids all sit in
+    // cluster x, so the untrained seeds split cluster x three ways and
+    // scatter y/z — 2 Lloyd iterations must migrate the centroids onto
+    // the true clusters, after which in-cell search equals brute force
+    def v(axis: Int, jit: Float) = Array.tabulate(3)(i =>
+      (if (i == axis) 1.0f else 0.0f) + (if (i == (axis + 1) % 3) jit else 0.0f))
+    val rows = (0 until 18).map { i =>
+      val axis = i / 6 // ids 0-5 on x, 6-11 on y, 12-17 on z
+      (i.toLong, v(axis, 0.02f * (i % 6)))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") % 6 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) = {
+      val brute = Ann.bruteForceTopK(qs, corpus, 3).select("qid", "nid")
+        .as[(Long, Long)].collect().toSet
+      df.select("qid", "nid").as[(Long, Long)].collect().toSet
+        .intersect(brute).size
+    }
+    val trained = hits(Ann.ivfTopK(qs, corpus, 3, 3, trainIters = 2))
+    val untrained = hits(Ann.ivfTopK(qs, corpus, 3, 3))
+    assert(trained === 9, s"trained IVF should equal brute force, got $trained/9")
+    assert(untrained < trained,
+      s"seeds from one cluster should underperform ($untrained vs $trained)")
+  }
 }
