@@ -160,6 +160,68 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The staged MinHash index of a corpus: the banded bucket table
+    * (id, band, bucket) and the shingle-set table (id, sh) — the two
+    * artifacts a running dedup pipeline persists to storage (parquet
+    * staging tables at cluster scale) so that daily deltas can probe
+    * for near-dups WITHOUT ever re-reading or re-sketching the corpus.
+    */
+  final case class MinhashIndex(shingles: DataFrame, buckets: DataFrame)
+
+  /** Build the [[MinhashIndex]] for `df` — one pass over the corpus
+    * (shingle → signature → banded buckets, same parameters as
+    * [[minhashPairs]]). Write both frames to parquet and reload to get
+    * the true incremental shape: the reloaded index carries no lineage
+    * back to the corpus text.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 16, bands: Int = 8): MinhashIndex = {
+    val sh = graft.ops.StageCache.persisted(
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+    val b = sh.withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
+        .as(Seq("band", "bucket")))
+    MinhashIndex(sh, b)
+  }
+
+  /** Incremental MinHash near-dup — the shape a 100 TB pipeline
+    * actually executes daily: sketch ONLY the new snapshot (`delta`),
+    * probe the persisted corpus bucket table for band collisions, and
+    * verify candidates with exact Jaccard against the corpus shingle
+    * table. The corpus crosses no sketch stage: its cost here is two
+    * keyed probe joins of tables that already exist, so a daily run is
+    * O(|delta| · bands) index rows regardless of corpus size — vs
+    * re-running [[minhashPairs]] on corpus ∪ delta, which re-shingles
+    * and re-hashes every corpus document every day.
+    *
+    * Returns (id_a = delta id, id_b = corpus id, jaccard): exactly the
+    * delta-vs-corpus pairs the full recompute would emit (equivalence
+    * pinned in DedupSpec). Within-delta pairs are [[minhashPairs]] on
+    * the delta alone; ids must be disjoint from the corpus's.
+    */
+  def incrementalMinhashPairs(index: MinhashIndex, delta: DataFrame,
+      idCol: String, textCol: String, n: Int = 2, k: Int = 16,
+      bands: Int = 8, threshold: Double = 0.3): DataFrame = {
+    val dsh = graft.ops.StageCache.persisted(
+      delta.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+    val dbk = dsh.withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
+        .as(Seq("band", "bucket")))
+    val candidates = dbk
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(index.buckets.select(col("band"), col("bucket"),
+        col("id").as("id_b")), Seq("band", "bucket"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(dsh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(index.shingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** LSH quality evaluation: run the banding WITHOUT the verify
     * threshold and report how many candidate pairs the buckets
     * produced vs how many survive true-Jaccard verification — the

@@ -338,6 +338,39 @@ object ExtQueries {
         n = 2, k = 16, bands = 8, threshold = 0.1)
         .orderBy("id_a", "id_b")),
 
+    // ---- dedup: INCREMENTAL MinHash — the daily-pipeline shape. The
+    // corpus (even doc_ids) is indexed once (bucket + shingle staging
+    // tables); the delta (odd doc_ids) sketches only itself and probes
+    // the index. The oracle is the full recompute restricted to
+    // delta-vs-corpus pairs, so the hash match IS the
+    // incremental-equals-batch equivalence proof; DedupSpec separately
+    // pins that a parquet-reloaded index leaves the corpus text out of
+    // the plan entirely ----
+    QueryDef("q_incremental_minhash",
+      Some(s"""WITH $minhashBucketCtes,
+              inc AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    AS jaccard
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.id % 2 = 1 AND b.id % 2 = 0
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    >= 0.1)
+              SELECT id_a, id_b, jaccard FROM inc
+              ORDER BY id_a, id_b"""),
+      (s, d) => {
+        val docs = documents(s, d)
+        val index = Dedup.minhashIndex(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+        Dedup.incrementalMinhashPairs(index,
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            "doc_id", "text", threshold = 0.1)
+          .orderBy("id_a", "id_b")
+      }),
+
     // ---- dedup: connected-components cluster assignment over the
     // embedding-cosine near-dup pairs (SemDeDup shape: semantic pair
     // list -> keep-one-per-cluster canonical id). The operator is

@@ -154,4 +154,49 @@ class DedupSpec extends SparkTestBase {
       .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((1L, 0L, 0L), (2L, 0L, 0L)))
   }
+
+  test("incrementalMinhashPairs ≡ batch minhashPairs on delta-vs-corpus") {
+    // corpus = even ids, delta = odd ids (the daily-snapshot split);
+    // the incremental probe must find exactly the cross pairs the full
+    // batch recompute finds — no more (phantom candidates), no fewer
+    // (missed bucket collisions)
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 === 1)
+    val batchPairs: Set[(Long, Long)] = Dedup.minhashPairs(docs, "doc_id",
+      "text", n = 2, k = 16, bands = 8, threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchCross = batchPairs
+      .filter { case (a, b) => a % 2 != b % 2 }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }
+    val inc = Dedup.incrementalMinhashPairs(
+      Dedup.minhashIndex(corpus, "doc_id", "text"), delta,
+      "doc_id", "text", threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inc === batchCross)
+    assert(inc.nonEmpty, "fixture should produce cross near-dups")
+  }
+
+  test("incremental probe of a parquet index never touches corpus text") {
+    // stage the index to parquet and RELOAD it — the true daily shape.
+    // The probe plan must scan the two index tables and the delta
+    // source only: the corpus parquet (the only place its text lives)
+    // must not appear anywhere in the plan
+    val dir = java.nio.file.Files.createTempDirectory("mh_index").toString
+    docs.filter($"doc_id" % 2 === 0).write.mode("overwrite")
+      .parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val built = Dedup.minhashIndex(corpus, "doc_id", "text")
+    built.shingles.write.mode("overwrite").parquet(s"$dir/sh")
+    built.buckets.write.mode("overwrite").parquet(s"$dir/bk")
+    val index = Dedup.MinhashIndex(
+      spark.read.parquet(s"$dir/sh"), spark.read.parquet(s"$dir/bk"))
+    val plan = Dedup.incrementalMinhashPairs(index,
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", threshold = 0.1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains(s"$dir/sh") && plan.contains(s"$dir/bk"),
+      "probe must read the staged index tables")
+    assert(!plan.contains(s"$dir/corpus"),
+      "probe must NOT rescan the corpus parquet (re-sketching)")
+  }
 }
