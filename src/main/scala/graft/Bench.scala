@@ -12,9 +12,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink executes the FULL physical plan (count() would let
     // Catalyst prune every projected expression away)
-    def run(name: String): Double = {
+    def runIn(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -33,6 +33,7 @@ object Bench {
       System.gc()
       secs
     }
+    def run(name: String): Double = runIn(name, sfDir)
     // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b benches a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -64,6 +65,40 @@ object Bench {
         n -> math.min(t, t2)
       } else n -> t
     }
+    // ---- sf1 subset: a 10×-documents tier for the heaviest dedup/
+    // text queries — measures the SCALING EXPONENT (log10 t10/t1), not
+    // just absolute sf0.1 time. Each copy's tokens are prefixed c0..c9
+    // so shingle spaces stay disjoint across copies: per-copy duplicate
+    // density (and so the true answer) scales linearly, and an
+    // exponent near 1.0 means the pipeline's cost does too. Enabled on
+    // the driver's sf0.1 full runs; override with SPARK_GRAFT_SF1=0/1.
+    val sf1Queries = Seq("q_dedup_minhash", "q_ngram_prefix",
+      "q_ngram_jaccard", "q_dedup_eval", "q_dedup_simhash", "q_substr_dedup")
+    val resultMap = results.toMap
+    val sf1Enabled = sys.env.get("SPARK_GRAFT_SF1")
+      .map(_ != "0").getOrElse(sfDir.contains("sf0.1") && only.isEmpty)
+    val sf1: Seq[(String, (Double, Double))] = if (!sf1Enabled) Seq.empty else {
+      import org.apache.spark.sql.functions._
+      val dir = "/tmp/graft_sf1"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until 10).map { k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text", concat_ws(" ",
+            transform(split(trim(col("text")), "\\s+"),
+              t => concat(lit("c" + k), t))))
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      sf1Queries.filter(n => SparkEntry.queries.contains(n) &&
+          only.forall(_.contains(n))).map { n =>
+        val t10 = runIn(n, dir)
+        val t1 = resultMap.getOrElse(n, 0.0)
+        val exp = if (t1 > 0 && t10 > 0) math.log(t10 / t1) / math.log(10.0)
+                  else 0.0
+        System.err.println(f"[bench] sf1 $n%-20s $t10%8.2f s exp $exp%.2f")
+        n -> ((t10, exp))
+      }
+    }
+
     // The harness that captures this output keeps only the LAST 2000
     // chars and json-parses lines; a full-precision 80-query map
     // overflows that window and clips the FRONT of the line (rounds 1
@@ -76,6 +111,11 @@ object Bench {
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + r2(kv._2)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val bySlowest = results.sortBy(-_._2)
+    val sf1Part =
+      if (sf1.isEmpty) ""
+      else s""","sf1_subset":${sf1.sortBy(_._1).map { case (n, (t, e)) =>
+        "\"" + n + "\":{\"sec\":" + r2(t) + ",\"exp\":" + r2(e) + "}"
+      }.mkString("{", ",", "}")}"""
     def line(kept: Seq[(String, Double)]): String = {
       val rest = bySlowest.drop(kept.size)
       val restPart =
@@ -83,13 +123,13 @@ object Bench {
         else s""","rest_sec":${r2(rest.map(_._2).sum)},"n_rest":${rest.size}"""
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${
         results.size},"queries":${
-        kept.map(entry).mkString("{", ",", "}")}$restPart,"value":${r2(total)}}"""
+        kept.map(entry).mkString("{", ",", "}")}$restPart$sf1Part,"value":${r2(total)}}"""
     }
     val kept = (bySlowest.size to 0 by -1).view
       .map(bySlowest.take).find(k => line(k).length <= 1400)
       .getOrElse(Seq.empty)
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${
-      bySlowest.map(entry).mkString("{", ",", "}")},"value":${r2(total)}}"""
+      bySlowest.map(entry).mkString("{", ",", "}")}$sf1Part,"value":${r2(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_full_last.json")
       try w.println(full) finally w.close()

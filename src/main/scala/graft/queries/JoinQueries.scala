@@ -265,9 +265,13 @@ object JoinQueries {
     // user naturally writes, and the BoundedLevenshteinRule (installed
     // imperatively — the driver session sets no spark.sql.extensions)
     // rewrites it to the banded 3-arg form at optimization time.
-    // Same answer as q_lev_join (same oracle); PlanSpec pins that the
-    // optimized plan actually carries the bounded form, so this query
-    // is the end-to-end proof the rewrite fires for SQL-only users
+    // Scoped to c_custkey <= 5000: the naive SQL is block-quadratic
+    // BY CONSTRUCTION (that is what users write; the scale path with
+    // SymSpell candidates is q_lev_join), so the surface pin runs on a
+    // slice instead of taxing every bench run ~20 s. PlanSpec pins
+    // that the optimized plan actually carries the bounded form, so
+    // this query is the end-to-end proof the rewrite fires for
+    // SQL-only users
     QueryDef("q_sql_lev",
       Some("""SELECT a.c_nationkey AS nkey,
                      a.c_custkey AS key_a, b.c_custkey AS key_b,
@@ -275,7 +279,8 @@ object JoinQueries {
               FROM customer a JOIN customer b
                 ON a.c_nationkey = b.c_nationkey
                AND a.c_custkey < b.c_custkey
-              WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+              WHERE a.c_custkey <= 5000 AND b.c_custkey <= 5000
+                AND abs(length(a.c_name) - length(b.c_name)) <= 1
                 AND levenshtein(a.c_name, b.c_name) <= 1
               ORDER BY nkey, key_a, key_b"""),
       (s, d) => {
@@ -292,7 +297,8 @@ object JoinQueries {
           FROM $view a JOIN $view b
             ON a.c_nationkey = b.c_nationkey
            AND a.c_custkey < b.c_custkey
-          WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+          WHERE a.c_custkey <= 5000 AND b.c_custkey <= 5000
+            AND abs(length(a.c_name) - length(b.c_name)) <= 1
             AND levenshtein(a.c_name, b.c_name) <= 1
           ORDER BY nkey, key_a, key_b""")
       })
