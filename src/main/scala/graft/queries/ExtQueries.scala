@@ -981,14 +981,21 @@ object ExtQueries {
                 SELECT 'ivf' AS method,
                   (SELECT count(*) FROM brute) AS n_brute,
                   (SELECT count(*) FROM ivf1 i JOIN brute b
-                    ON i.qid = b.qid AND i.nid = b.nid) AS n_hit
+                    ON i.qid = b.qid AND i.nid = b.nid) AS n_hit,
+                  (SELECT count(*) FROM cells q JOIN cells c
+                    ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                    WHERE q.vec_id % 50 = 0) AS n_cand
                 UNION ALL
                 SELECT 'ivf_t',
                   (SELECT count(*) FROM brute),
                   (SELECT count(*) FROM ivft i JOIN brute b
-                    ON i.qid = b.qid AND i.nid = b.nid))
+                    ON i.qid = b.qid AND i.nid = b.nid),
+                  (SELECT count(*) FROM cellst q JOIN cellst c
+                    ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                    WHERE q.vec_id % 50 = 0))
               SELECT method, n_brute, n_hit,
-                CAST(floor(n_hit * 10000.0 / n_brute + 0.5) AS BIGINT) AS recall_bp
+                CAST(floor(n_hit * 10000.0 / n_brute + 0.5) AS BIGINT) AS recall_bp,
+                CAST(n_cand AS BIGINT) AS n_cand
               FROM counted ORDER BY method"""),
       (s, d) => {
         val raw = embeddings(s, d)
@@ -1015,18 +1022,23 @@ object ExtQueries {
         val qs = corpus.filter(col("vec_id") % 50 === 0)
         val brute = graft.ops.StageCache.persisted(
           Ann.bruteForceTopK(qs, corpus, 5).select("qid", "nid"))
-        def hitsOf(m: String, approx: org.apache.spark.sql.DataFrame) =
+        def hitsOf(m: String, approx: org.apache.spark.sql.DataFrame,
+            cands: org.apache.spark.sql.DataFrame) =
           brute.join(approx.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
             .agg(count(lit(1)).cast("long").as("n_hit"))
-            .select(lit(m).as("method"), col("n_hit"))
+            .crossJoin(cands.agg(count(lit(1)).cast("long").as("n_cand")))
+            .select(lit(m).as("method"), col("n_hit"), col("n_cand"))
         val nb = brute.agg(count(lit(1)).cast("long").as("n_brute"))
-        hitsOf("ivf", Ann.ivfTopK(qs, corpus, 5, 10))
+        hitsOf("ivf", Ann.ivfTopK(qs, corpus, 5, 10),
+            Ann.ivfCandidates(qs, corpus, 10))
           .unionByName(hitsOf("ivf_t",
-            Ann.ivfTopK(qs, corpus, 5, 10, trainIters = 2)))
+            Ann.ivfTopK(qs, corpus, 5, 10, trainIters = 2),
+            Ann.ivfCandidates(qs, corpus, 10, trainIters = 2)))
           .crossJoin(broadcast(nb))
           .select(col("method"), col("n_brute"), col("n_hit"),
             floor(col("n_hit") * 10000.0 / col("n_brute") + 0.5)
-              .cast("long").as("recall_bp"))
+              .cast("long").as("recall_bp"),
+            col("n_cand"))
           .orderBy("method")
       })
   )

@@ -173,6 +173,27 @@ object Ann {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** The candidate (qid, nid) pairs an IVF probe would score — the
+    * COST side of the recall/cost trade (every candidate is one dot
+    * product at search time). q_ann_recall_trained reports it next to
+    * recall_bp so the tuning decision — more training vs more probes —
+    * reads off a single row.
+    */
+  def ivfCandidates(queries: DataFrame, corpus: DataFrame, nPivots: Int,
+      nprobe: Int = 1, trainIters: Int = 0): DataFrame = {
+    val piv =
+      if (trainIters > 0) trainedPivotData(corpus, nPivots, trainIters)
+      else collectPivots(pivots(corpus, nPivots))
+    val cells = assignInlined(corpus, piv)
+    val qcells =
+      if (nprobe <= 1) assignInlined(queries, piv)
+      else probeInlined(queries, piv, nprobe)
+    broadcast(qcells.select(col("vec_id").as("qid"), col("cell")))
+      .join(cells.select(col("vec_id").as("nid"), col("cell")), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+  }
+
   /** LSH-bucketed ANN (random-hyperplane signatures): the sign pattern
     * of dot products against `nBits` deterministic normal vectors (the
     * lowest-id corpus rows — reproducible stand-ins for sampled
