@@ -136,29 +136,13 @@ object Dedup {
     * candidates from shared LSH buckets, verified with exact Jaccard on
     * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
+  // No broadcast hint on the shingle sides of the verify joins: the
+  // corpus is the BIG side at scale (AQE broadcasts it locally where it
+  // is tiny; on a cluster these become shuffled hash joins keyed by id).
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, k: Int = 16, bands: Int = 8, threshold: Double = 0.3): DataFrame = {
-    val shDf = graft.ops.StageCache.persisted(df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh")))
-    val buckets = graft.ops.StageCache.persisted(shDf
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
-        .as(Seq("band", "bucket"))))
-    val candidates = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    // No broadcast hint on the shingle side: the corpus is the BIG side
-    // at scale (AQE broadcasts it locally where it is tiny; on a
-    // cluster these become shuffled hash joins keyed by id).
-    candidates
-      .join(shDf.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shDf.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+      n: Int = 2, k: Int = 16, bands: Int = 8, threshold: Double = 0.3): DataFrame =
+    minhashPairsFromIndex(minhashIndex(df, idCol, textCol, n, k, bands),
+      threshold)
 
   /** The staged MinHash index of a corpus: the banded bucket table
     * (id, band, bucket) and the shingle-set table (id, sh) — the two
@@ -178,10 +162,59 @@ object Dedup {
       n: Int = 2, k: Int = 16, bands: Int = 8): MinhashIndex = {
     val sh = graft.ops.StageCache.persisted(
       df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
-    val b = sh.withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
-        .as(Seq("band", "bucket")))
+    // buckets persisted too: every consumer (pair self-join sides, the
+    // staging write) would otherwise recompute the k-way md5 signature
+    val b = graft.ops.StageCache.persisted(
+      sh.withColumn("sig", minhashSignature(col("sh"), k))
+        .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
+          .as(Seq("band", "bucket"))))
     MinhashIndex(sh, b)
+  }
+
+  /** [[minhashPairs]] over a pre-built index — lets a caller who
+    * already holds the sketches (e.g. CorpusStreams.admitBatch, which
+    * also probes and stages them) pair without re-sketching.
+    */
+  def minhashPairsFromIndex(index: MinhashIndex,
+      threshold: Double): DataFrame = {
+    val candidates = index.buckets
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(index.buckets.select(col("band"), col("bucket"),
+        col("id").as("id_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(index.shingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(index.shingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[incrementalMinhashPairs]] with the delta's sketches pre-built —
+    * the no-resketch probe for callers that need the delta index for
+    * other purposes too (within-batch pairing, staging the admitted
+    * rows).
+    */
+  def incrementalMinhashPairsFromIndex(corpus: MinhashIndex,
+      delta: MinhashIndex, threshold: Double): DataFrame = {
+    val candidates = delta.buckets
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(corpus.buckets.select(col("band"), col("bucket"),
+        col("id").as("id_b")), Seq("band", "bucket"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(delta.shingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(corpus.shingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Incremental MinHash near-dup — the shape a 100 TB pipeline
@@ -201,26 +234,9 @@ object Dedup {
     */
   def incrementalMinhashPairs(index: MinhashIndex, delta: DataFrame,
       idCol: String, textCol: String, n: Int = 2, k: Int = 16,
-      bands: Int = 8, threshold: Double = 0.3): DataFrame = {
-    val dsh = graft.ops.StageCache.persisted(
-      delta.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
-    val dbk = dsh.withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
-        .as(Seq("band", "bucket")))
-    val candidates = dbk
-      .select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(index.buckets.select(col("band"), col("bucket"),
-        col("id").as("id_b")), Seq("band", "bucket"))
-      .select("id_a", "id_b")
-      .distinct()
-    candidates
-      .join(dsh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(index.shingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+      bands: Int = 8, threshold: Double = 0.3): DataFrame =
+    incrementalMinhashPairsFromIndex(index,
+      minhashIndex(delta, idCol, textCol, n, k, bands), threshold)
 
   /** LSH quality evaluation: run the banding WITHOUT the verify
     * threshold and report how many candidate pairs the buckets

@@ -93,6 +93,55 @@ object ScaleQueries {
           .orderBy("doc_id")
       }),
 
+    // streaming corpus admission, batch-twinned: day-1 docs (even ids)
+    // bootstrap the persistent minhash index; day-2 docs (odd ids) are
+    // admitted only if near-dup neither of a lower-id day-2 doc (the
+    // SemDeDup pair rule) nor of anything admitted on day 1 — the
+    // foreachBatch body of CorpusStreams.admitStream run twice. The
+    // oracle replays both days' admission decisions from the verified
+    // pair list; StreamingSpec drives the same path through a real
+    // file stream and pins re-delivery safety
+    QueryDef("q_stream_admit",
+      Some(s"""WITH ${ExtQueries.minhashBucketCtes},
+              p0 AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    >= 0.3),
+              adm1 AS (
+                SELECT id FROM base WHERE id % 2 = 0 AND id NOT IN (
+                  SELECT id_b FROM p0 WHERE id_a % 2 = 0 AND id_b % 2 = 0)),
+              hit2 AS (
+                SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id
+                FROM p0
+                WHERE (id_a % 2) <> (id_b % 2)
+                  AND (CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END)
+                        IN (SELECT id FROM adm1)),
+              adm2 AS (
+                SELECT id FROM base WHERE id % 2 = 1
+                  AND id NOT IN (
+                    SELECT id_b FROM p0 WHERE id_a % 2 = 1 AND id_b % 2 = 1)
+                  AND id NOT IN (SELECT id FROM hit2))
+              SELECT id AS doc_id FROM (
+                SELECT id FROM adm1 UNION ALL SELECT id FROM adm2)
+              ORDER BY doc_id"""),
+      (s, d) => {
+        val idxDir = s"/tmp/graft_stream_idx_${d.replaceAll("[^0-9]", "")}"
+        val p = new org.apache.hadoop.fs.Path(idxDir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val docs = documents(s, d)
+        val a1 = graft.streaming.CorpusStreams.admitBatch(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), idxDir,
+          "doc_id", "text")
+        val a2 = graft.streaming.CorpusStreams.admitBatch(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), idxDir,
+          "doc_id", "text")
+        a1.unionByName(a2).select("doc_id").orderBy("doc_id")
+      }),
+
     // group-disjoint train/val split: the gate hashes the GROUP key
     // (source domain), so every doc of a domain lands in the same
     // split — the leakage-safe split for near-duplicate-heavy corpora.

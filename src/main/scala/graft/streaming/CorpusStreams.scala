@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Streaming corpus admission — the online face of the dedup kit: an
+  * unbounded stream of candidate documents is admitted exactly when it
+  * is a near-duplicate neither of anything ALREADY ADMITTED (probed via
+  * the persistent MinHash index staging tables) nor of a lower-id
+  * document in its own micro-batch (the SemDeDup pair rule —
+  * deterministic, engine-replayable). Admitted documents append their
+  * sketch rows to the index, so the only state the stream carries IS
+  * the staged index: no in-memory state, restart-safe, and shared with
+  * the batch incremental path ([[Dedup.incrementalMinhashPairs]] probes
+  * the very same tables) — a backfill and the live stream cannot
+  * disagree about what is a duplicate.
+  *
+  * Delivery semantics: the index is appended BEFORE the caller's sink
+  * sees the admitted rows, which makes the SAFETY property (no near-dup
+  * is ever admitted twice) hold even across micro-batch re-delivery —
+  * a replayed batch finds its own docs in the index (a doc is its own
+  * Jaccard-1.0 near-dup) and admits nothing. The cost is the usual
+  * non-transactional-sink trade: a crash between index append and sink
+  * commit can drop those rows from the SINK while they are in the
+  * index; corpus building prefers that over duplicate admission.
+  */
+object CorpusStreams {
+
+  /** One admission step (the foreachBatch body; callable directly for
+    * backfills). Returns the admitted subset of `batch`, EAGERLY
+    * materialized (localCheckpoint) before the index is appended, so
+    * the returned frame is immune to the index mutation it precedes.
+    */
+  def admitBatch(batch: DataFrame, indexDir: String, idCol: String,
+      textCol: String, n: Int = 2, k: Int = 16, bands: Int = 8,
+      threshold: Double = 0.3): DataFrame = {
+    val spark = batch.sparkSession
+    val shPath = s"$indexDir/shingles"
+    val bkPath = s"$indexDir/buckets"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(shPath))
+    // the batch is sketched exactly ONCE: this index feeds the
+    // within-batch pairing, the vs-corpus probe, AND the staging append
+    val batchIdx = Dedup.minhashIndex(batch, idCol, textCol, n, k, bands)
+    // within-batch SemDeDup pair rule: drop every doc with a LOWER-id
+    // qualifying neighbor in the same batch (pairs emit id_a < id_b,
+    // so the drop set is the id_b side)
+    val inBatch = Dedup.minhashPairsFromIndex(batchIdx, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    val survivors = batch.join(inBatch, Seq(idCol), "left_anti")
+    // vs-index probe (first batch bootstraps the index). Probing with
+    // the FULL batch index is equivalent to probing survivors only:
+    // hits on within-batch-dropped docs are erased by the anti join
+    val admitted =
+      if (!hasIndex) survivors
+      else {
+        val staged = Dedup.MinhashIndex(
+          spark.read.parquet(shPath), spark.read.parquet(bkPath))
+        val hits = Dedup.incrementalMinhashPairsFromIndex(staged, batchIdx,
+          threshold).select(col("id_a").as(idCol)).distinct()
+        survivors.join(hits, Seq(idCol), "left_anti")
+      }
+    // materialize BEFORE the append: the anti joins above lazily read
+    // the index files this step is about to grow
+    val out = admitted.localCheckpoint(true)
+    // stage the admitted rows' sketches by FILTERING the batch index —
+    // no re-shingle, no re-hash
+    val admIds = out.select(col(idCol).as("id"))
+    batchIdx.shingles.join(admIds, Seq("id"), "left_semi")
+      .write.mode("append").parquet(shPath)
+    batchIdx.buckets.join(admIds, Seq("id"), "left_semi")
+      .write.mode("append").parquet(bkPath)
+    graft.ops.StageCache.releaseAll()
+    out
+  }
+
+  /** Stream driver: admission per micro-batch, admitted rows handed to
+    * `onBatch` (write to the corpus sink there). Use
+    * `Trigger.AvailableNow` for catch-up drains.
+    */
+  def admitStream(docs: DataFrame, indexDir: String, idCol: String,
+      textCol: String, n: Int = 2, k: Int = 16, bands: Int = 8,
+      threshold: Double = 0.3)(onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      onBatch(admitBatch(b, indexDir, idCol, textCol, n, k, bands,
+        threshold), id)
+    }
+}

@@ -160,4 +160,55 @@ class StreamingSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(snapDir + "_old")))
   }
 
+  test("corpus admission: stream drain equals sequential admitBatch twin") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("admit_test").toString
+    val docsDir = s"$tmp/docs"
+    // two files -> with maxFilesPerTrigger=1, two micro-batches. Batch 2
+    // carries: a near-dup of an admitted batch-1 doc (20), a within-batch
+    // near-dup pair (21 < 22), and a genuinely new doc (23)
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "completely different words about spark engines here today"))
+    val b2 = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog tonite"),
+      (21L, "rows stream into the admission gate for dedup checks"),
+      (22L, "rows stream into the admission gate for dedup check"),
+      (23L, "nothing resembles this sentence in the whole corpus"))
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(docsDir)
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(docsDir)
+
+    // batch twin: two sequential admitBatch calls on a fresh index
+    val twinIdx = s"$tmp/twin_idx"
+    val t1 = CorpusStreams.admitBatch(b1.toDF("doc_id", "text"), twinIdx,
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    val t2 = CorpusStreams.admitBatch(b2.toDF("doc_id", "text"), twinIdx,
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(t1 === Set(10L, 11L))
+    assert(t2 === Set(21L, 23L),
+      "20 dups an indexed doc; 22 dups lower-id 21 in-batch; 23 is new")
+
+    // the same decisions through a real 2-micro-batch file stream
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val q = CorpusStreams.admitStream(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(docsDir),
+        s"$tmp/stream_idx", "doc_id", "text") { (batch, _) =>
+        admitted.synchronized {
+          admitted ++= batch.select("doc_id").as[Long].collect()
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.awaitTermination(120000)
+    assert(admitted.toSet === (t1 ++ t2))
+
+    // re-delivery safety: replaying an already-indexed batch admits
+    // nothing (each doc is its own Jaccard-1.0 near-dup in the index)
+    val replay = CorpusStreams.admitBatch(b2.toDF("doc_id", "text"),
+      s"$tmp/stream_idx", "doc_id", "text")
+    assert(replay.count() === 0L)
+  }
+
 }
