@@ -1,25 +1,53 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Dot product of two float arrays, accumulated LEFT-TO-RIGHT in double
-  * precision — bit-identical to the composable
+/** Dot product of two float/double arrays, accumulated LEFT-TO-RIGHT in
+  * double precision — bit-identical to the composable
   * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)`
   * fold (which the DuckDB oracle evaluates) but a native codegen'd
   * loop instead of interpreted per-element lambdas.
+  *
+  * Element access dispatches on the DECLARED element type: ArrayData
+  * `getFloat` over an array<double> reads half of each 8-byte slot and
+  * returns garbage bits (it does not widen), so reading must match the
+  * schema — the round-6 q_quantized_topk oracle caught exactly that on
+  * the dequantized (double) vectors.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_dot"
+
+  private def elem(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t, _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e =>
+        elem(e).exists(t => t == FloatType || t == DoubleType)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float>/array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  private lazy val leftIsDouble = elem(left).contains(DoubleType)
+  private lazy val rightIsDouble = elem(right).contains(DoubleType)
+
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    VecDot.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    VecDot.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftIsDouble, rightIsDouble)
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.dot($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecDot.dot($a, $b, $leftIsDouble, $rightIsDouble)")
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -30,12 +58,14 @@ object VecDot {
     * over equal-length fixtures (zip_with pads with null and the HOF
     * fold would null out on ragged inputs — keep vectors equal-length).
     */
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  def dot(a: ArrayData, b: ArrayData, aDouble: Boolean, bDouble: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      acc += x * y
       i += 1
     }
     acc

@@ -752,6 +752,50 @@ object ExtQueries {
         embeddings(s, d), 5, 8, nprobe = 2)
         .orderBy("qid", "rank")),
 
+    // ---- similarity search: two-stage QUANTIZED top-k — coarse pass
+    // over int8-dequantized vectors keeps rerank=10 candidates, fine
+    // pass re-ranks exactly on the float vectors. The whole
+    // quantize→dequantize→rank chain is fixed-order double arithmetic
+    // (floor-of-half-up codes, affine reconstruction), so the oracle
+    // replays it bit-exactly — converting the one spec-only ANN path
+    // into an oracle-checked one ----
+    QueryDef("q_quantized_topk",
+      Some(s"""WITH rng AS (
+                SELECT vec_id, CAST(list_min(embedding) AS DOUBLE) AS mn,
+                       CAST(list_max(embedding) AS DOUBLE) AS mx
+                FROM embeddings),
+              dv AS (
+                SELECT e.vec_id, list_transform(range(1, 65), i ->
+                  CASE WHEN r.mx > r.mn THEN
+                    (CAST(CAST(floor(
+                      (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - r.mn)
+                        * (254.0 / (r.mx - r.mn)) + 0.5) AS BIGINT) - 127
+                      AS DOUBLE) + 127.0) * ((r.mx - r.mn) / 254.0) + r.mn
+                  ELSE r.mn END) AS v
+                FROM embeddings e JOIN rng r ON e.vec_id = r.vec_id),
+              coarse AS (
+                SELECT qid, nid FROM (
+                  SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS crank
+                  FROM dv q JOIN dv c
+                    ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+                WHERE crank <= 10)
+              SELECT qid, nid, rank, sim FROM (
+                SELECT co.qid, co.nid,
+                  ${cosSql("qe.embedding", "ne.embedding")} AS sim,
+                  CAST(row_number() OVER (PARTITION BY co.qid
+                    ORDER BY ${cosSql("qe.embedding", "ne.embedding")} DESC,
+                      co.nid) AS INT) AS rank
+                FROM coarse co
+                JOIN embeddings qe ON co.qid = qe.vec_id
+                JOIN embeddings ne ON co.nid = ne.vec_id)
+              WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => Ann.quantizedTopK(
+        embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        embeddings(s, d), 5, rerank = 10)
+        .orderBy("qid", "rank")),
+
     // ---- ANN recall evaluation: recall@5 of every approximate path
     // (IVF nprobe 1/2, LSH nprobe 1/2) against the exact brute-force
     // top-k, in integer basis points — the tuning report a similarity

@@ -123,6 +123,31 @@ class AnnSpec extends SparkTestBase {
     assert(kept === Set(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("quantizedTopK with rerank=all equals exact brute force") {
+    // the fine pass re-ranks with exact cosine, so when the coarse pass
+    // keeps every candidate the result must be bit-identical to
+    // bruteForceTopK — the property that catches any corruption in the
+    // dequantized coarse scoring (e.g. the getFloat-on-double ArrayData
+    // bug the q_quantized_topk oracle exposed)
+    val qs = vecs.filter(col("vec_id") <= 1)
+    val brute = Ann.bruteForceTopK(qs, vecs, 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    val quant = Ann.quantizedTopK(qs, vecs, 3, rerank = 4)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(quant === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("quantizedTopK coarse pass ranks near-exact on well-separated vectors") {
+    // rerank=k (no slack): survivors are picked purely by the COARSE
+    // quantized scores, which for well-separated clusters must already
+    // agree with the exact ranking — pins that dequantized (double)
+    // vectors score sanely through the native dot
+    val out = Ann.quantizedTopK(vecs.filter(col("vec_id") === 0), vecs,
+      1, rerank = 1).select("qid", "nid").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 1L)), s"coarse pass picked $out, not the near dup")
+  }
+
   test("ivfTopK trainIters: k-means pivots recover clusters bad seeds split") {
     // 18 vectors in 3 tight axis clusters; the 3 LOWEST ids all sit in
     // cluster x, so the untrained seeds split cluster x three ways and
