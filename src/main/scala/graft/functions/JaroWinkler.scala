@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaro-Winkler string similarity in [0, 1].
@@ -25,6 +26,13 @@ case class JaroWinkler(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "jaro_winkler"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs StringType inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     JaroWinkler.similarity(

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling hash of a string: fold of `acc*31 + codepoint`
@@ -21,6 +22,10 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "poly_hash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a StringType input, got ${child.dataType.simpleString}")
 
   override protected def nullSafeEval(v: Any): Any =
     PolyHash.hash(v.asInstanceOf[UTF8String].toString)

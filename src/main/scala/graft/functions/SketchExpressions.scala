@@ -3,6 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -17,6 +18,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * md5-per-(element × dimension) shapes these replace.
   */
 object SketchOps {
+
+  /** Shared input validation: every input must be array<elem>. ArrayData
+    * accessors do NOT widen or check (getUTF8String on an int array, or
+    * getFloat on a double array, reads wrong bytes silently — the
+    * VecDot lesson), so the declared type must match what the loop
+    * reads.
+    */
+  private[functions] def requireArrayOf(name: String, elem: DataType,
+      inputs: DataType*): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (inputs.forall {
+        case ArrayType(t, _) => t == elem
+        case _ => false
+      })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$name needs array<${elem.simpleString}> input(s), got " +
+        inputs.map(_.simpleString).mkString(", "))
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
@@ -149,6 +167,8 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchOps.requireArrayOf(prettyName, StringType, child.dataType)
   override protected def nullSafeEval(v: Any): Any =
     SketchOps.minhashSig(v.asInstanceOf[ArrayData], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -162,6 +182,8 @@ case class SimHashBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash_bits"
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchOps.requireArrayOf(prettyName, StringType, child.dataType)
   override protected def nullSafeEval(v: Any): Any =
     SketchOps.simhashBits(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -176,6 +198,8 @@ case class AbsDiffSum(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "abs_diff_sum"
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchOps.requireArrayOf(prettyName, IntegerType, left.dataType, right.dataType)
   override protected def nullSafeEval(l: Any, r: Any): Any =
     SketchOps.absDiffSum(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -191,6 +215,8 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_intersect_size"
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchOps.requireArrayOf(prettyName, StringType, left.dataType, right.dataType)
   override protected def nullSafeEval(l: Any, r: Any): Any =
     SketchOps.sortedIntersectSize(
       l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
