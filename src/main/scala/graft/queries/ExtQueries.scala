@@ -887,6 +887,37 @@ object ExtQueries {
                       ORDER BY ${cosSql("q.qv", "c.nv")} DESC, c.nid) AS rank
                   FROM q2 q JOIN v c ON q.bucket = c.bucket AND q.qid <> c.nid)
                 WHERE rank <= 5),
+              rng AS (
+                SELECT vec_id, CAST(list_min(embedding) AS DOUBLE) AS mn,
+                       CAST(list_max(embedding) AS DOUBLE) AS mx
+                FROM embeddings),
+              dvq AS (
+                SELECT e.vec_id, list_transform(range(1, 65), i ->
+                  CASE WHEN r.mx > r.mn THEN
+                    (CAST(CAST(floor(
+                      (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - r.mn)
+                        * (254.0 / (r.mx - r.mn)) + 0.5) AS BIGINT) - 127
+                      AS DOUBLE) + 127.0) * ((r.mx - r.mn) / 254.0) + r.mn
+                  ELSE r.mn END) AS v
+                FROM embeddings e JOIN rng r ON e.vec_id = r.vec_id),
+              qcoarse AS (
+                SELECT qid, nid FROM (
+                  SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS crank
+                  FROM dvq q JOIN dvq c
+                    ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+                WHERE crank <= 10),
+              quant AS (
+                SELECT qid, nid FROM (
+                  SELECT co.qid, co.nid,
+                    row_number() OVER (PARTITION BY co.qid
+                      ORDER BY ${cosSql("qe.embedding", "ne.embedding")} DESC,
+                        co.nid) AS rank
+                  FROM qcoarse co
+                  JOIN embeddings qe ON co.qid = qe.vec_id
+                  JOIN embeddings ne ON co.nid = ne.vec_id)
+                WHERE rank <= 5),
               counted AS (
                 SELECT 'ivf' AS method,
                   (SELECT count(*) FROM brute) AS n_brute,
@@ -906,6 +937,11 @@ object ExtQueries {
                 SELECT 'lsh2',
                   (SELECT count(*) FROM brute),
                   (SELECT count(*) FROM lsh2 i JOIN brute b
+                    ON i.qid = b.qid AND i.nid = b.nid)
+                UNION ALL
+                SELECT 'quant',
+                  (SELECT count(*) FROM brute),
+                  (SELECT count(*) FROM quant i JOIN brute b
                     ON i.qid = b.qid AND i.nid = b.nid))
               SELECT method, n_brute, n_hit,
                 CAST(floor(n_hit * 10000.0 / n_brute + 0.5) AS BIGINT) AS recall_bp
@@ -924,6 +960,7 @@ object ExtQueries {
           .unionByName(hitsOf("ivf2", Ann.ivfTopK(qs, corpus, 5, 10, nprobe = 2)))
           .unionByName(hitsOf("lsh", Ann.lshTopK(qs, corpus, 5, 8)))
           .unionByName(hitsOf("lsh2", Ann.lshTopK(qs, corpus, 5, 8, nprobe = 2)))
+          .unionByName(hitsOf("quant", Ann.quantizedTopK(qs, corpus, 5, rerank = 10)))
           .crossJoin(broadcast(nb))
           .select(col("method"), col("n_brute"), col("n_hit"),
             floor(col("n_hit") * 10000.0 / col("n_brute") + 0.5)
