@@ -371,6 +371,56 @@ object AdvancedQueries {
               GROUP BY 1, 2 ORDER BY cohort_month, month_offset"""),
       (s, d) => graft.ops.Cohorts.retention(orders(s, d), "o_custkey",
           "o_orderdate", 3)
-        .orderBy("cohort_month", "month_offset"))
+        .orderBy("cohort_month", "month_offset")),
+
+    // Pearson correlation per group with EXACT integer moments: the
+    // five sums accumulate as decimal(38,0)/HUGEINT (order-proof,
+    // overflow-proof at sf1000), and the one double expression at the
+    // end evaluates in the same operation order on both engines —
+    // corr without the accumulation-order float trap of built-in
+    // corr() aggregates
+    QueryDef("q_corr",
+      Some("""SELECT rflag, CAST(n AS BIGINT) AS n_rows,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                 sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  AS corr_qty_price
+              FROM (
+                SELECT rflag, count(*) AS n, sum(qty) AS sx, sum(cents) AS sy,
+                       sum(qty * cents) AS sxy, sum(qty * qty) AS sxx,
+                       sum(cents * cents) AS syy
+                FROM (SELECT l_returnflag AS rflag,
+                        CAST(l_quantity AS BIGINT) AS qty,
+                        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          AS cents
+                      FROM lineitem)
+                GROUP BY rflag)
+              ORDER BY rflag"""),
+      (s, d) => {
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val base = lineitem(s, d).select(
+          col("l_returnflag").as("rflag"),
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+        base.groupBy("rflag")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("qty"))).as("sx"),
+            sum(dec(col("cents"))).as("sy"),
+            sum(dec(col("qty")) * dec(col("cents"))).as("sxy"),
+            sum(dec(col("qty")) * dec(col("qty"))).as("sxx"),
+            sum(dec(col("cents")) * dec(col("cents"))).as("syy"))
+          .select(col("rflag"), col("n").as("n_rows"),
+            ((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+             (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+              .as("corr_qty_price"))
+          .orderBy("rflag")
+      })
   )
 }

@@ -162,6 +162,29 @@ object ScaleQueries {
           sum("n_chars").cast("long").as("chars"))
         .orderBy("split", "lang")),
 
+    // token-budget mixing: every source contributes at most 20k TOKENS
+    // (not docs) to the mix, admitted in deterministic md5 order — the
+    // knob a real data-mixture config turns. Inclusive running sum:
+    // the doc that would cross the budget is dropped whole
+    QueryDef("q_token_budget",
+      Some("""SELECT doc_id, source, n_tok, cum FROM (
+                SELECT doc_id, source, n_tok,
+                  CAST(sum(n_tok) OVER (PARTITION BY source
+                    ORDER BY md5(text), doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM (SELECT doc_id, source, text,
+                        CAST(len(string_split_regex(trim(text), '\s+'))
+                          AS BIGINT) AS n_tok
+                      FROM documents))
+              WHERE cum <= 20000 ORDER BY doc_id"""),
+      (s, d) => Sampling.tokenBudget(
+          documents(s, d).select(col("doc_id"), col("source"), col("text"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+          Seq("source"), Seq(md5(col("text")), col("doc_id")),
+          "n_tok", budget = 20000L)
+        .select("doc_id", "source", "n_tok", "cum")
+        .orderBy("doc_id")),
+
     // per-domain quota: cap every source at K docs, chosen in
     // deterministic md5 order (domain balancing — no single crawl
     // domain may dominate the mix). Hash-partitioned window, no

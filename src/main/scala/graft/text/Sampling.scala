@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines. Spark's
@@ -51,5 +52,28 @@ object Sampling {
         when(col(strataCol) === stratum, hashGate(col(idCol), frac)).otherwise(acc)
     }
     df.filter(gate)
+  }
+
+  /** Token-budget sampling — the corpus-mixing primitive that fraction
+    * gates can't express: admit documents per group in a deterministic
+    * order until the group's running WEIGHT (token count) reaches
+    * `budget`, so every source contributes at most `budget` tokens to
+    * the mix regardless of its document-count or length distribution.
+    * A row is kept iff the inclusive running sum up to it is within
+    * budget (a single over-long head document is therefore dropped,
+    * never truncated — truncation is the tokenizer's job). One window
+    * shuffle on the group key; pass an engine-portable order (md5 of
+    * the text + id tiebreak) so the admitted set is reproducible
+    * anywhere. Appends the running total as `cum`.
+    */
+  def tokenBudget(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be >= 0")
+    require(!df.columns.contains("cum"),
+      "tokenBudget appends a 'cum' column; input already has one")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum", sum(col(weightCol)).over(w).cast("long"))
+      .filter(col("cum") <= budget)
   }
 }

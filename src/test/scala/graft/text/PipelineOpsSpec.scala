@@ -104,6 +104,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(over.count() === 0L)
   }
 
+  test("tokenBudget: inclusive running sum, over-budget doc dropped whole") {
+    val df = Seq(
+      ("s1", 1L, 400L), ("s1", 2L, 500L), ("s1", 3L, 200L),
+      ("s2", 1L, 2000L), ("s2", 2L, 900L)) // head over budget: dropped whole
+      .toDF("src", "id", "w")
+    val out = Sampling.tokenBudget(df, Seq("src"), Seq(col("id")), "w", 1000L)
+      .select("src", "id", "cum").as[(String, Long, Long)].collect().toSet
+    // s1: 400, 900 admitted; 1100 crosses -> dropped. s2: 2000 crosses
+    // immediately (dropped, not truncated); 900 alone never reached
+    // budget-wise? cum for s2 id=2 is 2900 -> also out
+    assert(out === Set(("s1", 1L, 400L), ("s1", 2L, 900L)))
+  }
+
   test("rateGate: column rate matches hashGate at the same literal rate; nested") {
     val df = spark.range(0, 1000).toDF("id")
     for (r <- Seq(0.0, 0.25, 1.0)) {
