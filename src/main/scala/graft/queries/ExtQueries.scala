@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.similarity.Ann
@@ -320,6 +321,91 @@ object ExtQueries {
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
           Seq("lang"), "doc_id", "n_tok", 512)
         .orderBy("doc_id")),
+
+    // ---- packed-batch assembly: the loader-facing face of packing —
+    // per (lang, bin): member doc_ids in order plus each doc's START
+    // token offset inside the packed sequence (the attention-boundary
+    // metadata a packed-batch data loader consumes). Offsets derive
+    // from the same greedy recurrence the bins do ----
+    QueryDef("q_pack_assemble",
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              FROM documents),
+              g AS (
+                SELECT doc_id, lang, n_tok, rn, 0 AS bin, n_tok AS filled
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.doc_id, t.lang, t.n_tok, t.rn,
+                  CASE WHEN g.filled + t.n_tok > 512 THEN g.bin + 1 ELSE g.bin END,
+                  CASE WHEN g.filled + t.n_tok > 512 THEN t.n_tok ELSE g.filled + t.n_tok END
+                FROM g JOIN t ON t.lang = g.lang AND t.rn = g.rn + 1)
+              SELECT lang, CAST(bin AS INT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS total_tok,
+                list(doc_id ORDER BY doc_id) AS doc_ids,
+                list(filled - n_tok ORDER BY doc_id) AS starts
+              FROM g GROUP BY lang, bin ORDER BY lang, bin"""),
+      (s, d) => {
+        val packed = Packing.packBins(
+          documents(s, d).select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+          Seq("lang"), "doc_id", "n_tok", 512)
+        val w = Window.partitionBy("lang", "bin").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        packed
+          .withColumn("start",
+            (sum("n_tok").over(w) - col("n_tok")).cast("long"))
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").cast("long").as("total_tok"),
+            sort_array(collect_list(struct(col("doc_id"), col("start"))))
+              .as("pm"))
+          .select(col("lang"), col("bin"), col("n_docs"), col("total_tok"),
+            transform(col("pm"), s => s.getField("doc_id")).as("doc_ids"),
+            transform(col("pm"), s => s.getField("start")).as("starts"))
+          .orderBy("lang", "bin")
+      }),
+
+    // ---- OOV-rate vocab sizing: for candidate vocab sizes K, the
+    // fraction of corpus tokens that fall OUTSIDE the top-K vocabulary
+    // (count desc, token asc) — the report that sizes a tokenizer
+    // before training. Integer token counts; top-K via
+    // TakeOrderedAndProject (never a global sort of the vocab) ----
+    QueryDef("q_oov_rate",
+      Some("""WITH counts AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                      FROM documents)
+                GROUP BY tok),
+              ranked AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+                FROM counts),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+              ks AS (SELECT CAST(unnest([100, 1000, 5000]) AS BIGINT) AS k)
+              SELECT k, total,
+                (SELECT CAST(sum(n) AS BIGINT) FROM ranked WHERE rk <= k)
+                  AS covered,
+                CAST(floor((total - (SELECT CAST(sum(n) AS BIGINT)
+                    FROM ranked WHERE rk <= k)) * 10000.0 / total + 0.5)
+                  AS BIGINT) AS oov_bp
+              FROM ks, tot ORDER BY k"""),
+      (s, d) => {
+        val counts = documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum("n").cast("long").as("total"))
+        def at(k: Int) = counts
+          .orderBy(desc("n"), asc("tok")).limit(k)
+          .agg(sum("n").cast("long").as("covered"))
+          .select(lit(k.toLong).as("k"), col("covered"))
+        at(100).unionByName(at(1000)).unionByName(at(5000))
+          .crossJoin(broadcast(tot))
+          .select(col("k"), col("total"), col("covered"),
+            floor((col("total") - col("covered")) * 10000.0 / col("total") + 0.5)
+              .cast("long").as("oov_bp"))
+          .orderBy("k")
+      }),
 
     // ---- dedup: exact ----
     QueryDef("q_dedup_exact",
