@@ -160,6 +160,34 @@ class PlanSpec extends SparkTestBase {
       "bloom filter is not below the semi join in the plan tree")
   }
 
+  test("q_corr aggregates partially before its exchange (exact moments)") {
+    // the five decimal moments must combine map-side: the exchange
+    // carries one partial row per (flag, partition), never raw rows
+    val p = plan("q_corr")
+    val lines = p.linesIterator.toSeq
+    val firstAgg = lines.indexWhere(_.contains("HashAggregate"))
+    val exchange = lines.indexWhere(_.contains("Exchange"))
+    assert(firstAgg >= 0 && exchange >= 0,
+      "expected HashAggregate and Exchange in the corr plan")
+    assert(exchange < lines.lastIndexWhere(_.contains("HashAggregate")),
+      "no partial aggregate below the exchange")
+  }
+
+  test("q_oov_rate top-K vocab plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("GlobalSort"), "vocab ranking fell back to a global sort")
+  }
+
+  test("q_token_budget runs on ONE window shuffle (partitioned by source)") {
+    val p = plan("q_token_budget")
+    assert(p.contains("Window"))
+    // no single-partition exchange: the window is keyed, so the plan
+    // must not contain Exchange SinglePartition above the scan
+    assert(!p.contains("SinglePartition"),
+      "token budget window collapsed to a single partition")
+  }
+
   test("q_sql_lev: the SQL-surface levenshtein predicate is bounded") {
     // the registered query writes the unbounded `levenshtein(a,b) <= 1`
     // in SQL text; the optimizer rule (installed imperatively by the
