@@ -160,11 +160,15 @@ object Relational {
     * impossible) digest tie so the order is total. Spark plans this as
     * TakeOrderedAndProject: no full sort, no single-partition shuffle.
     */
-  def sampleN(df: DataFrame, n: Int, seedCols: Seq[String]): DataFrame =
+  def sampleN(df: DataFrame, n: Int, seedCols: Seq[String]): DataFrame = {
+    require(seedCols.nonEmpty,
+      "sampleN needs seed columns: with none the hash is a constant and " +
+        "limit(n) returns arbitrary rows")
     df.orderBy(
       md5(concat_ws("|", seedCols.map(col(_).cast("string")): _*)) +:
         seedCols.map(col(_).asc): _*)
       .limit(n)
+  }
 
   /** Forward fill (Polars `fill_null(strategy="forward")` over a keyed
     * order): each null in `valueCol` takes the most recent non-null

@@ -31,6 +31,10 @@ object CorpusStreams {
     * backfills). Returns the admitted subset of `batch`, EAGERLY
     * materialized (localCheckpoint) before the index is appended, so
     * the returned frame is immune to the index mutation it precedes.
+    * Ids must be unique within the batch and disjoint from every
+    * previously ADMITTED id (standard for snapshot ingestion; a
+    * replayed id is treated as its own near-dup and rejected, which is
+    * the re-delivery safety property).
     */
   def admitBatch(batch: DataFrame, indexDir: String, idCol: String,
       textCol: String, n: Int = 2, k: Int = 16, bands: Int = 8,
