@@ -79,6 +79,34 @@ object Demo {
     graft.dedup.Dedup.applyClusters(fact.withColumnRenamed("k", "id"),
       graft.dedup.Dedup.clusters(pairs), "id").orderBy("id").show(false)
 
+    // round 6: token-budget mixing — cap each source in TOKENS, md5
+    // admission order; the doc that would cross the budget drops whole
+    val mix = Seq((1L, "s1", 400L), (2L, "s1", 500L), (3L, "s1", 200L))
+      .toDF("id", "src", "w")
+    graft.text.Sampling.tokenBudget(mix, Seq("src"), Seq(col("id")), "w",
+      budget = 1000).orderBy("id").show(false)
+
+    // round 6: streaming corpus admission — day 2 probes the index day
+    // 1 staged, so the recrawled near-dup is rejected
+    val idxDir = java.nio.file.Files.createTempDirectory("demo_idx").toString
+    val day1 = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val day2 = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog today"),
+      (21L, "entirely new material about spark physical plans"))
+      .toDF("doc_id", "text")
+    println("day1 admitted=" + graft.streaming.CorpusStreams
+      .admitBatch(day1, idxDir, "doc_id", "text").count() + " (expect 1)")
+    println("day2 admitted=" + graft.streaming.CorpusStreams
+      .admitBatch(day2, idxDir, "doc_id", "text").count() +
+      " (expect 1: the recrawl near-dups day 1)")
+
+    // round 6: hot-block edit-distance pairing auto-subsplit by length
+    val names = Seq((1L, "blk", "kitten"), (2L, "blk", "sitten"),
+      (3L, "blk", "kettle"), (4L, "blk", "bucket")).toDF("id", "b", "s")
+    Relational.editDistancePairsBucketed(names, "id", "b", "s", maxDist = 2)
+      .orderBy("key_a", "key_b").show(false)
+
     spark.stop()
   }
 }
