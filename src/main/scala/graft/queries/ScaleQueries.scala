@@ -70,6 +70,47 @@ object ScaleQueries {
         .orderBy(desc("n"), asc("tok"))
         .limit(50)),
 
+    // snapshot-over-snapshot vocabulary drift: per-token frequency in
+    // the old corpus (even ids) vs the new one (odd ids), merged with
+    // a FULL OUTER join (tokens may exist in either side alone), top
+    // movers by absolute count change — the refresh-monitoring report
+    // a corpus pipeline ships with every recrawl. Integer counts only;
+    // the (|delta| desc, tok) order is total so the limit is stable
+    QueryDef("q_vocab_drift",
+      Some("""WITH oldc AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS n_old
+                FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                      FROM documents WHERE doc_id % 2 = 0)
+                GROUP BY tok),
+              newc AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS n_new
+                FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                      FROM documents WHERE doc_id % 2 = 1)
+                GROUP BY tok)
+              SELECT COALESCE(o.tok, n.tok) AS tok,
+                COALESCE(o.n_old, CAST(0 AS BIGINT)) AS n_old,
+                COALESCE(n.n_new, CAST(0 AS BIGINT)) AS n_new,
+                COALESCE(n.n_new, CAST(0 AS BIGINT))
+                  - COALESCE(o.n_old, CAST(0 AS BIGINT)) AS delta
+              FROM oldc o FULL JOIN newc n ON o.tok = n.tok
+              ORDER BY abs(COALESCE(n.n_new, CAST(0 AS BIGINT))
+                - COALESCE(o.n_old, CAST(0 AS BIGINT))) DESC, tok
+              LIMIT 30"""),
+      (s, d) => {
+        def counts(parity: Int, alias: String) = documents(s, d)
+          .filter(pmod(col("doc_id"), lit(2)) === parity)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as(alias))
+        counts(0, "n_old").join(counts(1, "n_new"), Seq("tok"), "full_outer")
+          .select(col("tok"),
+            coalesce(col("n_old"), lit(0L)).as("n_old"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"),
+            (coalesce(col("n_new"), lit(0L)) - coalesce(col("n_old"), lit(0L)))
+              .as("delta"))
+          .orderBy(abs(col("delta")).desc, col("tok"))
+          .limit(30)
+      }),
+
     // incremental dedup: admit only new-snapshot docs whose content
     // digest is absent from the existing corpus — the cross-snapshot
     // half of dedup (exact/minhash handle within-snapshot). Anti-join
