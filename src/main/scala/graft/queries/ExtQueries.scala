@@ -391,9 +391,11 @@ object ExtQueries {
                   AS BIGINT) AS oov_bp
               FROM ks, tot ORDER BY k"""),
       (s, d) => {
-        val counts = documents(s, d)
+        // persisted: the vocab table feeds three top-K probes plus the
+        // total — unpersisted, the explode+aggregate runs four times
+        val counts = graft.ops.StageCache.persisted(documents(s, d)
           .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .groupBy("tok").agg(count(lit(1)).as("n")))
         val tot = counts.agg(sum("n").cast("long").as("total"))
         def at(k: Int) = counts
           .orderBy(desc("n"), asc("tok")).limit(k)
