@@ -27,6 +27,31 @@ object EventQueries {
       (s, d) => EventStreams.hourlyRollup(events(s, d), streaming = false)
         .orderBy("hour_start", "event_type")),
 
+    // lag/lead offset windows: each event with its user's previous and
+    // next event ids plus the inter-event gap in micros — the
+    // event-stream delta every funnel/latency analysis starts from
+    // (first/last rows carry NULL offsets on both engines)
+    QueryDef("q_lag_lead",
+      Some("""SELECT event_id, user_id,
+                lag(event_id) OVER w AS prev_event,
+                lead(event_id) OVER w AS next_event,
+                CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT)
+                  AS gap_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id)
+              ORDER BY event_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        events(s, d).select(col("event_id"), col("user_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event"),
+          lead(col("event_id"), 1).over(w).as("next_event"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .cast("long").as("gap_us"))
+          .orderBy("event_id")
+      }),
+
     // gap-based sessionization, batch formulation: lag -> gap flag ->
     // running sum = session seq (oracle twin of the stateful stream)
     QueryDef("q_event_sessions",
