@@ -111,6 +111,45 @@ object ScaleQueries {
           .limit(30)
       }),
 
+    // whole-row set operations (INTERSECT / EXCEPT with set-distinct
+    // semantics) over the snapshot vocabularies: tokens present in
+    // both snapshots and tokens that DISAPPEARED in the new one — the
+    // set-algebra complement of q_vocab_drift's count deltas. First
+    // 100 of each branch in token order so the result is total
+    QueryDef("q_set_ops",
+      Some("""WITH oldt AS (
+                SELECT DISTINCT tok FROM (
+                  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents WHERE doc_id % 2 = 0)),
+              newt AS (
+                SELECT DISTINCT tok FROM (
+                  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents WHERE doc_id % 2 = 1)),
+              b AS (SELECT tok FROM (
+                  SELECT tok FROM oldt INTERSECT SELECT tok FROM newt)
+                ORDER BY tok LIMIT 100),
+              gone AS (SELECT tok FROM (
+                  SELECT tok FROM oldt EXCEPT SELECT tok FROM newt)
+                ORDER BY tok LIMIT 100)
+              SELECT op, tok FROM (
+                SELECT 'both' AS op, tok FROM b
+                UNION ALL
+                SELECT 'gone' AS op, tok FROM gone)
+              ORDER BY op, tok"""),
+      (s, d) => {
+        def vocab(parity: Int) = documents(s, d)
+          .filter(pmod(col("doc_id"), lit(2)) === parity)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .distinct()
+        val oldV = vocab(0)
+        val newV = vocab(1)
+        val both = oldV.intersect(newV).orderBy("tok").limit(100)
+          .select(lit("both").as("op"), col("tok"))
+        val gone = oldV.except(newV).orderBy("tok").limit(100)
+          .select(lit("gone").as("op"), col("tok"))
+        both.unionByName(gone).orderBy("op", "tok")
+      }),
+
     // incremental dedup: admit only new-snapshot docs whose content
     // digest is absent from the existing corpus — the cross-snapshot
     // half of dedup (exact/minhash handle within-snapshot). Anti-join
