@@ -95,6 +95,66 @@ object Dedup {
         sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
   }
 
+  /** ExactSubstr APPLY step (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): remove every token covered by a
+    * w-token window that appears verbatim in another, lower-id
+    * document. The companion to [[duplicateSpans]] — that one REPORTS
+    * span duplication, this one produces the cleaned corpus.
+    *
+    * Ownership semantics: for each duplicated window digest the
+    * minimum document id is the canonical owner and keeps all of its
+    * occurrences; every other document drops all tokens covered by
+    * that window. Within-doc repetitions inside the owner are kept
+    * (cross-document dedup only), matching the reference intent of
+    * removing boilerplate shared across crawl records.
+    *
+    * Scale shape: positions ride the shuffle as (id, offset) longs and
+    * digests as 32-char strings — never the window text. Stages:
+    * window digests (map-side) → digest stats groupBy (owner, doc
+    * count) → keyed join back → covered-position explode + distinct →
+    * per-doc position set → one keyed join onto the corpus. Cost is
+    * O(total windows), independent of duplicate-cluster size; no
+    * self-join, no quadratic anywhere.
+    *
+    * Returns (idCol, n_tokens, n_removed, clean_md5) — the md5 of the
+    * space-joined surviving tokens, so multi-KB cleaned text never has
+    * to leave the executors for verification.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 1, s"window w=$w must be >= 1")
+    val toks = col("__toks")
+    val base = df.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__toks"))
+    // one row per (doc, window offset); posexplode of an empty array
+    // emits nothing, so sub-w docs simply never produce windows (they
+    // rejoin via the final left join with zero removals)
+    val wins = base.select(col(idCol), posexplode(
+        when(size(toks) >= w,
+          transform(sequence(lit(1), size(toks) - w + 1),
+            i => md5(concat_ws(" ", slice(toks, i, lit(w))))))
+          .otherwise(array().cast("array<string>"))).as(Seq("__off", "__dig")))
+    val stats = wins.groupBy("__dig").agg(
+      countDistinct(col(idCol)).as("__docs"),
+      min(col(idCol)).as("__owner"))
+    val covered = wins.join(stats, "__dig")
+      .where(col("__docs") >= 2 && col(idCol) =!= col("__owner"))
+      // window at 0-based offset o covers 1-based token positions
+      // o+1 .. o+w; overlapping windows dedupe via distinct
+      .select(col(idCol),
+        explode(sequence(col("__off") + 1, col("__off") + w)).as("__p"))
+      .distinct()
+      .groupBy(idCol)
+      .agg(collect_set(col("__p")).as("__cov"))
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        md5(concat_ws(" ", filter(toks, (_, i) =>
+          !coalesce(array_contains(col("__cov"), i + 1), lit(false)))))
+          .as("clean_md5"))
+  }
+
   /** Distinct word n-shingles of the text, sorted (set semantics).
     * Native single-pass expression; semantics identical to the
     * composable split→slice→concat_ws→distinct→sort chain the oracle

@@ -622,6 +622,52 @@ object ExtQueries {
       (s, d) => Dedup.duplicateSpans(documents(s, d), "doc_id", "text", w = 8)
         .orderBy("doc_id")),
 
+    // ---- dedup: exact-substring APPLY — remove every token covered
+    // by an 8-token window shared with a lower-id doc (the owner keeps
+    // its occurrences). The cleaned corpus is verified via md5 of the
+    // surviving tokens, so the multi-KB texts never cross to the
+    // oracle comparison ----
+    QueryDef("q_substr_apply",
+      Some("""WITH t AS (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS toks
+                FROM documents),
+              wins AS (SELECT doc_id, toks,
+                  unnest(range(1, len(toks) - 6)) AS i
+                FROM t WHERE len(toks) >= 8),
+              dig AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                  md5(array_to_string(
+                    toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS dg
+                FROM wins),
+              stats AS (SELECT dg, count(DISTINCT doc_id) AS n_docs,
+                  min(doc_id) AS owner
+                FROM dig GROUP BY dg),
+              cov AS (SELECT DISTINCT w.doc_id,
+                  unnest(range(w.i, w.i + 8)) AS p
+                FROM dig w JOIN stats s USING (dg)
+                WHERE s.n_docs >= 2 AND w.doc_id <> s.owner),
+              covsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+                FROM cov GROUP BY doc_id),
+              npos AS (SELECT doc_id, toks,
+                  unnest(range(1, len(toks) + 1)) AS p
+                FROM t),
+              kept AS (SELECT n.doc_id, n.p,
+                  n.toks[CAST(n.p AS INT)] AS tok
+                FROM npos n LEFT JOIN cov c
+                  ON n.doc_id = c.doc_id AND n.p = c.p
+                WHERE c.p IS NULL),
+              agg AS (SELECT doc_id,
+                  md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+                FROM kept GROUP BY doc_id)
+              SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                COALESCE(cs.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+                COALESCE(a.clean_md5, md5('')) AS clean_md5
+              FROM t LEFT JOIN covsz cs ON t.doc_id = cs.doc_id
+                LEFT JOIN agg a ON t.doc_id = a.doc_id
+              ORDER BY t.doc_id"""),
+      (s, d) => Dedup.removeDuplicateSpans(documents(s, d), "doc_id", "text",
+        w = 8)
+        .orderBy("doc_id")),
+
     // ---- dedup: embedding-cosine near-dup within label block ----
     QueryDef("q_embed_dupes",
       Some(s"""WITH e AS (SELECT label AS blk, vec_id AS id, embedding AS v

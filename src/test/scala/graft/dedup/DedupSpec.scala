@@ -155,6 +155,38 @@ class DedupSpec extends SparkTestBase {
     assert(got === Seq((1L, 0L, 0L), (2L, 0L, 0L)))
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("removeDuplicateSpans: owner keeps, others lose covered tokens") {
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", w = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      // doc 1 owns every shared digest — nothing removed
+      (1L, 9L, 0L, md5hex("the quick brown fox jumps over the lazy dog")),
+      // doc 2 is a verbatim copy — every token covered, empty survivor
+      (2L, 9L, 9L, md5hex("")),
+      // doc 3 shares "the quick brown fox" (pos 1-4) and "over the
+      // lazy dog" (pos 6-9); only the changed word survives
+      (3L, 9L, 8L, md5hex("leaps")),
+      (4L, 7L, 0L,
+        md5hex("completely different words about spark engines here")),
+      (5L, 6L, 0L,
+        md5hex("spark engines process completely different words"))))
+  }
+
+  test("removeDuplicateSpans: sub-window docs pass through untouched") {
+    val short = Seq((1L, "too few tokens"), (2L, "too few tokens"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(short, "doc_id", "text", w = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    // identical texts, but no window ever forms — span dedup is blind
+    // below w by design (exact dedup is the right tool there)
+    assert(got === Seq((1L, 3L, 0L, md5hex("too few tokens")),
+      (2L, 3L, 0L, md5hex("too few tokens"))))
+  }
+
   test("incrementalMinhashPairs ≡ batch minhashPairs on delta-vs-corpus") {
     // corpus = even ids, delta = odd ids (the daily-snapshot split);
     // the incremental probe must find exactly the cross pairs the full
