@@ -265,6 +265,35 @@ object ScaleQueries {
         .select("doc_id", "source", "n_tok", "cum")
         .orderBy("doc_id")),
 
+    // token-balanced loader shards: snake allocation over weight-desc
+    // rank within (weight-magnitude, id mod 4) cells — near-equal
+    // per-shard token totals with NO global sort (cells are
+    // independent window partitions). The report aggregates per shard;
+    // the hash match pins every row's assignment transitively
+    QueryDef("q_shard_balance",
+      Some("""WITH t AS (SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_tok
+                FROM documents),
+              r AS (SELECT doc_id, n_tok,
+                  (row_number() OVER (
+                     PARTITION BY length(CAST(n_tok AS VARCHAR)), doc_id % 4
+                     ORDER BY n_tok DESC, doc_id) - 1) % 16 AS k
+                FROM t)
+              SELECT CAST(CASE WHEN k < 8 THEN k ELSE 15 - k END AS INT)
+                  AS shard,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS total_tokens
+              FROM r GROUP BY 1 ORDER BY shard"""),
+      (s, d) => Sampling.balancedShards(
+          documents(s, d).select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+          "doc_id", "n_tok", shards = 8, subgroups = 4)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("total_tokens"))
+        .orderBy("shard")),
+
     // per-domain quota: cap every source at K docs, chosen in
     // deterministic md5 order (domain balancing — no single crawl
     // domain may dominate the mix). Hash-partitioned window, no

@@ -76,4 +76,35 @@ object Sampling {
     df.withColumn("cum", sum(col(weightCol)).over(w).cast("long"))
       .filter(col("cum") <= budget)
   }
+
+  /** Deterministic weight-balanced shard assignment — the data-loader
+    * prep step after mixing/packing: spread rows over `shards` loader
+    * shards so per-shard weight (token) totals come out near-equal,
+    * WITHOUT a global sort or a single-partition window. Rows are
+    * cell-ed by (decimal magnitude of the weight, id mod `subgroups`)
+    * — magnitude via digit count of the integer weight, which is
+    * integer-exact in any engine, unlike log2 on doubles — and within
+    * each cell snake-ordered over the weight-desc rank (rank k of 2S
+    * goes to shard k, then back S-1..0, boustrophedon). Each cell
+    * balances to within one row's weight; cell weights are within 10×
+    * of each other by construction, so the per-cell balances sum to
+    * near-perfect global balance. Cells are independent window
+    * partitions (magnitudes × subgroups of them), so partition size is
+    * bounded and the whole assignment is one keyed window shuffle.
+    * Appends an int `shard` column.
+    */
+  def balancedShards(df: DataFrame, idCol: String, weightCol: String,
+      shards: Int, subgroups: Int = 4): DataFrame = {
+    require(shards >= 1, s"shards=$shards must be >= 1")
+    require(subgroups >= 1, s"subgroups=$subgroups must be >= 1")
+    require(!df.columns.contains("shard"),
+      "balancedShards appends a 'shard' column; input already has one")
+    val win = Window
+      .partitionBy(length(col(weightCol).cast("long").cast("string")),
+        pmod(col(idCol).cast("long"), lit(subgroups)))
+      .orderBy(col(weightCol).desc, col(idCol))
+    val k = (row_number().over(win) - 1) % (2 * shards)
+    df.withColumn("shard",
+      when(k < shards, k).otherwise(lit(2 * shards - 1) - k).cast("int"))
+  }
 }

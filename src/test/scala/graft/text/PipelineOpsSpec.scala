@@ -117,6 +117,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out === Set(("s1", 1L, 400L), ("s1", 2L, 900L)))
   }
 
+  test("balancedShards: all rows assigned, shard totals near-equal") {
+    // weights spanning three decimal magnitudes, ids dense
+    val rows = (1L to 400L).map(i => (i, 5L + (i * 37) % 995))
+    val df = rows.toDF("id", "w")
+    val out = Sampling.balancedShards(df, "id", "w", shards = 8)
+    assert(out.count() === 400)
+    assert(out.select("shard").distinct().count() === 8)
+    val totals = out.groupBy("shard").agg(sum("w").as("t"))
+      .select("t").as[Long].collect()
+    val spread = (totals.max - totals.min).toDouble / totals.max
+    // snake within magnitude cells: imbalance bounded by one doc's
+    // weight per cell; on this fixture that is a few percent
+    assert(spread < 0.10, s"shard totals too uneven: ${totals.toSeq}")
+    // deterministic: a second run over a repartitioned input agrees
+    val again = Sampling.balancedShards(df.repartition(7), "id", "w",
+      shards = 8)
+    assert(out.orderBy("id").collect().toSeq ===
+      again.orderBy("id").collect().toSeq)
+  }
+
   test("rateGate: column rate matches hashGate at the same literal rate; nested") {
     val df = spark.range(0, 1000).toDF("id")
     for (r <- Seq(0.0, 0.25, 1.0)) {
