@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics over plain edge DataFrames — the iterative,
+  * value-propagating complement to `Dedup.clusters`' min-label
+  * connected components (reference analog: the od.py-style entity
+  * graphs stay tiny there; at training-corpus scale the near-dup pair
+  * graph and event-transition graphs are the real instances).
+  */
+object Graph {
+
+  /** Weighted PageRank in EXACT integer arithmetic. Ranks are
+    * "nanorank" longs that start at `scale / N` per node; each
+    * iteration routes `dampNum/dampDen` of a node's rank along its
+    * out-edges proportionally to edge weight, plus the uniform
+    * `(1 - d)` base mass. Every step is integer multiply + truncating
+    * division + integer sum — no doubles anywhere — so the result is
+    * independent of partitioning AND aggregation order, and an
+    * external engine replays it bit-for-bit (group-sums of doubles are
+    * neither). The remainder mass lost to truncation and to dangling
+    * nodes (no out-edges) is deliberately NOT redistributed: that
+    * keeps each iteration a single keyed join + aggregate with no
+    * global renormalization pass, and ranking order is unaffected.
+    *
+    * Contract: ids castable to long, weights positive (truncating DIV
+    * equals floor only for non-negative operands).
+    *
+    * Scale shape: edges and the out-weight table are persisted once
+    * and reused every iteration; per iteration one keyed equi-join
+    * fans rank over edges and one hash aggregate sums contributions —
+    * both shuffle on bare longs. Iterations localCheckpoint so the
+    * plan stays one-iteration deep. The only driver scalar is the
+    * node count (a bounded model parameter, same class as ANN
+    * pivots). Contribution terms stay under scale × max-edge-weight ≈
+    * 2^53 headroom for any realistic weight; sums ride longs.
+    *
+    * Returns (node: long, rank: long) — rank in scale-ths.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int, scale: Long = 1000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(dampDen >= 1 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must lie in [0,1]")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"),
+        col(weightCol).cast("long").as("__w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty edge list")
+    val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+    val outw = e.groupBy("__src").agg(sum("__w").as("__ow"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var pr = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(outw, "__src")
+        .join(pr.select(col("node").as("__src"), col("rank").as("__pr")),
+          "__src")
+        .select(col("__dst").as("node"),
+          expr("(__pr * __w) DIV __ow").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__S"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(base) +
+          expr(s"($dampNum * coalesce(__S, 0L)) DIV $dampDen")).as("rank"))
+        .localCheckpoint(false)
+    }
+    // the checkpointed final iteration still REFERENCES these caches
+    // lazily; materialize it before releasing them so callers never
+    // recompute the loop from scratch
+    pr.count()
+    e.unpersist(); nodes.unpersist(); outw.unpersist()
+    pr
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
-import graft.ops.Relational
+import graft.ops.{Graph, Relational}
 import graft.streaming.EventStreams
 
 /** Events-table (time-series) + multimodal queries. The event rollup
@@ -50,6 +50,74 @@ object EventQueries {
           (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
             .cast("long").as("gap_us"))
           .orderBy("event_id")
+      }),
+
+    // weighted PageRank over the page-transition graph (consecutive
+    // events per user -> src/dst page edges weighted by transition
+    // count), 3 iterations, damping 85/100. ALL-INTEGER nanorank
+    // arithmetic (multiply + truncating DIV + integer sums) makes the
+    // iteration order- and engine-exact — the oracle replays it as
+    // three chained CTEs and the hash must agree bit-for-bit
+    QueryDef("q_pagerank",
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+                FROM events),
+              tr AS (SELECT page AS src,
+                  lead(page) OVER (PARTITION BY user_id
+                    ORDER BY tus, event_id) AS dst
+                FROM ev),
+              e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+                FROM tr WHERE dst IS NOT NULL GROUP BY src, dst),
+              nodes AS (SELECT src AS node FROM e
+                        UNION SELECT dst FROM e),
+              prm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+              outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ww
+                FROM e GROUP BY src),
+              pr0 AS (SELECT node,
+                  1000000000 // (SELECT n FROM prm) AS rank FROM nodes),
+              it1 AS (SELECT nd.node,
+                  (CAST(1000000000 AS BIGINT) * 15) // (100 * (SELECT n FROM prm)) +
+                    (85 * COALESCE(s.s, 0)) // 100 AS rank
+                FROM nodes nd LEFT JOIN (
+                  SELECT e.dst AS node,
+                    CAST(sum((p.rank * e.w) // o.ww) AS BIGINT) AS s
+                  FROM e JOIN outw o ON e.src = o.src
+                    JOIN pr0 p ON e.src = p.node
+                  GROUP BY e.dst) s ON nd.node = s.node),
+              it2 AS (SELECT nd.node,
+                  (CAST(1000000000 AS BIGINT) * 15) // (100 * (SELECT n FROM prm)) +
+                    (85 * COALESCE(s.s, 0)) // 100 AS rank
+                FROM nodes nd LEFT JOIN (
+                  SELECT e.dst AS node,
+                    CAST(sum((p.rank * e.w) // o.ww) AS BIGINT) AS s
+                  FROM e JOIN outw o ON e.src = o.src
+                    JOIN it1 p ON e.src = p.node
+                  GROUP BY e.dst) s ON nd.node = s.node),
+              it3 AS (SELECT nd.node,
+                  (CAST(1000000000 AS BIGINT) * 15) // (100 * (SELECT n FROM prm)) +
+                    (85 * COALESCE(s.s, 0)) // 100 AS rank
+                FROM nodes nd LEFT JOIN (
+                  SELECT e.dst AS node,
+                    CAST(sum((p.rank * e.w) // o.ww) AS BIGINT) AS s
+                  FROM e JOIN outw o ON e.src = o.src
+                    JOIN it2 p ON e.src = p.node
+                  GROUP BY e.dst) s ON nd.node = s.node)
+              SELECT node AS page, CAST(rank AS BIGINT) AS rank
+              FROM it3 ORDER BY rank DESC, page LIMIT 20"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        val ev = events(s, d).select(col("user_id"), col("event_id"),
+          col("ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+        val edges = ev.select(col("page").as("src"),
+            lead(col("page"), 1).over(w).as("dst"))
+          .where(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        Graph.pageRank(edges, "src", "dst", "w", iters = 3)
+          .select(col("node").as("page"), col("rank"))
+          .orderBy(col("rank").desc, col("page"))
+          .limit(20)
       }),
 
     // gap-based sessionization, batch formulation: lag -> gap flag ->
