@@ -39,6 +39,55 @@ object AggQueries {
           max(to_date(col("o_orderdate"))).as("last_date"))
         .orderBy("prio")),
 
+    // exact per-group median (percentile_disc(0.5) semantics: the
+    // value at sorted position (n+1) div 2) and mode (most frequent
+    // value, min-value tiebreak). Spelled as explicit row_number
+    // windows so BOTH engines pick the identical discrete value — no
+    // interpolation, no engine-private quantile algorithms. Scale
+    // note: exact median costs one per-group sort; the sketch-based
+    // path at 100 TB is q_quantiles' approx summary, this is the
+    // exact complement (quantities are integer-valued doubles, so the
+    // BIGINT cast is lossless on both engines)
+    QueryDef("q_median_mode",
+      Some("""WITH q AS (SELECT l_returnflag AS flag,
+                  CAST(l_quantity AS BIGINT) AS qty
+                FROM lineitem),
+              med AS (SELECT flag, qty AS median_qty FROM (
+                SELECT flag, qty,
+                  row_number() OVER (PARTITION BY flag ORDER BY qty) AS rn,
+                  count(*) OVER (PARTITION BY flag) AS n
+                FROM q) WHERE rn = (n + 1) // 2),
+              md AS (SELECT flag, qty AS mode_qty, n AS mode_n FROM (
+                SELECT flag, qty, n,
+                  row_number() OVER (PARTITION BY flag
+                    ORDER BY n DESC, qty) AS r
+                FROM (SELECT flag, qty, CAST(count(*) AS BIGINT) AS n
+                      FROM q GROUP BY 1, 2)) WHERE r = 1)
+              SELECT m.flag AS l_returnflag, m.median_qty,
+                     o.mode_qty, o.mode_n
+              FROM med m JOIN md o ON m.flag = o.flag
+              ORDER BY l_returnflag"""),
+      (s, d) => {
+        val q = lineitem(s, d).select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"))
+        val med = q
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("flag").orderBy("qty")))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+          .where(expr("rn = (n + 1) div 2"))
+          .select(col("flag"), col("qty").as("median_qty"))
+        val md = q.groupBy("flag", "qty").agg(count(lit(1)).as("n"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy("flag").orderBy(col("n").desc, col("qty"))))
+          .where(col("r") === 1)
+          .select(col("flag"), col("qty").as("mode_qty"),
+            col("n").as("mode_n"))
+        med.join(md, "flag")
+          .select(col("flag").as("l_returnflag"), col("median_qty"),
+            col("mode_qty"), col("mode_n"))
+          .orderBy("l_returnflag")
+      }),
+
     // A3: group sum (reference `scorecard.py:60-61`); quantities are
     // integer-valued doubles -> order-independent exact sums; prices
     // rounded on both sides
