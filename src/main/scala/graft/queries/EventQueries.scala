@@ -120,6 +120,72 @@ object EventQueries {
           .limit(20)
       }),
 
+    // ordered step funnel: users reaching view -> later click -> later
+    // purchase. Each stage is one keyed agg + join on user_id (min
+    // timestamp AFTER the previous stage's min) — the standard funnel
+    // over billions of events without any per-user event sorting
+    QueryDef("q_funnel",
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+                FROM events),
+              s1 AS (SELECT user_id, min(tus) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(e.tus) AS t2
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.tus > s1.t1 GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(e.tus) AS t3
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.tus > s2.t2 GROUP BY 1)
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+                     (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+                     (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase"""),
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        val s1 = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tus").as("t1"))
+        val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
+          .where(col("tus") > col("t1"))
+          .groupBy("user_id").agg(min("tus").as("t2"))
+        val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+          .where(col("tus") > col("t2"))
+          .groupBy("user_id").agg(min("tus").as("t3"))
+        s1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+      }),
+
+    // trailing 7-day rolling distinct actives (WAU per day): each
+    // (user, active-day) contributes to 7 report days via a bounded
+    // 7-way explode, then one count-distinct per day — rolling
+    // DISTINCT can't ride a window frame, and the explode form keeps
+    // it one keyed aggregate at any scale. Report days are restricted
+    // to days with actual activity
+    QueryDef("q_rolling_dau",
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                    AS day
+                FROM events),
+              days AS (SELECT DISTINCT day FROM act),
+              contrib AS (SELECT a.user_id, a.day + CAST(f.o AS INT) AS cday
+                FROM act a CROSS JOIN
+                  (SELECT unnest(range(0, 7)) AS o) f)
+              SELECT c.cday AS day,
+                CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+              FROM contrib c JOIN days d ON c.cday = d.day
+              GROUP BY 1 ORDER BY day"""),
+      (s, d) => {
+        val act = events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val days = act.select(col("day").as("cday")).distinct()
+        act.select(col("user_id"),
+            explode(sequence(lit(0), lit(6))).as("o"), col("day"))
+          .select(col("user_id"), date_add(col("day"), col("o")).as("cday"))
+          .join(days, "cday")
+          .groupBy("cday").agg(countDistinct("user_id").as("wau"))
+          .select(col("cday").as("day"), col("wau"))
+          .orderBy("day")
+      }),
+
     // gap-based sessionization, batch formulation: lag -> gap flag ->
     // running sum = session seq (oracle twin of the stateful stream)
     QueryDef("q_event_sessions",
