@@ -74,7 +74,7 @@ object Bench {
     // the driver's sf0.1 full runs; override with SPARK_GRAFT_SF1=0/1.
     val sf1Queries = Seq("q_dedup_minhash", "q_ngram_prefix",
       "q_ngram_jaccard", "q_dedup_eval", "q_dedup_simhash", "q_substr_dedup",
-      "q_incremental_minhash")
+      "q_incremental_minhash", "q_substr_apply")
     val resultMap = results.toMap
     val sf1Enabled = sys.env.get("SPARK_GRAFT_SF1")
       .map(_ != "0").getOrElse(sfDir.contains("sf0.1") && only.isEmpty)

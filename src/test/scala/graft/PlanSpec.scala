@@ -188,6 +188,35 @@ class PlanSpec extends SparkTestBase {
       "token budget window collapsed to a single partition")
   }
 
+  test("q_shard_balance: the snake window is celled, never one partition") {
+    val p = plan("q_shard_balance")
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"),
+      "balancedShards collapsed to a single-partition window (global sort trap)")
+  }
+
+  test("q_substr_apply carries digests and positions, never window text") {
+    // the shuffled stages must move md5 digests (32-char) + long
+    // offsets; the raw text column may only appear at the scan and in
+    // the final reassembly projection, never in an Exchange's child
+    // output. Cheap proxy: every hashpartitioning clause keys on
+    // internal columns, none on `text`
+    val p = plan("q_substr_apply")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"window text rides a shuffle: ${exchanges.mkString("; ")}")
+  }
+
+  test("q_rolling_dau aggregates partially before its exchange") {
+    // the 7-way explode must be followed by a partial count-distinct
+    // below the shuffle (map-side combine), not a raw-row shuffle
+    val p = plan("q_rolling_dau")
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExch = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExch >= 0)
+  }
+
   test("q_sql_lev: the SQL-surface levenshtein predicate is bounded") {
     // the registered query writes the unbounded `levenshtein(a,b) <= 1`
     // in SQL text; the optimizer rule (installed imperatively by the
