@@ -70,6 +70,57 @@ object ScaleQueries {
         .orderBy(desc("n"), asc("tok"))
         .limit(50)),
 
+    // Heaps-law vocabulary growth: bucket the corpus by doc-id range
+    // and count the vocabulary terms FIRST seen in each bucket plus
+    // the running total — the curve that decides tokenizer vocab size
+    // and flags corpus staleness (new-term rate collapsing to zero).
+    // One term-level aggregate (min first-doc per term, map-side
+    // combined) then a bucket-count-sized window — the cumsum runs
+    // over ~corpus/50 rows, never the data
+    QueryDef("q_vocab_growth",
+      // TERM here = word trigram: the unigram vocabulary of the
+      // synthetic fixture saturates within the first docs, while the
+      // trigram space keeps growing corpus-long — the regime where the
+      // curve carries information (same choice a tokenizer-sizing run
+      // makes: count merged units, not characters)
+      Some("""WITH t AS (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS toks
+                FROM documents),
+              g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+                      list_transform(range(1, len(toks) - 1), i ->
+                        toks[CAST(i AS INT)] || ' ' ||
+                        toks[CAST(i + 1 AS INT)] || ' ' ||
+                        toks[CAST(i + 2 AS INT)])
+                      ELSE [] END) AS tok FROM t),
+              firstseen AS (
+                SELECT tok, min(doc_id) AS first_doc FROM g GROUP BY tok),
+              bucketed AS (
+                SELECT first_doc // 50 AS bucket,
+                  CAST(count(*) AS BIGINT) AS new_terms
+                FROM firstseen GROUP BY 1)
+              SELECT CAST(bucket AS BIGINT) AS bucket, new_terms,
+                CAST(sum(new_terms) OVER (ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+              FROM bucketed ORDER BY bucket"""),
+      (s, d) => {
+        val grams = documents(s, d)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"), explode(when(size(col("toks")) >= 3,
+            expr("""transform(sequence(1, size(toks) - 2),
+                      i -> concat(element_at(toks, i), ' ',
+                                  element_at(toks, i + 1), ' ',
+                                  element_at(toks, i + 2)))"""))
+            .otherwise(array().cast("array<string>"))).as("tok"))
+        grams.groupBy("tok").agg(min("doc_id").as("first_doc"))
+          .groupBy(expr("first_doc div 50").as("bucket"))
+          .agg(count(lit(1)).as("new_terms"))
+          .withColumn("vocab_size",
+            sum("new_terms").over(Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("long"))
+          .orderBy("bucket")
+      }),
+
     // snapshot-over-snapshot vocabulary drift: per-token frequency in
     // the old corpus (even ids) vs the new one (odd ids), merged with
     // a FULL OUTER join (tokens may exist in either side alone), top

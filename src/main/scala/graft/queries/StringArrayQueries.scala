@@ -73,6 +73,25 @@ object StringArrayQueries {
             .as("first_in_type"))
         .orderBy("pkey")),
 
+    // regexp_extract_all: the S8 regex surface (reference
+    // `activity_request.py:81-116` extracts ALL `[A-Z]{2}\d{7}` DEA
+    // hits from page text) — here all s-words per document, as an
+    // array column reduced to count + joined string
+    QueryDef("q_extract_all",
+      Some("""SELECT doc_id,
+                CAST(len(m) AS BIGINT) AS n_matches,
+                COALESCE(array_to_string(m, ','), '') AS all_matches
+              FROM (SELECT doc_id,
+                      regexp_extract_all(text, '\bs[a-z]+\b') AS m
+                    FROM documents)
+              ORDER BY doc_id"""),
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("\\bs[a-z]+\\b"), lit(0)).as("m"))
+        .select(col("doc_id"), size(col("m")).cast("long").as("n_matches"),
+          array_join(col("m"), ",").as("all_matches"))
+        .orderBy("doc_id")),
+
     // F8/L1: split -> explode (reference `unreg_pharmacists.py:113,118`)
     QueryDef("q_split_explode",
       Some("""SELECT p_partkey AS pkey, unnest(string_split(p_name, ' ')) AS word
