@@ -135,6 +135,39 @@ object Relational {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Left enrich-join that FAILS FAST on accidental fan-out: if any
+    * join key has more than `maxMatchesPerKey` rows on the dim side,
+    * the job aborts naming the hot key instead of silently multiplying
+    * the fact table (the classic 100 TB blowup — a "unique" dimension
+    * that quietly stopped being unique doubles the output and every
+    * downstream aggregate). The reference's enrich joins
+    * (`delinquent_data_submitters.py:88`, `mm2.py:69-70`) all assume
+    * one-row-per-key dims; this encodes that assumption in the plan.
+    *
+    * The guard is IN-PLAN (count-over window + raise_error on the dim
+    * side), so the operator stays lazy, travels with the plan, and
+    * costs one window over the dim only — the fact side is untouched
+    * and the dim-side window shares the shuffle the join needs anyway
+    * (or stays cheap under a broadcast, dims being small by contract).
+    */
+  def guardedLeftJoin(fact: DataFrame, dim: DataFrame, key: String,
+      maxMatchesPerKey: Long = 1L): DataFrame = {
+    require(maxMatchesPerKey >= 1,
+      s"maxMatchesPerKey=$maxMatchesPerKey must be >= 1")
+    val checked = dim
+      .withColumn("__mk", count(lit(1)).over(Window.partitionBy(col(key))))
+      .filter(when(col("__mk") > maxMatchesPerKey,
+        raise_error(concat(
+          lit("guardedLeftJoin: key '"), col(key).cast("string"),
+          lit("' has "), col("__mk").cast("string"),
+          lit(s" dim rows > maxMatchesPerKey=$maxMatchesPerKey — " +
+            "deduplicate the dimension (keepFirst) or raise the bound")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__mk")
+    fact.join(checked, Seq(key), "left")
+  }
+
   /** Fail-fast data-quality gate (reference `unreg_presc.py:163-170`:
     * unmatched degrees → diagnostic dump + abort): if `df` has ANY
     * rows, throw with a preview of the first `sample` offenders.

@@ -65,6 +65,31 @@ class RelationalSpec extends SparkTestBase {
       Relational.saltedJoin(fact, dim, "k", salts = 4, joinType = "right"))
   }
 
+  test("guardedLeftJoin enriches like a plain left join on a unique dim") {
+    val fact = Seq((1, "a"), (2, "b"), (3, "c"), (1, "d")).toDF("k", "v")
+    val dim = Seq((1, "X"), (2, "Y")).toDF("k", "name")
+    val got = Relational.guardedLeftJoin(fact, dim, "k")
+      .orderBy("v").as[(Int, String, String)].collect().toSeq
+    assert(got === Seq((1, "a", "X"), (2, "b", "Y"), (3, "c", null),
+      (1, "d", "X")))
+  }
+
+  test("guardedLeftJoin aborts naming the hot key on dim fan-out") {
+    val fact = Seq((1, "a")).toDF("k", "v")
+    val dim = Seq((1, "X"), (1, "X2"), (2, "Y")).toDF("k", "name")
+    val e = intercept[Exception] {
+      Relational.guardedLeftJoin(fact, dim, "k").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("guardedLeftJoin") &&
+      m.contains("'1'")), s"unexpected error: $e")
+    // raising the bound admits the documented fan-out
+    assert(Relational.guardedLeftJoin(fact, dim, "k",
+      maxMatchesPerKey = 2L).count() === 2)
+  }
+
   test("requireEmpty passes on empty, throws with a preview otherwise") {
     val ok = Seq.empty[Long].toDF("k")
     Relational.requireEmpty(ok, "should not throw")
