@@ -107,6 +107,28 @@ object Demo {
     Relational.editDistancePairsBucketed(names, "id", "b", "s", maxDist = 2)
       .orderBy("key_a", "key_b").show(false)
 
+    // round 6: ExactSubstr apply — the verbatim copy empties, the
+    // owner keeps everything, the near-copy keeps only its change
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"))
+      .toDF("doc_id", "text")
+    graft.dedup.Dedup.removeDuplicateSpans(corpus, "doc_id", "text", w = 4)
+      .orderBy("doc_id").show(false)
+
+    // round 6: exact-integer PageRank — a 2-cycle is a fixed point
+    val ring = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    graft.ops.Graph.pageRank(ring, "src", "dst", "w", iters = 3)
+      .orderBy("node").show(false)
+
+    // round 6: fan-out guard — the non-unique dim aborts with the key
+    val dupDim = Seq((1L, "X"), (1L, "X2")).toDF("k", "name")
+    try { Relational.guardedLeftJoin(fact, dupDim, "k").collect()
+      println("UNEXPECTED: guard passed") }
+    catch { case _: Exception =>
+      println("guardedLeftJoin threw as expected") }
+
     spark.stop()
   }
 }
