@@ -78,4 +78,38 @@ object Graph {
     e.unpersist(); nodes.unpersist(); outw.unpersist()
     pr
   }
+
+  /** Per-node triangle counts via the id-oriented node-iterator join:
+    * edges are canonicalized to a<b, wedges form by joining (a,b) with
+    * (b,c) — a<b<c holds by construction, so every triangle closes
+    * exactly once through the (a,c) membership join, with no
+    * post-hoc dedup. The id orientation plays the role degree
+    * orientation plays in the classic algorithm: each triangle is
+    * enumerated from its smallest vertex only, capping the wedge
+    * fan-out. Scale shape: one distinct + two keyed equi-joins on bare
+    * longs; the hot spot is wedge count Σ deg²(b) — for power-law
+    * graphs switch the orientation column to a degree rank (drop-in:
+    * relabel ids by ascending degree first). Result is exact integer
+    * counts — engine-replayable.
+    *
+    * Returns (node: long, n_triangles: long), nodes in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = und.join(und.select(col("a").as("b"), col("b").as("c")), "b")
+    val tri = wedges.join(und.select(col("a"), col("b").as("c")),
+      Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint() // eager: release the edge cache right after
+    und.unpersist()
+    perNode
+  }
 }

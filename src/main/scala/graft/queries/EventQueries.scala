@@ -120,6 +120,43 @@ object EventQueries {
           .limit(20)
       }),
 
+    // per-node triangle counts over the (undirected) page-transition
+    // graph — id-oriented node-iterator join, every triangle closed
+    // exactly once from its smallest vertex; exact integer counts
+    QueryDef("q_triangles",
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+                FROM events),
+              tr AS (SELECT page AS src,
+                  lead(page) OVER (PARTITION BY user_id
+                    ORDER BY tus, event_id) AS dst
+                FROM ev),
+              und AS (SELECT DISTINCT least(src, dst) AS a,
+                  greatest(src, dst) AS b
+                FROM tr WHERE dst IS NOT NULL AND src <> dst),
+              wed AS (SELECT ab.a, ab.b, bc.b AS c
+                FROM und ab JOIN und bc ON ab.b = bc.a),
+              tri AS (SELECT w.a, w.b, w.c FROM wed w
+                JOIN und ac ON ac.a = w.a AND ac.b = w.c)
+              SELECT node AS page,
+                CAST(count(*) AS BIGINT) AS n_triangles
+              FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+              GROUP BY node ORDER BY n_triangles DESC, page LIMIT 20"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        val tr = events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            get_json_object(col("props"), "$.k").cast("long").as("page"))
+          .select(col("page").as("src"),
+            lead(col("page"), 1).over(w).as("dst"))
+          .where(col("dst").isNotNull)
+        Graph.triangleCounts(tr, "src", "dst")
+          .select(col("node").as("page"), col("n_triangles"))
+          .orderBy(col("n_triangles").desc, col("page"))
+          .limit(20)
+      }),
+
     // ordered step funnel: users reaching view -> later click -> later
     // purchase. Each stage is one keyed agg + join on user_id (min
     // timestamp AFTER the previous stage's min) — the standard funnel

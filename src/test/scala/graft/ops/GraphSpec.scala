@@ -35,6 +35,25 @@ class GraphSpec extends SparkTestBase {
     assert(total > 900000000L, "truncation loss should stay small")
   }
 
+  test("triangleCounts: closed triangles only, counted once per vertex") {
+    // triangle 1-2-3 (one edge given reversed + duplicated), a dangling
+    // edge 3-4, and an open wedge 4-5, 5-6
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("triangleCounts: two triangles sharing an edge") {
+    // 1-2-3 and 2-3-4 share edge 2-3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
   test("pageRank: result independent of input partitioning") {
     val edges = (1L to 200L)
       .map(i => (i, (i * 7) % 50 + 1, (i % 5) + 1))
