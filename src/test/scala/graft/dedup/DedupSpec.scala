@@ -187,6 +187,47 @@ class DedupSpec extends SparkTestBase {
       (2L, 3L, 0L, md5hex("too few tokens"))))
   }
 
+  test("removeDuplicateSpans ≡ driver reference on a random dup-rich corpus") {
+    // tiny vocabulary + short docs = maximal accidental span sharing;
+    // an independent plain-Scala implementation is the oracle
+    val w = 3
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs: Seq[(Long, String)] = (1L to 120L).map { i =>
+      val len = 1 + rnd.nextInt(9)
+      (i, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val expected = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").toVector }.toMap
+      val wins: Seq[(Long, Int, String)] = docs.flatMap { case (id, _) =>
+        val tk = toks(id)
+        (0 to tk.length - w).map(i =>
+          (id, i + 1, md5hex(tk.slice(i, i + w).mkString(" "))))
+      }
+      val byDig = wins.groupBy(_._3)
+      val owner = byDig.map { case (dg, ws) => dg -> ws.map(_._1).min }
+      val nDocs = byDig.map { case (dg, ws) => dg -> ws.map(_._1).distinct.size }
+      docs.map { case (id, _) =>
+        val tk = toks(id)
+        val covered = wins.collect {
+          case (d, i, dg) if d == id && nDocs(dg) >= 2 && owner(dg) != id =>
+            (i until i + w)
+        }.flatten.toSet
+        val clean = tk.zipWithIndex.collect {
+          case (t, ix) if !covered.contains(ix + 1) => t }
+        (id, tk.length.toLong, covered.size.toLong, md5hex(clean.mkString(" ")))
+      }
+    }
+    val got = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", w)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === expected)
+    assert(expected.exists(_._3 > 0), "fixture should actually remove spans")
+    assert(expected.exists(r => r._3 == 0 && r._2 >= w.toLong),
+      "fixture should keep some owner docs intact")
+  }
+
   test("incrementalMinhashPairs ≡ batch minhashPairs on delta-vs-corpus") {
     // corpus = even ids, delta = odd ids (the daily-snapshot split);
     // the incremental probe must find exactly the cross pairs the full

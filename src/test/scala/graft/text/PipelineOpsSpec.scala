@@ -137,6 +137,24 @@ class PipelineOpsSpec extends SparkTestBase {
       again.orderBy("id").collect().toSeq)
   }
 
+  test("balancedShards: per-cell snake counts differ by at most one") {
+    // within every (magnitude, subgroup) cell the boustrophedon hands
+    // out ranks round-robin over 2S — shard counts in a cell can never
+    // differ by more than 1, which is what makes global balance hold
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 500L).map(i => (i, 1L + rnd.nextInt(5000)))
+    val out = Sampling.balancedShards(rows.toDF("id", "w"), "id", "w",
+        shards = 8, subgroups = 4)
+      .select(length(col("w").cast("string")).as("mag"),
+        pmod(col("id"), lit(4)).as("sub"), col("shard"))
+      .groupBy("mag", "sub", "shard").count()
+      .groupBy("mag", "sub")
+      .agg((max("count") - min("count")).as("spread"))
+      .select("spread").as[Long].collect()
+    assert(out.nonEmpty && out.forall(_ <= 1L),
+      s"cell shard counts uneven: ${out.toSeq}")
+  }
+
   test("rateGate: column rate matches hashGate at the same literal rate; nested") {
     val df = spark.range(0, 1000).toDF("id")
     for (r <- Seq(0.0, 0.25, 1.0)) {
