@@ -74,7 +74,12 @@ object Bench {
     // the driver's sf0.1 full runs; override with SPARK_GRAFT_SF1=0/1.
     val sf1Queries = Seq("q_dedup_minhash", "q_ngram_prefix",
       "q_ngram_jaccard", "q_dedup_eval", "q_dedup_simhash", "q_substr_dedup",
-      "q_incremental_minhash", "q_substr_apply")
+      "q_incremental_minhash", "q_substr_apply",
+      // events-backed iterative/graph ops: the 10x tier shifts user and
+      // event ids per copy, so user partitions stay disjoint (10x
+      // transition rows over the same page-node set — iteration count
+      // and node-side state are scale-INdependent by design)
+      "q_pagerank", "q_triangles")
     val resultMap = results.toMap
     val sf1Enabled = sys.env.get("SPARK_GRAFT_SF1")
       .map(_ != "0").getOrElse(sfDir.contains("sf0.1") && only.isEmpty)
@@ -89,6 +94,16 @@ object Bench {
               t => concat(lit("c" + k), t))))
       }.reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // 10x events: disjoint user/event id spaces per copy; ts/props
+      // unchanged (the nanosAsLong read yields a plain long ts column,
+      // which Tables.eventsRaw handles identically on re-read)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until 10).map { k =>
+        evs.withColumn("user_id", col("user_id") + lit(k * 10000000L))
+          .withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
       sf1Queries.filter(n => SparkEntry.queries.contains(n) &&
           only.forall(_.contains(n))).map { n =>
         val t10 = runIn(n, dir)
