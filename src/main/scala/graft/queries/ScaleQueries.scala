@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ZOrder
 import graft.multimodal.Multimodal
+import graft.text.Scoring
 import graft.ops.{Profiler, Relational, Sketches}
 import graft.similarity.Ann
 import graft.sources.BucketedTables
@@ -770,6 +771,33 @@ object ScaleQueries {
     // the count), partial-agg'd, top-k via TakeOrderedAndProject.
     // Vocabulary-sized shuffle, corpus-sized scan — same shape at any
     // corpus size
+    // word2phrase collocation mining: adjacent pairs ranked by exact
+    // integer-ppm discounted lift (count(ab)-2)*N/(count(a)*count(b))
+    // — the phrase-merge shortlist a tokenizer build consumes. No
+    // floats: truncating integer division on both engines
+    QueryDef("q_phrases",
+      Some("""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+                         FROM documents),
+              uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+              n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+              b AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM (
+                  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)), i ->
+                      toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])
+                    ELSE [] END) AS bg FROM t)
+                GROUP BY bg HAVING count(*) >= 3)
+              SELECT b.bg AS bigram, b.c_ab,
+                CAST(((b.c_ab - 2) * n.n_tokens * 1000000)
+                  // (ua.c * ub.c) AS BIGINT) AS score_ppm
+              FROM b CROSS JOIN n
+                JOIN uni ua ON ua.w = string_split(b.bg, ' ')[1]
+                JOIN uni ub ON ub.w = string_split(b.bg, ' ')[2]
+              ORDER BY score_ppm DESC, bigram LIMIT 20"""),
+      (s, d) => Scoring.phraseScores(documents(s, d), "text")
+        .orderBy(col("score_ppm").desc, col("bigram"))
+        .limit(20)),
+
     QueryDef("q_bigrams",
       Some("""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
                          FROM documents),

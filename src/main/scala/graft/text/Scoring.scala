@@ -141,4 +141,47 @@ object Scoring {
         col("sum_bigram_freq").cast("double") /
           col("sum_prefix_freq").cast("double"))
   }
+
+  /** word2phrase collocation mining (Mikolov et al., "Distributed
+    * Representations of Words and Phrases...", eq. 6): adjacent pairs
+    * scored by the discounted lift
+    * `(count(ab) - delta) * N / (count(a) * count(b))` — pairs that
+    * co-occur far above chance are phrase-merge candidates for
+    * tokenizer/corpus prep. The score is emitted as EXACT integer
+    * parts-per-million (`score_ppm`, truncating div), so ranking and
+    * hashing are engine- and order-independent — no float in sight.
+    *
+    * Overflow bound: `(c_ab - delta) * N * 1e6` rides a long — safe to
+    * N ≈ 3e6 tokens with max-count pairs; past that switch the product
+    * to decimal(38,0) (the q_corr moment pattern). Scale shape: two
+    * corpus explodes (unigram + bigram) into vocabulary-sized counts,
+    * a keyed join of the bigram vocab against the unigram vocab on
+    * each word, and a 1-row broadcast of N — vocabulary-sized frames
+    * everywhere after the aggregates.
+    */
+  def phraseScores(df: DataFrame, textCol: String, delta: Long = 2L,
+      minCount: Long = 3L): DataFrame = {
+    require(minCount > delta,
+      s"minCount=$minCount must exceed delta=$delta (score must stay positive)")
+    val t = col("__toks")
+    val bgs = when(size(t) >= 2,
+      slice(zip_with(t, slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b)), lit(1), size(t) - 1))
+      .otherwise(array().cast("array<string>"))
+    val toksDf = graft.ops.StageCache.persisted(
+      df.select(TextAnalysis.tokens(col(textCol)).as("__toks")))
+    val uni = toksDf.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bg = toksDf.select(explode(bgs).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(uni.agg(sum("c").cast("long").as("n_tokens"))))
+      .select(col("bg").as("bigram"), col("c_ab"),
+        expr(s"((c_ab - $delta) * n_tokens * 1000000) div (c_a * c_b)")
+          .as("score_ppm"))
+  }
 }

@@ -66,4 +66,22 @@ class ScoringSpec extends SparkTestBase {
     assert(byId(1L)._5 === 5.0 / 6.0 && byId(3L)._5 === 4.0 / 6.0 &&
       byId(5L)._5 === 3.0 / 7.0)
   }
+
+  test("phraseScores: exact ppm discounted lift, min-count filter") {
+    // N = 7 tokens; "new york" occurs 3x (c_a = c_b = 3);
+    // every other pair occurs < 3 times and is filtered
+    val docs = Seq((1L, "new york new york"), (2L, "new york city"))
+      .toDF("id", "txt")
+    val got = Scoring.phraseScores(docs, "txt")
+      .as[(String, Long, Long)].collect().toSeq
+    graft.ops.StageCache.releaseAll()
+    assert(got === Seq(("new york", 3L, (1L * 7L * 1000000L) / 9L)))
+  }
+
+  test("phraseScores rejects minCount <= delta") {
+    val docs = Seq((1L, "a b")).toDF("id", "txt")
+    intercept[IllegalArgumentException] {
+      Scoring.phraseScores(docs, "txt", delta = 2L, minCount = 2L)
+    }
+  }
 }
