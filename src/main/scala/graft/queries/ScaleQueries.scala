@@ -346,6 +346,22 @@ object ScaleQueries {
           sum("n_tok").cast("long").as("total_tokens"))
         .orderBy("shard")),
 
+    // rendezvous (HRW) sharding: argmax over md5(id:shard) draws —
+    // map-side, shuffle-free, and RESIZE-STABLE (only ~1/(S+1) of keys
+    // move when a shard is added; spec-pinned). The stability
+    // counterpart to q_shard_balance's token balance
+    QueryDef("q_hrw_shards",
+      Some("""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs FROM (
+                SELECT list_max(list_transform(range(0, 8), s ->
+                    {'h': md5(doc_id || ':' || s), 's': CAST(s AS INT)})).s
+                  AS shard
+                FROM documents)
+              GROUP BY shard ORDER BY shard"""),
+      (s, d) => Sampling.rendezvousShards(
+          documents(s, d).select("doc_id"), "doc_id", shards = 8)
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"))
+        .orderBy("shard")),
+
     // per-domain quota: cap every source at K docs, chosen in
     // deterministic md5 order (domain balancing — no single crawl
     // domain may dominate the mix). Hash-partitioned window, no

@@ -107,4 +107,28 @@ object Sampling {
     df.withColumn("shard",
       when(k < shards, k).otherwise(lit(2 * shards - 1) - k).cast("int"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * STABILITY complement to [[balancedShards]]' balance: each key
+    * goes to the shard whose md5(key:shard) draw is lexicographically
+    * largest, so when the shard count changes from S to S+1 only the
+    * keys whose new draw wins move (~1/(S+1) of them) — every other
+    * assignment is untouched. That is the property a resumable corpus
+    * layout needs across capacity changes; the snake gives near-exact
+    * token balance but renumbers freely on ANY input change. Pure
+    * map-side expression (no shuffle, no state); md5 keeps the
+    * assignment engine-portable. Appends an int `shard` column.
+    */
+  def rendezvousShards(df: DataFrame, idCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards=$shards must be >= 1")
+    require(!df.columns.contains("shard"),
+      "rendezvousShards appends a 'shard' column; input already has one")
+    // array_max over (hash, shard) structs: struct ordering compares
+    // the hash first, the shard index only breaks exact-collision ties
+    val draws = transform(sequence(lit(0), lit(shards - 1)), s =>
+      struct(md5(concat(col(idCol).cast("string"), lit(":"),
+        s.cast("string"))).as("h"), s.cast("int").as("s")))
+    df.withColumn("shard", array_max(draws).getField("s"))
+  }
 }

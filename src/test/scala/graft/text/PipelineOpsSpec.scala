@@ -155,6 +155,28 @@ class PipelineOpsSpec extends SparkTestBase {
       s"cell shard counts uneven: ${out.toSeq}")
   }
 
+  test("rendezvousShards: resize moves ~1/(S+1) of keys, never more kinds") {
+    val ids = (1L to 2000L).toDF("id")
+    val s8 = Sampling.rendezvousShards(ids, "id", 8)
+      .withColumnRenamed("shard", "s8")
+    val s9 = Sampling.rendezvousShards(ids, "id", 9)
+      .withColumnRenamed("shard", "s9")
+    val joined = s8.join(s9, "id").select("id", "s8", "s9")
+      .as[(Long, Int, Int)].collect()
+    assert(joined.forall(r => r._2 >= 0 && r._2 < 8 && r._3 >= 0 && r._3 < 9))
+    val moved = joined.filter(r => r._2 != r._3)
+    // HRW: a key moves iff its NEW shard's draw wins — expect ~2000/9
+    // ≈ 222; allow generous sampling noise either side
+    assert(moved.length > 120 && moved.length < 350,
+      s"${moved.length} keys moved, expected ≈ 222")
+    // every moved key moves TO the new shard, never between old shards
+    assert(moved.forall(_._3 == 8),
+      "a resize must only move keys onto the added shard")
+    // balance: md5 draws spread keys evenly-ish over 8 shards
+    val counts = joined.groupBy(_._2).map(_._2.length)
+    assert(counts.min > 150 && counts.max < 350, s"uneven: $counts")
+  }
+
   test("rateGate: column rate matches hashGate at the same literal rate; nested") {
     val df = spark.range(0, 1000).toDF("id")
     for (r <- Seq(0.0, 0.25, 1.0)) {
