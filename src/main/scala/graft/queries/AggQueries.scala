@@ -88,6 +88,57 @@ object AggQueries {
           .orderBy("l_returnflag")
       }),
 
+    // robust outlier screen: per-group median, median absolute
+    // deviation (MAD), and the count of |x - med| > 3*MAD rows — the
+    // outlier rule that survives heavy tails where mean/stddev break.
+    // Entirely integer-exact (quantities are integer-valued): two
+    // stacked median picks via explicit row_number windows, then one
+    // keyed count — engine-identical discrete choices throughout
+    QueryDef("q_mad_outliers",
+      Some("""WITH q AS (SELECT l_returnflag AS flag,
+                  CAST(l_quantity AS BIGINT) AS qty
+                FROM lineitem),
+              med AS (SELECT flag, qty AS med_qty FROM (
+                SELECT flag, qty,
+                  row_number() OVER (PARTITION BY flag ORDER BY qty) AS rn,
+                  count(*) OVER (PARTITION BY flag) AS n
+                FROM q) WHERE rn = (n + 1) // 2),
+              dev AS (SELECT q.flag, abs(q.qty - m.med_qty) AS ad
+                FROM q JOIN med m ON q.flag = m.flag),
+              mad AS (SELECT flag, ad AS mad_qty FROM (
+                SELECT flag, ad,
+                  row_number() OVER (PARTITION BY flag ORDER BY ad) AS rn,
+                  count(*) OVER (PARTITION BY flag) AS n
+                FROM dev) WHERE rn = (n + 1) // 2)
+              SELECT m.flag AS l_returnflag, m.med_qty, d.mad_qty,
+                CAST(sum(CASE WHEN v.ad > 3 * d.mad_qty THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers
+              FROM med m JOIN mad d ON m.flag = d.flag
+                JOIN dev v ON v.flag = m.flag
+              GROUP BY 1, 2, 3 ORDER BY l_returnflag"""),
+      (s, d) => {
+        val q = lineitem(s, d).select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"))
+        def pick(df: org.apache.spark.sql.DataFrame, v: String,
+            as: String) = df
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("flag").orderBy(v)))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+          .where(expr("rn = (n + 1) div 2"))
+          .select(col("flag"), col(v).as(as))
+        val med = pick(q, "qty", "med_qty")
+        val dev = q.join(med, "flag")
+          .select(col("flag"), abs(col("qty") - col("med_qty")).as("ad"))
+        val mad = pick(dev, "ad", "mad_qty")
+        med.join(mad, "flag").join(dev, "flag")
+          .groupBy("flag", "med_qty", "mad_qty")
+          .agg(sum(when(col("ad") > lit(3) * col("mad_qty"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+          .select(col("flag").as("l_returnflag"), col("med_qty"),
+            col("mad_qty"), col("n_outliers"))
+          .orderBy("l_returnflag")
+      }),
+
     // A3: group sum (reference `scorecard.py:60-61`); quantities are
     // integer-valued doubles -> order-independent exact sums; prices
     // rounded on both sides
