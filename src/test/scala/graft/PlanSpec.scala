@@ -217,6 +217,22 @@ class PlanSpec extends SparkTestBase {
     assert(firstAgg >= 0 && firstExch >= 0)
   }
 
+  test("q_hrw_shards assigns map-side: the only exchange is the final agg's") {
+    // rendezvous sharding is a pure projection — the plan may shuffle
+    // once for the groupBy(shard) count and once for the tiny ordered
+    // result, but never to compute the assignment itself (no Window,
+    // no join)
+    val p = plan("q_hrw_shards")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "HRW assignment must be a map-side projection")
+    // FormattedMode prints each node twice (tree + detail); count only
+    // the numbered detail headers
+    val shuffles = p.linesIterator
+      .filter(_.matches("""\(\d+\) Exchange.*"""))
+      .size
+    assert(shuffles <= 2, s"$shuffles shuffles for a map-side assignment")
+  }
+
   test("q_sql_lev: the SQL-surface levenshtein predicate is bounded") {
     // the registered query writes the unbounded `levenshtein(a,b) <= 1`
     // in SQL text; the optimizer rule (installed imperatively by the

@@ -35,6 +35,21 @@ class GraphSpec extends SparkTestBase {
     assert(total > 900000000L, "truncation loss should stay small")
   }
 
+  test("pageRank: edge weight steers rank proportionally") {
+    // node 1 routes 3/4 of its mass to node 2, 1/4 to node 3; back
+    // edges keep the chain live. After one iteration from uniform
+    // 333,333,333: contrib(2) = (pr*3) div 4, contrib(3) = (pr*1) div 4
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRank(edges, "src", "dst", "w", iters = 1)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    val base = 50000000L
+    val pr0 = 333333333L
+    assert(got(2L) === base + (85L * ((pr0 * 3L) / 4L)) / 100L)
+    assert(got(3L) === base + (85L * ((pr0 * 1L) / 4L)) / 100L)
+    assert(got(2L) > got(3L))
+  }
+
   test("triangleCounts: closed triangles only, counted once per vertex") {
     // triangle 1-2-3 (one edge given reversed + duplicated), a dangling
     // edge 3-4, and an open wedge 4-5, 5-6
