@@ -524,6 +524,30 @@ object ScaleQueries {
           .orderBy("doc_id")
       }),
 
+    // temperature-flattened mixture (α = 0.5): per-source keep-rate
+    // scale/sqrt(n) so the sampled mix follows p(s) ∝ sqrt(n_s) — the
+    // standard multilingual sampling-temperature curve. sqrt and
+    // divide are IEEE exactly-rounded, so both engines compute the
+    // identical 1/256 gate threshold; the rate table is sources-sized
+    // and broadcast, the gate is map-side
+    QueryDef("q_temp_mixture",
+      Some("""WITH n AS (SELECT source, count(*) AS n_src
+                         FROM documents GROUP BY 1),
+              r AS (SELECT source,
+                      least(1.0, 2.5 / sqrt(CAST(n_src AS DOUBLE))) AS rate
+                    FROM n)
+              SELECT d.doc_id, d.source, d.lang
+              FROM documents d JOIN r ON d.source = r.source
+              WHERE CAST(floor(rate * 256 + 0.5) AS INT) >= 256
+                 OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                    lpad(lower(hex(CAST(floor(rate * 256 + 0.5) AS INT))), 2, '0')
+              ORDER BY doc_id"""),
+      (s, d) => Sampling.sqrtTemperatureMixture(
+          documents(s, d).select("doc_id", "source", "lang"),
+          "doc_id", "source", scale = 2.5)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")),
+
     // cube aggregation: all four grouping sets over (returnflag,
     // linestatus) in one pass — Spark expands the cube BEFORE the
     // exchange, so the shuffle carries partially-aggregated rows per

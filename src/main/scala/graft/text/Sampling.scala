@@ -54,6 +54,31 @@ object Sampling {
     df.filter(gate)
   }
 
+  /** Temperature-flattened source mixing: keep source `s` at rate
+    * ∝ n_s^(α-1) so the sampled mixture follows p(s) ∝ n_s^α — the
+    * standard corpus "sampling temperature" (α < 1 flattens head
+    * sources toward uniform; α = 1 is the natural distribution). Only
+    * α = 0.5 is offered: `sqrt` and divide are IEEE exactly-rounded,
+    * so the per-source rate — and therefore the 1/256 md5-gate
+    * threshold — is bit-identical across engines, where a general
+    * `pow(n, α-1)` is correctly-rounded on neither and could flip a
+    * bucket boundary. `scale` calibrates overall volume: a source with
+    * n ≤ scale² keeps everything; larger sources keep ~scale·sqrt(n)
+    * docs. Scale shape: one partial-aggregated count per source
+    * (sources ≪ rows), rates broadcast back, gate applied map-side —
+    * the only full-data shuffle is whatever the caller does next.
+    */
+  def sqrtTemperatureMixture(df: DataFrame, idCol: String,
+      srcCol: String, scale: Double): DataFrame = {
+    require(scale > 0, s"scale $scale must be positive")
+    val rates = df.groupBy(srcCol)
+      .agg(least(lit(1.0),
+        lit(scale) / sqrt(count(lit(1)).cast("double"))).as("__rate"))
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(rateGate(col(idCol), col("__rate")))
+      .drop("__rate")
+  }
+
   /** Token-budget sampling — the corpus-mixing primitive that fraction
     * gates can't express: admit documents per group in a deterministic
     * order until the group's running WEIGHT (token count) reaches

@@ -37,6 +37,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!byLang.contains("en") && byLang("de") === 200L)
   }
 
+  test("sqrtTemperatureMixture flattens head sources, keeps tiny ones whole") {
+    // big: 400 docs, small: 4 docs. With scale=2.5: rate(big)=0.125,
+    // rate(small)=1.0 (4 <= 2.5^2) — every small-source doc survives,
+    // the big source is cut to ~scale*sqrt(n)=50
+    val df = ((1L to 400L).map(i => (i, "big")) ++
+      (1001L to 1004L).map(i => (i, "small"))).toDF("id", "src")
+    val kept = Sampling.sqrtTemperatureMixture(df, "id", "src", scale = 2.5)
+    val bySrc = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("small") === 4L)
+    assert(bySrc("big") > 20L && bySrc("big") < 90L)
+    // partitioning-invariant: the gate is a pure function of the id
+    val rep = Sampling.sqrtTemperatureMixture(
+      df.repartition(13), "id", "src", scale = 2.5).count()
+    assert(rep === kept.count())
+  }
+
   test("dedupeLines drops repeats after first occurrence, keeps order") {
     val df = Seq(
       "a\nb\na\nc\nb",
