@@ -43,4 +43,31 @@ object Cohorts {
         col("month_offset"))
       .agg(count_distinct(col(userCol)).cast("long").as("n_users"))
   }
+
+  /** Recency-decayed activity score per key: each event contributes
+    * `1e6 / 2^(age_days div halfLifeDays)` ppm — a step-wise
+    * exponential half-life decay, the recency-weighted popularity /
+    * feature primitive. Weights are EXACT integers (ppm DIV a power of
+    * two), so the score is order-, partitioning-, and engine-portable
+    * — no float summation surface. Events after `asOf` clamp to age 0.
+    *
+    * Scale shape: the weight is a map-side projection; the only
+    * shuffle is the partially-aggregated groupBy(key) — one row per
+    * key per map partition on the wire.
+    */
+  def decayScore(events: DataFrame, keyCol: String, tsCol: String,
+      asOf: String, halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays=$halfLifeDays must be >= 1")
+    // 2^k overflows past k=62; ages beyond 62 half-lives score 0 ppm
+    // anyway, so clamp the exponent instead of overflowing
+    val k = expr(
+      s"least(greatest(datediff(DATE'$asOf', to_date($tsCol)), 0) " +
+        s"DIV $halfLifeDays, 62L)")
+    events
+      .withColumn("__k", k)
+      .withColumn("__w", expr("1000000L DIV CAST(power(2, __k) AS BIGINT)"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__w")).cast("long").as("score_ppm"))
+  }
 }

@@ -42,4 +42,42 @@ object Profiler {
       .select("s.*")
       .orderBy("col_name")
   }
+
+  /** Benford's-law first-digit ppm, rounded: log10(1 + 1/d) · 1e6.
+    * Hardcoded so the expectation is an integer literal on every
+    * engine — no log10 float surface in the comparison.
+    */
+  val benfordPpm: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford leading-digit audit over a positive BIGINT amount column
+    * (pass money as integer cents — a double's string form is not
+    * engine-portable, an integer's is). Returns one row per digit 1-9
+    * with observed count, observed ppm (integer DIV), the Benford
+    * expectation, and the signed deviation — the standard
+    * fabricated-data / corrupted-feed screen.
+    *
+    * Scale shape: leading digit is a map-side projection; the groupBy
+    * collapses to ≤ 9 partially-aggregated rows, and the total is a
+    * window over those 9 rows — nothing data-sized crosses the wire
+    * twice.
+    */
+  def benford(df: DataFrame, amount: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expMap = typedLit(benfordPpm)
+    // drop non-positive amounts BEFORE the digit cast: ANSI mode
+    // throws casting a leading '-', and 0 has no Benford digit
+    df.filter(amount > 0)
+      .select(substring(amount.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("obs_ppm", expr("n * 1000000L DIV __total"))
+      .withColumn("exp_ppm", element_at(expMap, col("digit")))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .drop("__total")
+      .orderBy("digit")
+  }
 }

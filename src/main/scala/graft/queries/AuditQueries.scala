@@ -79,6 +79,35 @@ object AuditQueries {
       (s, d) => graft.ops.Privacy.report(
         customer(s, d).withColumn("bal_bucket",
           floor(col("c_acctbal") / 1000).cast("long")),
-        Seq("c_nationkey", "c_mktsegment", "bal_bucket"), 5))
+        Seq("c_nationkey", "c_mktsegment", "bal_bucket"), 5)),
+
+    // Benford leading-digit audit over order totals (as integer cents
+    // — a double's string form is not engine-portable). Observed vs
+    // expected first-digit ppm, all-integer DIV arithmetic; the
+    // fabricated-data / corrupted-feed screen. Map-side digit, ≤9-row
+    // agg, window over 9 rows
+    QueryDef("q_benford",
+      Some("""WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100
+                           + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+                         FROM orders),
+              g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                    FROM c WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+              SELECT digit, n,
+                CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+                CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                  WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+                  WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                  ELSE 45757 END AS BIGINT) AS exp_ppm,
+                CAST(n * 1000000 // total
+                  - CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                      WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+                      WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                      ELSE 45757 END AS BIGINT) AS dev_ppm
+              FROM g, t ORDER BY digit"""),
+      (s, d) => graft.ops.Profiler.benford(orders(s, d),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .withColumn("exp_ppm", col("exp_ppm").cast("long"))
+        .withColumn("dev_ppm", col("dev_ppm").cast("long")))
   )
 }

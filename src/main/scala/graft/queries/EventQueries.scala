@@ -52,6 +52,25 @@ object EventQueries {
           .orderBy("event_id")
       }),
 
+    // recency-decayed per-user activity score: each event is worth
+    // 1e6 / 2^(age_days div 7) ppm as of the fixture's last day — the
+    // recency-weighted popularity feature, in EXACT integer
+    // arithmetic (ppm DIV a power of two) so the sum is order- and
+    // engine-portable. Weight is map-side; one partially-aggregated
+    // shuffle on user_id
+    QueryDef("q_decay_score",
+      Some("""WITH e AS (SELECT user_id,
+                  least(greatest(date_diff('day', CAST(ts AS DATE),
+                    DATE '2024-01-31'), 0) // 7, 62) AS k
+                FROM events)
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(1000000 // CAST(power(2, k) AS BIGINT)) AS BIGINT)
+                  AS score_ppm
+              FROM e GROUP BY 1 ORDER BY user_id"""),
+      (s, d) => graft.ops.Cohorts.decayScore(events(s, d),
+          "user_id", "ts", asOf = "2024-01-31", halfLifeDays = 7)
+        .orderBy("user_id")),
+
     // weighted PageRank over the page-transition graph (consecutive
     // events per user -> src/dst page edges weighted by transition
     // count), 3 iterations, damping 85/100. ALL-INTEGER nanorank

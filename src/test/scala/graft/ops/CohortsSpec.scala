@@ -40,4 +40,29 @@ class CohortsSpec extends SparkTestBase {
       .orderBy("month_offset").as[(String, Int, Long)].collect().toSeq
     assert(out === Seq(("2023-12", 0, 1L), ("2023-12", 1, 1L)))
   }
+
+  test("decayScore halves per half-life, clamps future events to age 0") {
+    val events = Seq(
+      (1L, ts("2024-01-31 10:00:00")), // age 0  -> 1000000
+      (1L, ts("2024-01-24 00:00:00")), // age 7  -> 500000
+      (1L, ts("2024-01-10 00:00:00")), // age 21 -> 125000
+      (2L, ts("2024-02-05 00:00:00")), // future -> clamp to 1000000
+      (2L, ts("2022-01-01 00:00:00"))  // ancient: 2^(759 div 7=108)->clamp 62 -> 0
+    ).toDF("user_id", "ts")
+    val out = Cohorts.decayScore(events, "user_id", "ts", "2024-01-31", 7)
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L, 1625000L), (2L, 2L, 1000000L)))
+  }
+
+  test("decayScore is partitioning-invariant (exact integer weights)") {
+    val events = (1L to 200L)
+      .map(i => (i % 7, ts(f"2024-01-${(i % 30 + 1)}%02d 12:00:00")))
+      .toDF("user_id", "ts")
+    val a = Cohorts.decayScore(events, "user_id", "ts", "2024-01-31", 7)
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    val b = Cohorts.decayScore(events.repartition(17), "user_id", "ts",
+        "2024-01-31", 7)
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    assert(a === b && a.map(_._2).sum === 200L)
+  }
 }

@@ -24,4 +24,17 @@ class ProfilerSpec extends SparkTestBase {
       .select("col_name").as[String].collect().toSeq
     assert(names === Seq("a", "b"))
   }
+
+  test("benford counts leading digits with integer ppm vs expectation") {
+    // 4× leading-1, 2× leading-2, 2× leading-9; zero/negative dropped
+    val df = Seq(100L, 19L, 1L, 1234L, 2L, 250L, 9L, 99L, 0L, -5L)
+      .toDF("cents")
+    val out = Profiler.benford(df, org.apache.spark.sql.functions.col("cents"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) === Seq((1, 4L), (2, 2L), (9, 2L)))
+    val one = out.head
+    assert(one._3 === 4L * 1000000L / 8L)       // obs_ppm = 500000
+    assert(one._4 === 301030L)                  // Benford expectation
+    assert(one._5 === one._3 - one._4)          // signed deviation
+  }
 }
