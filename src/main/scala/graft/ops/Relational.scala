@@ -419,4 +419,42 @@ object Relational {
       .filter(col("dist") >= 0)
       .withColumnRenamed("__blk", blockCol)
   }
+
+  /** Exact per-group LOWER median (the element at rank `(n+1) div 2`
+    * of the sorted group) from a pre-aggregated `(key, value, count)`
+    * histogram: the median is the smallest value whose cumulative
+    * count reaches the target rank. The window runs over the
+    * HISTOGRAM — ≤ |keys|·|domain| rows — not the data.
+    *
+    * This is the scale-correct shape for integer-valued bounded-domain
+    * columns (quantities, ratings, token counts): the naive
+    * `row_number() OVER (PARTITION BY key ORDER BY v)` formulation
+    * sorts the full table inside ≤ |keys| window partitions — at
+    * 100 TB with 3 group keys that is 3 single-threaded sorts of a
+    * third of the corpus each. Here the only full-data pass is the
+    * histogram groupBy, which partially aggregates map-side.
+    */
+  def groupedMedianFromCounts(hist: DataFrame, keyCol: String,
+      valCol: String, cntCol: String): DataFrame = {
+    val wCum = Window.partitionBy(keyCol).orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    hist
+      .withColumn("__cum", sum(col(cntCol)).over(wCum))
+      .withColumn("__n", sum(col(cntCol)).over(wAll))
+      .withColumn("__t", expr("(__n + 1) DIV 2"))
+      // the target rank falls inside this value's count run:
+      // cum - cnt < t <= cum — exactly one row per key matches
+      .where(col("__cum") - col(cntCol) < col("__t") &&
+        col("__t") <= col("__cum"))
+      .select(col(keyCol), col(valCol).as("median"))
+  }
+
+  /** [[groupedMedianFromCounts]] over raw rows: builds the histogram
+    * (the one full-data shuffle, partially aggregated) then picks.
+    */
+  def groupedMedian(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    groupedMedianFromCounts(
+      df.groupBy(keyCol, valCol).agg(count(lit(1)).as("__cnt")),
+      keyCol, valCol, "__cnt")
 }

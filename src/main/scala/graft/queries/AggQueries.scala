@@ -41,13 +41,16 @@ object AggQueries {
 
     // exact per-group median (percentile_disc(0.5) semantics: the
     // value at sorted position (n+1) div 2) and mode (most frequent
-    // value, min-value tiebreak). Spelled as explicit row_number
-    // windows so BOTH engines pick the identical discrete value — no
-    // interpolation, no engine-private quantile algorithms. Scale
-    // note: exact median costs one per-group sort; the sketch-based
-    // path at 100 TB is q_quantiles' approx summary, this is the
-    // exact complement (quantities are integer-valued doubles, so the
-    // BIGINT cast is lossless on both engines)
+    // value, min-value tiebreak). Discrete picks so BOTH engines
+    // choose the identical value — no interpolation, no
+    // engine-private quantile algorithms. Spark computes the median
+    // from the (flag, qty) HISTOGRAM (Relational.
+    // groupedMedianFromCounts — one partially-aggregated shuffle,
+    // windows only over histogram rows); the oracle spells the same
+    // element as a row_number window. The sketch-based path at 100 TB
+    // is q_quantiles' approx summary, this is the exact complement
+    // (quantities are integer-valued doubles, so the BIGINT cast is
+    // lossless on both engines)
     QueryDef("q_median_mode",
       Some("""WITH q AS (SELECT l_returnflag AS flag,
                   CAST(l_quantity AS BIGINT) AS qty
@@ -70,13 +73,16 @@ object AggQueries {
       (s, d) => {
         val q = lineitem(s, d).select(col("l_returnflag").as("flag"),
           col("l_quantity").cast("long").as("qty"))
-        val med = q
-          .withColumn("rn",
-            row_number().over(Window.partitionBy("flag").orderBy("qty")))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
-          .where(expr("rn = (n + 1) div 2"))
-          .select(col("flag"), col("qty").as("median_qty"))
-        val md = q.groupBy("flag", "qty").agg(count(lit(1)).as("n"))
+        // ONE full-data shuffle: the (flag, qty) histogram, partially
+        // aggregated map-side. Median AND mode both derive from it
+        // (the shared subtree reuses the exchange); every window below
+        // runs over ≤ |flags|·|qty domain| histogram rows, never the
+        // table — see Relational.groupedMedianFromCounts
+        val hist = q.groupBy("flag", "qty").agg(count(lit(1)).as("n"))
+        val med = Relational
+          .groupedMedianFromCounts(hist, "flag", "qty", "n")
+          .select(col("flag"), col("median").as("median_qty"))
+        val md = hist
           .withColumn("r", row_number().over(
             Window.partitionBy("flag").orderBy(col("n").desc, col("qty"))))
           .where(col("r") === 1)
@@ -92,8 +98,9 @@ object AggQueries {
     // deviation (MAD), and the count of |x - med| > 3*MAD rows — the
     // outlier rule that survives heavy tails where mean/stddev break.
     // Entirely integer-exact (quantities are integer-valued): two
-    // stacked median picks via explicit row_number windows, then one
-    // keyed count — engine-identical discrete choices throughout
+    // stacked histogram-median picks, then one keyed count —
+    // engine-identical discrete choices throughout. The oracle keeps
+    // the row_number formulation (same element, different plan)
     QueryDef("q_mad_outliers",
       Some("""WITH q AS (SELECT l_returnflag AS flag,
                   CAST(l_quantity AS BIGINT) AS qty
@@ -119,20 +126,27 @@ object AggQueries {
       (s, d) => {
         val q = lineitem(s, d).select(col("l_returnflag").as("flag"),
           col("l_quantity").cast("long").as("qty"))
-        def pick(df: org.apache.spark.sql.DataFrame, v: String,
-            as: String) = df
-          .withColumn("rn",
-            row_number().over(Window.partitionBy("flag").orderBy(v)))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
-          .where(expr("rn = (n + 1) div 2"))
-          .select(col("flag"), col(v).as(as))
-        val med = pick(q, "qty", "med_qty")
-        val dev = q.join(med, "flag")
-          .select(col("flag"), abs(col("qty") - col("med_qty")).as("ad"))
-        val mad = pick(dev, "ad", "mad_qty")
-        med.join(mad, "flag").join(dev, "flag")
+        // ONE full-data shuffle: the (flag, qty) histogram. Both
+        // stacked medians — and the deviation histogram between them —
+        // are computed on histogram-sized frames (≤ |flags|·|domain|
+        // rows, broadcast joins), so the double-median shape costs no
+        // more than a single groupBy at 100 TB. See
+        // Relational.groupedMedianFromCounts for why the naive
+        // row_number window formulation is 3 single-threaded sorts
+        val hist = q.groupBy("flag", "qty").agg(count(lit(1)).as("cnt"))
+        val med = Relational
+          .groupedMedianFromCounts(hist, "flag", "qty", "cnt")
+          .select(col("flag"), col("median").as("med_qty"))
+        val devHist = hist.join(med, "flag")
+          .select(col("flag"), abs(col("qty") - col("med_qty")).as("ad"),
+            col("cnt"))
+          .groupBy("flag", "ad").agg(sum(col("cnt")).as("cnt"))
+        val mad = Relational
+          .groupedMedianFromCounts(devHist, "flag", "ad", "cnt")
+          .select(col("flag"), col("median").as("mad_qty"))
+        med.join(mad, "flag").join(devHist, "flag")
           .groupBy("flag", "med_qty", "mad_qty")
-          .agg(sum(when(col("ad") > lit(3) * col("mad_qty"), 1L)
+          .agg(sum(when(col("ad") > lit(3) * col("mad_qty"), col("cnt"))
             .otherwise(0L)).as("n_outliers"))
           .select(col("flag").as("l_returnflag"), col("med_qty"),
             col("mad_qty"), col("n_outliers"))

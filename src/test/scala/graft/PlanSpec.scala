@@ -217,6 +217,25 @@ class PlanSpec extends SparkTestBase {
     assert(firstAgg >= 0 && firstExch >= 0)
   }
 
+  test("median queries window over the histogram, not the table") {
+    // the only full-data pass is the (flag, qty) histogram groupBy —
+    // every Window node must sit ABOVE (before, in formatted order)
+    // an aggregate, so it runs on histogram-sized input. A Window
+    // directly over the scan is the 3-giant-partitions trap
+    for (q <- Seq("q_median_mode", "q_mad_outliers")) {
+      val p = plan(q)
+      val tree = p.linesIterator.takeWhile(_.nonEmpty).toSeq
+      val winDepth = tree.filter(_.contains("Window"))
+      assert(winDepth.nonEmpty, s"$q lost its median windows")
+      // every Window's subtree must contain a HashAggregate below it:
+      // in the formatted tree, an aggregate line appears AFTER the
+      // window line (deeper = later) before the scan
+      val lastWin = tree.lastIndexWhere(_.contains("Window"))
+      val aggBelow = tree.drop(lastWin).exists(_.contains("HashAggregate"))
+      assert(aggBelow, s"$q has a Window with no aggregate below it:\n$p")
+    }
+  }
+
   test("q_hrw_shards assigns map-side: the only exchange is the final agg's") {
     // rendezvous sharding is a pure projection — the plan may shuffle
     // once for the groupBy(shard) count and once for the tiny ordered

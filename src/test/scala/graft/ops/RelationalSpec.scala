@@ -308,4 +308,32 @@ class RelationalSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("groupedMedian picks the lower-median, matches a sort reference") {
+    // odd group, even group (lower median), all-ties group, singleton
+    val rows = Seq(
+      ("a", 5L), ("a", 1L), ("a", 9L),                    // median 5
+      ("b", 4L), ("b", 2L), ("b", 8L), ("b", 6L),         // lower median 4
+      ("c", 7L), ("c", 7L), ("c", 7L),                    // median 7
+      ("d", 3L))                                          // median 3
+    val got = Relational.groupedMedian(rows.toDF("k", "v"), "k", "v")
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val want = rows.groupBy(_._1).toSeq.map { case (k, vs) =>
+      val sorted = vs.map(_._2).sorted
+      (k, sorted((sorted.size + 1) / 2 - 1))              // rank (n+1) div 2
+    }.sortBy(_._1)
+    assert(got === want)
+  }
+
+  test("groupedMedian agrees with the row_number formulation at random") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)((s"g${rnd.nextInt(5)}", rnd.nextInt(12).toLong))
+    val got = Relational.groupedMedian(rows.toDF("k", "v"), "k", "v")
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val want = rows.groupBy(_._1).toSeq.map { case (k, vs) =>
+      val sorted = vs.map(_._2).sorted
+      (k, sorted((sorted.size + 1) / 2 - 1))
+    }.sortBy(_._1)
+    assert(got === want)
+  }
+
 }
