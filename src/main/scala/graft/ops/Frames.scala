@@ -87,4 +87,36 @@ object Frames {
         .as("pct_change"),
       col("min_date"), col("max_date"))
   }
+
+  /** Order-independent whole-table fingerprint — the anti-entropy
+    * primitive for comparing a table across clusters / replication
+    * paths / reruns WITHOUT moving the data: ship three BIGINTs, not
+    * 100 TB. Per row: poly_hash(md5(concat_ws('|', cols))) — md5
+    * narrows any row to a fixed 32-char surface, the polynomial fold
+    * maps it into [0, 1e9+7). Aggregated two ways, both commutative
+    * and so partitioning/order-proof: a bit_xor (catches value flips)
+    * and a modular sum over decimal(38,0) (catches row
+    * duplication/omission that xor's self-cancellation misses —
+    * a row appearing twice xors to zero but sums twice). Engine-
+    * portable: both engines spell md5, the char fold, bit_xor and a
+    * HUGEINT/decimal modular sum exactly (see q_table_checksum's
+    * oracle).
+    *
+    * Pass only columns with engine-stable string forms (strings,
+    * integers, dates — NOT raw doubles; cast money to integer cents
+    * first). Nulls: concat_ws skips them, so (NULL,'x') == ('x',NULL)
+    * — include a not-null key column first if that distinction
+    * matters.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum needs at least one column")
+    val rowFp = graft.functions.PolyHash(
+      md5(concat_ws("|", cols.map(col): _*)))
+    df.select(rowFp.as("__fp"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(__fp)").as("xor_fp"),
+        pmod(sum(col("__fp").cast("decimal(38,0)")), lit(1000000007L))
+          .cast("long").as("sum_fp"))
+  }
 }

@@ -108,6 +108,33 @@ object AuditQueries {
       (s, d) => graft.ops.Profiler.benford(orders(s, d),
           expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
         .withColumn("exp_ppm", col("exp_ppm").cast("long"))
-        .withColumn("dev_ppm", col("dev_ppm").cast("long")))
+        .withColumn("dev_ppm", col("dev_ppm").cast("long"))),
+
+    // order-independent table fingerprint (anti-entropy): xor + modular
+    // sum of per-row poly_hash(md5(row)) — compare a table across
+    // clusters/reruns by shipping three BIGINTs instead of the data.
+    // String/integer columns only (doubles have no engine-stable
+    // string form). Map-side hash, one 3-value partial agg
+    QueryDef("q_table_checksum",
+      Some("""WITH r AS (SELECT md5(concat_ws('|',
+                  CAST(c_custkey AS VARCHAR), c_name,
+                  CAST(c_nationkey AS VARCHAR), c_mktsegment,
+                  CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                    AS VARCHAR))) AS h
+                FROM customer),
+              f AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, 33),
+                        i -> CAST(ascii(substr(h, CAST(i AS INT), 1)) AS BIGINT))),
+                      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+                    FROM r)
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+                     CAST(sum(fp) % 1000000007 AS BIGINT) AS sum_fp
+              FROM f"""),
+      (s, d) => graft.ops.Frames.tableChecksum(
+        customer(s, d).withColumn("bal_cents",
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+          "bal_cents")))
   )
 }

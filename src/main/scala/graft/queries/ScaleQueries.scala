@@ -274,6 +274,41 @@ object ScaleQueries {
         a1.unionByName(a2).select("doc_id").orderBy("doc_id")
       }),
 
+    // schema-drift snapshot merge: two parquet snapshots written with
+    // DIFFERENT schemas (the 1997 extract gained o_orderpriority — the
+    // vendor added a column mid-year), read back as ONE frame via
+    // mergeSchema; the column nulls out for the old snapshot. The
+    // ingest-survival primitive for month-over-month extracts at
+    // 100 TB: schema evolution is a per-file footer union, no rewrite
+    // of history. Oracle derives the same counts from the original
+    // table (priority only counted where the snapshot carried it)
+    QueryDef("q_schema_merge",
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CASE WHEN year(o_orderdate) = 1997
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_with_priority
+              FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+              GROUP BY 1 ORDER BY yr"""),
+      (s, d) => {
+        val base = s"/tmp/graft_snap/merge_${d.replaceAll("[^0-9.]", "")}"
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true) // rerun-deterministic
+        val o = orders(s, d)
+        o.filter(year(col("o_orderdate")) === 1996)
+          .select("o_orderkey", "o_orderdate")
+          .write.parquet(s"$base/y=1996")
+        o.filter(year(col("o_orderdate")) === 1997)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+          .write.parquet(s"$base/y=1997")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$base/y=1996", s"$base/y=1997")
+          .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+            count(col("o_orderpriority")).as("n_with_priority"))
+          .orderBy("yr")
+      }),
+
     // group-disjoint train/val split: the gate hashes the GROUP key
     // (source domain), so every doc of a domain lands in the same
     // split — the leakage-safe split for near-duplicate-heavy corpora.

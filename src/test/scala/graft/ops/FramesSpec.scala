@@ -52,4 +52,29 @@ class FramesSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_cur") === 1L && r.getAs[Long]("n_prev") === 0L)
     assert(r.isNullAt(r.fieldIndex("pct_change")))
   }
+
+  test("tableChecksum is order- and partitioning-invariant") {
+    val df = (1L to 100L).map(i => (i, s"name$i")).toDF("k", "v")
+    val a = Frames.tableChecksum(df, Seq("k", "v")).collect()(0)
+    val b = Frames.tableChecksum(
+      df.orderBy($"k".desc).repartition(17), Seq("k", "v")).collect()(0)
+    assert(a === b)
+    assert(a.getAs[Long]("n_rows") === 100L)
+  }
+
+  test("tableChecksum detects a value flip and a duplicated row") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val base = Frames.tableChecksum(df, Seq("k", "v")).collect()(0)
+    val flipped = Frames.tableChecksum(
+      Seq((1L, "a"), (2L, "c")).toDF("k", "v"), Seq("k", "v")).collect()(0)
+    assert(base.getAs[Long]("xor_fp") !== flipped.getAs[Long]("xor_fp"))
+    // duplicating BOTH rows xors every fingerprint out to 0 — the sum
+    // channel is what catches replay/duplication corruption
+    val doubled = Frames.tableChecksum(
+      df.unionAll(df), Seq("k", "v")).collect()(0)
+    assert(doubled.getAs[Long]("xor_fp") === 0L)
+    assert(doubled.getAs[Long]("sum_fp") ===
+      (2L * base.getAs[Long]("sum_fp")) % 1000000007L)
+    assert(doubled.getAs[Long]("n_rows") === 4L)
+  }
 }
