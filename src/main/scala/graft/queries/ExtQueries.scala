@@ -743,6 +743,29 @@ object ExtQueries {
         embeddings(s, d), 5)
         .orderBy("qid", "rank")),
 
+    // ---- hard-negative mining: top-k nearest with a DIFFERENT label ----
+    // the contrastive-training composition of the brute path: the label
+    // inequality is a pair predicate riding the same broadcast join
+    QueryDef("q_hard_negatives",
+      Some(s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                  embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+              c AS (SELECT vec_id AS nid, label AS nlabel,
+                  embedding AS nv FROM embeddings),
+              scored AS (
+                SELECT qid, qlabel, nid, nlabel,
+                       ${cosSql("qv", "nv")} AS sim
+                FROM q, c WHERE qlabel <> nlabel)
+              SELECT qid, qlabel, nid, nlabel, rank, sim FROM (
+                SELECT qid, qlabel, nid, nlabel, sim,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nid) AS INT) AS rank
+                FROM scored)
+              WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => Ann.hardNegatives(
+        embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        embeddings(s, d), 5)
+        .orderBy("qid", "rank")),
+
     // ---- similarity search: LSH (8 hyperplane sign bits, own bucket) ----
     QueryDef("q_ann_lsh",
       Some(s"""WITH piv AS (

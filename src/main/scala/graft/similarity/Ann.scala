@@ -53,6 +53,36 @@ object Ann {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * row, the `k` most cosine-similar corpus rows whose `labelCol`
+    * DIFFERS from the query's — the near-miss negatives that sit
+    * closest to the decision boundary, which a contrastive loss learns
+    * most from (random in-batch negatives are overwhelmingly easy).
+    * The label inequality is a PAIR predicate, so it rides the same
+    * broadcast nested-loop join as the brute-force baseline — exact
+    * by construction. At 100 TB, restrict the corpus side to the
+    * query's IVF cells first (compose with [[ivfTopK]]'s cell
+    * assignment): cell-restricted mining accepts the same recall
+    * trade the search path already does, and the join becomes a
+    * cell-keyed equi-join instead of a broadcast sweep.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col(labelCol).as("qlabel"), col("embedding").as("qvec"),
+      norm(col("embedding")).as("qnrm")))
+    val c = corpus.select(col("vec_id").as("nid"), col(labelCol).as("nlabel"),
+      col("embedding").as("nvec"), norm(col("embedding")).as("nnrm"))
+    val scored = q.crossJoin(c)
+      .filter(col("qlabel") =!= col("nlabel"))
+      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+        col("rank"), col("sim"))
+  }
+
   /** Deterministic pivot set: the `nPivots` corpus rows with the lowest
     * ids (a stand-in for k-means centroids; deterministic beats clever
     * for reproducibility).

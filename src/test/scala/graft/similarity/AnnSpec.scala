@@ -33,6 +33,21 @@ class AnnSpec extends SparkTestBase {
       (out.head == ((0L, 1L, 1)) && out.size == 2))
   }
 
+  test("hardNegatives returns only cross-label neighbors, nearest first") {
+    // labels: 0/1 -> A, 2/3 -> B, 4 -> C. Query 0's nearest overall is 1
+    // (same label, excluded); its hardest negatives are cross-label.
+    val labeled = vecs.withColumn("label",
+      when(col("vec_id") <= 1, 0).when(col("vec_id") <= 3, 1).otherwise(2))
+    val out = Ann.hardNegatives(labeled.filter(col("vec_id") === 0), labeled, 2)
+      .select("qid", "qlabel", "nid", "nlabel", "rank")
+      .as[(Long, Int, Long, Int, Int)].collect().toSeq
+    assert(out.size === 2)
+    assert(out.forall { case (_, ql, nid, nl, _) => ql != nl && nid != 1L })
+    assert(out.map(_._5) === Seq(1, 2))
+    // vecs 2/3/4 are all orthogonal to query 0 (sim 0) -> nid asc ties
+    assert(out.map(_._3) === Seq(2L, 3L))
+  }
+
   test("ivfTopK searches within the query's cell only") {
     // 2 pivots = vec 0 and vec 1 (lowest ids); every vector lands in a cell
     val out = Ann.ivfTopK(vecs.filter(col("vec_id") === 4), vecs, 3, 2)
