@@ -16,7 +16,8 @@ object SparkEntry {
     Flagship.defs ++ CoreQueries.defs ++ JoinQueries.defs ++
       AggQueries.defs ++ StringArrayQueries.defs ++ DateMathQueries.defs ++
       ExtQueries.defs ++ EventQueries.defs ++ CsvQueries.defs ++
-      AuditQueries.defs ++ AdvancedQueries.defs ++ ScaleQueries.defs
+      AuditQueries.defs ++ AdvancedQueries.defs ++ ScaleQueries.defs ++
+      SelectionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

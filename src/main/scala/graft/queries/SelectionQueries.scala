@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Importance
+
+/** Data-selection operators: scoring raw corpus documents against a
+  * target distribution to decide what goes into the training mix.
+  */
+object SelectionQueries {
+  import Tables._
+
+  /** The DuckDB spelling of `poly_hash(g) % b`: the same `acc*31+cp`
+    * char fold PolyHash codegens, as a list_reduce over the string's
+    * characters.
+    */
+  private def polyHashSql(g: String, b: Int): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length($g)+1),
+            i2 -> CAST(ascii(substr($g, CAST(i2 AS INT), 1)) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007) % $b)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // DSIR-shaped importance scoring: hashed-bigram target-vs-raw rate
+    // ratios (integer ppm), mean per document. Target = lang 'en'.
+    // Scale shape: one bucket-keyed shuffle (<=1024 keys) for stats,
+    // broadcast score probe, one id-keyed mean — the corpus text
+    // explodes once and never crosses the wire as strings
+    QueryDef("q_importance",
+      Some(s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+                  string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents),
+              bg AS (SELECT doc_id, tgt, unnest(
+                  CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)), i ->
+                      toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)])
+                  ELSE [] END) AS g
+                FROM t),
+              bk AS (SELECT doc_id, tgt, ${polyHashSql("g", 1024)} AS bucket
+                FROM bg),
+              s AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_r,
+                  CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+                FROM bk GROUP BY 1),
+              tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS r_tot,
+                  CAST(sum(cnt_t) AS BIGINT) AS t_tot FROM s),
+              sc AS (SELECT bucket,
+                  CAST((CAST(1000000 AS HUGEINT) * (cnt_t + 1) * (r_tot + 1024))
+                    // ((cnt_r + 1) * (t_tot + 1024)) AS BIGINT) AS score_ppm
+                FROM s, tot),
+              d AS (SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(sum(score_ppm) // count(*) AS BIGINT) AS imp_ppm
+                FROM bk JOIN sc USING (bucket) GROUP BY 1)
+              SELECT t.doc_id,
+                COALESCE(d.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+                COALESCE(d.imp_ppm, CAST(0 AS BIGINT)) AS imp_ppm
+              FROM t LEFT JOIN d ON t.doc_id = d.doc_id
+              ORDER BY t.doc_id"""),
+      (s, d) => Importance.importanceScores(documents(s, d), "doc_id",
+          "text", col("lang") === "en", buckets = 1024)
+        .orderBy("doc_id"))
+  )
+}
