@@ -135,6 +135,37 @@ object AuditQueries {
         customer(s, d).withColumn("bal_cents",
           expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")),
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
-          "bal_cents")))
+          "bal_cents"))),
+
+    // per-source corpus datacard: docs/tokens/chars, lower-median doc
+    // length, language mix and exact-dup rate in integer ppm — the
+    // release report. One persisted feature pass, two source-keyed aggs
+    QueryDef("q_datacard",
+      Some("""WITH b AS (SELECT source, lang, n_chars,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_toks,
+                  md5(text) AS digest
+                FROM documents),
+              a AS (SELECT source,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST((1000000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))
+                    // count(*) AS BIGINT) AS en_ppm,
+                  CAST((1000000 * (count(*) - count(DISTINCT digest)))
+                    // count(*) AS BIGINT) AS dup_ppm
+                FROM b GROUP BY 1),
+              med AS (SELECT source, n_chars AS p50_chars FROM (
+                SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+                FROM b) WHERE rn = (n + 1) // 2)
+              SELECT a.source, n_docs, n_tokens, sum_chars, p50_chars,
+                     n_langs, en_ppm, dup_ppm
+              FROM a JOIN med ON a.source = med.source
+              ORDER BY a.source"""),
+      (s, d) => graft.text.Datacard.report(documents(s, d))
+        .orderBy("source"))
   )
 }
