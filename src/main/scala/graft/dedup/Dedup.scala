@@ -601,4 +601,63 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Asymmetric CONTAINMENT join — the subset-duplication detector
+    * Jaccard structurally misses: a 50-shingle quote fully embedded in
+    * a 500-shingle article has J ≈ 0.1 (invisible at any sane Jaccard
+    * threshold) but containment |A∩B|/|A| = 1.0. Same inverted-index
+    * shape as [[ngramJaccardPairs]] (distinct-shingle explode,
+    * (block, shingle) equi-join, count-as-intersection — no array
+    * crosses a shuffle); the score is integer ppm on each side
+    * (`1e6·inter DIV |side|`), so the output is engine-exact with no
+    * float aggregation. A pair survives when its LARGER containment
+    * (the smaller set's) clears `minContPpm`.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 2,
+      minContPpm: Long = 500000L): DataFrame = {
+    require(minContPpm > 0,
+      "containmentPairs counts shared shingles; minContPpm must be > 0")
+    val inv = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+
+        shingles(col(textCol), n).as("sh")): _*)
+      .select((blockCols.map(col) :+ col("id") :+ size(col("sh")).as("sz") :+
+        explode(col("sh")).as("tok")): _*)
+    val a = inv.select(
+      (blockCols.map(col) :+ col("tok") :+
+        col("id").as("id_a") :+ col("sz").as("sz_a")): _*)
+    val b = inv.select(
+      (blockCols.map(col) :+ col("tok") :+
+        col("id").as("id_b") :+ col("sz").as("sz_b")): _*)
+    a.join(b, blockCols :+ "tok")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_a_ppm",
+        expr("CAST((1000000 * inter) DIV sz_a AS BIGINT)"))
+      .withColumn("cont_b_ppm",
+        expr("CAST((1000000 * inter) DIV sz_b AS BIGINT)"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= minContPpm)
+      .select("id_a", "id_b", "cont_a_ppm", "cont_b_ppm")
+  }
+
+  /** Cross-source exact-duplication matrix: for every source pair, how
+    * many distinct document texts they share — the "which feeds mirror
+    * which" report that decides dedup ORDER (dedupe the mirror against
+    * the canonical source, not vice versa) and flags licensing
+    * problems. Distinct (source, digest) first, so within-source
+    * duplication doesn't inflate the pair counts; only 32-char digests
+    * cross the shuffle, and the digest join's fanout is bounded by the
+    * per-digest source count (≤ number of sources).
+    */
+  def dupMatrix(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val dg = df.select(col(sourceCol).as("source"),
+      md5(col(textCol)).as("__digest")).distinct()
+    dg.select(col("source").as("src_a"), col("__digest"))
+      .join(dg.select(col("source").as("src_b"), col("__digest")), Seq("__digest"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -166,6 +166,32 @@ object AuditQueries {
               FROM a JOIN med ON a.source = med.source
               ORDER BY a.source"""),
       (s, d) => graft.text.Datacard.report(documents(s, d))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // cross-source exact-dup matrix over a corpus with an injected
+    // mirror (every 7th doc re-attributed): which source pairs share
+    // how many distinct texts — decides dedup ORDER (mirror dedupes
+    // against canonical) and flags licensing. Digests only cross the
+    // shuffle; per-digest fanout is bounded by the source count
+    QueryDef("q_dup_matrix",
+      Some("""WITH corpus AS (
+                SELECT source, text FROM documents
+                UNION ALL
+                SELECT 'mirror' AS source, text FROM documents
+                WHERE doc_id % 7 = 0),
+              dg AS (SELECT DISTINCT source, md5(text) AS digest FROM corpus)
+              SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM dg a JOIN dg b
+                ON a.digest = b.digest AND a.source < b.source
+              GROUP BY 1, 2 ORDER BY src_a, src_b"""),
+      (s, d) => {
+        val base = documents(s, d)
+        val corpus = base.select("source", "text").unionByName(
+          base.filter(col("doc_id") % 7 === 0)
+            .select(lit("mirror").as("source"), col("text")))
+        graft.dedup.Dedup.dupMatrix(corpus, "text", "source")
+          .orderBy("src_a", "src_b")
+      })
   )
 }

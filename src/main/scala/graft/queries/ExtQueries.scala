@@ -567,6 +567,29 @@ object ExtQueries {
         Seq("lang", "source"), n = 2, threshold = 0.09)
         .orderBy("id_a", "id_b")),
 
+    // ---- dedup: asymmetric CONTAINMENT — the subset-dup detector
+    // Jaccard misses (a short quote inside a long article). Integer-ppm
+    // scores, same inverted-index shape as q_ngram_jaccard ----
+    QueryDef("q_containment",
+      Some(s"""WITH base AS (
+                SELECT lang, source, doc_id AS id, $shinglesSql AS sh
+                FROM (SELECT doc_id, lang, source,
+                        string_split_regex(trim(text), '\\s+') AS toks
+                      FROM documents))
+              SELECT id_a, id_b, cont_a_ppm, cont_b_ppm FROM (
+                SELECT a.id AS id_a, b.id AS id_b,
+                  CAST((1000000 * len(list_intersect(a.sh, b.sh)))
+                    // len(a.sh) AS BIGINT) AS cont_a_ppm,
+                  CAST((1000000 * len(list_intersect(a.sh, b.sh)))
+                    // len(b.sh) AS BIGINT) AS cont_b_ppm
+                FROM base a JOIN base b
+                  ON a.lang = b.lang AND a.source = b.source AND a.id < b.id)
+              WHERE greatest(cont_a_ppm, cont_b_ppm) >= 200000
+              ORDER BY id_a, id_b"""),
+      (s, d) => Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+        Seq("lang", "source"), n = 2, minContPpm = 200000L)
+        .orderBy("id_a", "id_b")),
+
     // ---- dedup: n-gram Jaccard with the PPJoin prefix filter — the
     // stop-shingle-skew-proof variant. Same final answer by the prefix
     // filtering theorem, so it shares q_ngram_jaccard's oracle: the

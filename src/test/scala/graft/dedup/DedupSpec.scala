@@ -1,6 +1,7 @@
 package graft.dedup
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.lit
 
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
@@ -271,5 +272,37 @@ class DedupSpec extends SparkTestBase {
       "probe must read the staged index tables")
     assert(!plan.contains(s"$dir/corpus"),
       "probe must NOT rescan the corpus parquet (re-sketching)")
+  }
+
+  test("containmentPairs flags a quote embedded in a longer doc that Jaccard misses") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"), // 4 bigram shingles
+      // doc 2 contains doc 1's text verbatim inside a longer article
+      (2L, "a long article begins here the quick brown fox jumps and " +
+        "then continues with many more unrelated tokens after that end"),
+      (3L, "completely different text entirely")).toDF("id", "txt")
+        .withColumn("blk", lit(1))
+    val cont = Dedup.containmentPairs(docs, "id", "txt", Seq("blk"),
+      n = 2, minContPpm = 900000L)
+      .select("id_a", "id_b", "cont_a_ppm").collect()
+    assert(cont.length === 1)
+    assert(cont(0).getLong(0) === 1L && cont(0).getLong(1) === 2L)
+    assert(cont(0).getLong(2) === 1000000L) // doc 1 fully contained
+    // Jaccard at any threshold above ~0.25 would miss this pair
+    val jac = Dedup.ngramJaccardPairs(docs, "id", "txt", Seq("blk"),
+      n = 2, threshold = 0.3).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("dupMatrix counts distinct shared texts per source pair, once each") {
+    val df = Seq(
+      ("s1", "alpha"), ("s1", "alpha"), // within-source dup: no self pair
+      ("s1", "beta"),
+      ("s2", "alpha"), ("s2", "beta"),
+      ("s3", "beta"), ("s3", "gamma")).toDF("source", "text")
+    val m = Dedup.dupMatrix(df, "text", "source")
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(m === Seq(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
   }
 }
