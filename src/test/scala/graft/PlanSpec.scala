@@ -267,4 +267,32 @@ class PlanSpec extends SparkTestBase {
     assert(bounded >= 1,
       "SQL-surface levenshtein(a,b) <= 1 was not rewritten to the 3-arg form")
   }
+
+  test("q_importance probes bucket scores via broadcast, never a sort-merge join") {
+    // the score table is <= buckets rows by construction — if it ever
+    // shuffles the full bigram stream for the probe, the scale story dies
+    // (the final doc_id LEFT JOIN back onto all docs is large-large —
+    // SortMergeJoin is the right plan THERE; the pin is on the probe)
+    val p = plan("q_importance")
+    assert(p.contains("BroadcastHashJoin"), "importance score probe is not broadcast")
+    val tree = p.substring(0, p.indexOf("\n(1) "))
+    val smj = tree.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj <= 1, s"only the doc_id re-attach may sort-merge, got $smj")
+    graft.ops.StageCache.releaseAll()
+  }
+
+  test("q_datacard scans the documents parquet once (persisted feature pass)") {
+    val p = plan("q_datacard")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 1, s"datacard re-scans documents $scans times")
+    graft.ops.StageCache.releaseAll()
+  }
+
+  test("q_hard_negatives broadcasts the query side (pair-predicate join)") {
+    val p = plan("q_hard_negatives")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "hard-negative label-inequality join should ride a broadcast nested loop")
+  }
 }
