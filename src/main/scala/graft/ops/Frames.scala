@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Frame-diff utilities (SURVEY.md §2.14): the engine-side equivalent of
@@ -108,6 +109,48 @@ object Frames {
     * — include a not-null key column first if that distinction
     * matters.
     */
+  /** SCD2 history collapse (gaps-and-islands): turn per-version
+    * snapshot rows `(keys…, attrs…, version)` into effective-dated
+    * history `(keys…, attrs…, valid_from, valid_to, is_current)` —
+    * consecutive versions with unchanged attrs collapse into one
+    * validity interval; any attr change opens a new one. The standard
+    * warehouse shape for "what did this dimension row look like as of
+    * version v" without storing every snapshot.
+    *
+    * Change detection is null-safe (`<=>` over the attr struct — a
+    * null attr value is a value, matching SQL IS DISTINCT FROM), so
+    * nullable attrs are handled. (key, version) pairs must be unique;
+    * versions need not be contiguous — ordering is by version rank,
+    * so an absent snapshot simply doesn't advance history.
+    *
+    * Scale shape: one key-partitioned window pass over the snapshots
+    * (change flag + running island id, SAME window spec so one
+    * shuffle + sort serves both), then a keyed aggregate that reuses
+    * that partitioning; the is_current window runs over collapsed
+    * intervals only. No joins, nothing driver-side.
+    */
+  def scd2(df: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "scd2 needs at least one key column and one attr column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val collapsed = df
+      .withColumn("__chg",
+        when(lag(attrs, 1).over(w) <=> attrs, lit(0)).otherwise(lit(1)))
+      .withColumn("__run", sum(col("__chg")).over(wRun))
+      .groupBy(((keyCols ++ attrCols).map(col) :+ col("__run")): _*)
+      .agg(min(col(versionCol)).as("valid_from"),
+        max(col(versionCol)).as("valid_to"))
+    val wKey = Window.partitionBy(keyCols.map(col): _*)
+    collapsed
+      .withColumn("is_current",
+        col("valid_to") === max(col("valid_to")).over(wKey))
+      .select(((keyCols ++ attrCols).map(col) :+ col("valid_from") :+
+        col("valid_to") :+ col("is_current")): _*)
+  }
+
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "tableChecksum needs at least one column")
     val rowFp = graft.functions.PolyHash(

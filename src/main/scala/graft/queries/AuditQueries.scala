@@ -192,6 +192,38 @@ object AuditQueries {
             .select(lit("mirror").as("source"), col("text")))
         graft.dedup.Dedup.dupMatrix(corpus, "text", "source")
           .orderBy("src_a", "src_b")
-      })
+      }),
+
+    // SCD2 history collapse over yearly customer-priority snapshots:
+    // consecutive years with the same max priority fold into one
+    // validity interval (gaps-and-islands). One window shuffle keyed
+    // by customer; the aggregate reuses its partitioning
+    QueryDef("q_scd2",
+      Some("""WITH s AS (SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS ver,
+                  max(o_orderpriority) AS prio
+                FROM orders GROUP BY 1, 2),
+              c AS (SELECT o_custkey, ver, prio,
+                  CASE WHEN lag(prio) OVER (PARTITION BY o_custkey ORDER BY ver)
+                    IS DISTINCT FROM prio THEN 1 ELSE 0 END AS chg
+                FROM s),
+              r AS (SELECT o_custkey, ver, prio,
+                  sum(chg) OVER (PARTITION BY o_custkey ORDER BY ver
+                    ROWS UNBOUNDED PRECEDING) AS run
+                FROM c),
+              g AS (SELECT o_custkey, prio,
+                  CAST(min(ver) AS INT) AS valid_from,
+                  CAST(max(ver) AS INT) AS valid_to
+                FROM r GROUP BY o_custkey, prio, run)
+              SELECT o_custkey, prio, valid_from, valid_to,
+                valid_to = max(valid_to) OVER (PARTITION BY o_custkey)
+                  AS is_current
+              FROM g ORDER BY o_custkey, valid_from"""),
+      (s, d) => graft.ops.Frames.scd2(
+        orders(s, d)
+          .groupBy(col("o_custkey"),
+            year(col("o_orderdate")).cast("int").as("ver"))
+          .agg(max("o_orderpriority").as("prio")),
+        Seq("o_custkey"), Seq("prio"), "ver")
+        .orderBy("o_custkey", "valid_from"))
   )
 }

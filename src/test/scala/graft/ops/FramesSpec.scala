@@ -53,6 +53,35 @@ class FramesSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("pct_change")))
   }
 
+  test("scd2 collapses runs, reopens on A->B->A, null-safe, marks current") {
+    val snaps = Seq(
+      // key 1: A,A,B,A -> three intervals; B and the 2nd A reopen
+      (1L, 2001, Some("A")), (1L, 2002, Some("A")),
+      (1L, 2003, Some("B")), (1L, 2005, Some("A")), // gap year 2004 absent
+      // key 2: null attr is a VALUE: null,null collapse; X reopens
+      (2L, 2001, None), (2L, 2002, None), (2L, 2003, Some("X")))
+      .toDF("k", "ver", "attr")
+    val out = Frames.scd2(snaps, Seq("k"), Seq("attr"), "ver")
+      .orderBy("k", "valid_from")
+      .as[(Long, Option[String], Int, Int, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, Some("A"), 2001, 2002, false),
+      (1L, Some("B"), 2003, 2003, false),
+      (1L, Some("A"), 2005, 2005, true),
+      (2L, None, 2001, 2002, false),
+      (2L, Some("X"), 2003, 2003, true)))
+  }
+
+  test("scd2 multi-attr: change in ANY attr opens a new interval") {
+    val snaps = Seq(
+      (1L, 1, "a", 10), (1L, 2, "a", 10), (1L, 3, "a", 20))
+      .toDF("k", "ver", "s", "n")
+    val out = Frames.scd2(snaps, Seq("k"), Seq("s", "n"), "ver")
+      .orderBy("valid_from")
+      .as[(Long, String, Int, Int, Int, Boolean)].collect().toSeq
+    assert(out === Seq((1L, "a", 10, 1, 2, false), (1L, "a", 20, 3, 3, true)))
+  }
+
   test("tableChecksum is order- and partitioning-invariant") {
     val df = (1L to 100L).map(i => (i, s"name$i")).toDF("k", "v")
     val a = Frames.tableChecksum(df, Seq("k", "v")).collect()(0)
