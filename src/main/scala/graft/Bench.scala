@@ -74,7 +74,7 @@ object Bench {
     // the driver's sf0.1 full runs; override with SPARK_GRAFT_SF1=0/1.
     val sf1Queries = Seq("q_dedup_minhash", "q_ngram_prefix",
       "q_ngram_jaccard", "q_dedup_eval", "q_dedup_simhash", "q_substr_dedup",
-      "q_incremental_minhash", "q_substr_apply",
+      "q_incremental_minhash", "q_substr_apply", "q_containment",
       // events-backed iterative/graph ops: the 10x tier shifts user and
       // event ids per copy, so user partitions stay disjoint (10x
       // transition rows over the same page-node set — iteration count

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -151,15 +151,27 @@ object Frames {
         col("valid_to") :+ col("is_current")): _*)
   }
 
-  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "tableChecksum needs at least one column")
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame =
+    groupedChecksum(df, Seq.empty, cols)
+
+  /** [[tableChecksum]] per group — the per-shard/per-partition form:
+    * comparing checksums shard-by-shard means a mismatch resyncs ONE
+    * shard, not the table. `extraAggs` lets callers fuse additional
+    * channels (e.g. a token sum for a loader manifest) into the same
+    * single aggregation pass.
+    */
+  def groupedChecksum(df: DataFrame, groupCols: Seq[String],
+      cols: Seq[String], extraAggs: Seq[Column] = Seq.empty): DataFrame = {
+    require(cols.nonEmpty, "groupedChecksum needs at least one column")
     val rowFp = graft.functions.PolyHash(
       md5(concat_ws("|", cols.map(col): _*)))
-    df.select(rowFp.as("__fp"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        expr("bit_xor(__fp)").as("xor_fp"),
-        pmod(sum(col("__fp").cast("decimal(38,0)")), lit(1000000007L))
-          .cast("long").as("sum_fp"))
+    val base = df.withColumn("__fp", rowFp)
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      expr("bit_xor(__fp)").as("xor_fp"),
+      pmod(sum(col("__fp").cast("decimal(38,0)")), lit(1000000007L))
+        .cast("long").as("sum_fp")) ++ extraAggs
+    if (groupCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+    else base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -381,6 +381,43 @@ object ScaleQueries {
           sum("n_tok").cast("long").as("total_tokens"))
         .orderBy("shard")),
 
+    // shard MANIFEST: the artifact a 100 TB pipeline actually ships to
+    // the trainer — per shard, row/token volume plus the order-proof
+    // xor+sum fingerprints, all in ONE aggregation pass (fused via
+    // groupedChecksum extraAggs). A loader verifies each shard after
+    // transfer; a mismatch resyncs one shard, not the corpus
+    QueryDef("q_shard_manifest",
+      Some("""WITH t AS (SELECT doc_id, text,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_tok
+                FROM documents),
+              r AS (SELECT doc_id, text, n_tok,
+                  (row_number() OVER (
+                     PARTITION BY length(CAST(n_tok AS VARCHAR)), doc_id % 4
+                     ORDER BY n_tok DESC, doc_id) - 1) % 16 AS k
+                FROM t),
+              f AS (SELECT CAST(CASE WHEN k < 8 THEN k ELSE 15 - k END AS INT)
+                    AS shard, n_tok,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, 33),
+                      i -> CAST(ascii(substr(h, CAST(i AS INT), 1)) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+                FROM (SELECT *, md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+                      FROM r))
+              SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+                CAST(sum(fp) % 1000000007 AS BIGINT) AS sum_fp,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              FROM f GROUP BY 1 ORDER BY shard"""),
+      (s, d) => graft.ops.Frames.groupedChecksum(
+        Sampling.balancedShards(
+          documents(s, d).select(col("doc_id"), col("text"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+          "doc_id", "n_tok", shards = 8, subgroups = 4),
+        Seq("shard"), Seq("doc_id", "text"),
+        Seq(sum("n_tok").cast("long").as("n_tokens")))
+        .orderBy("shard")),
+
     // rendezvous (HRW) sharding: argmax over md5(id:shard) draws —
     // map-side, shuffle-free, and RESIZE-STABLE (only ~1/(S+1) of keys
     // move when a shard is added; spec-pinned). The stability

@@ -91,6 +91,26 @@ class FramesSpec extends SparkTestBase {
     assert(a.getAs[Long]("n_rows") === 100L)
   }
 
+  test("groupedChecksum channels fold to the whole-table checksum") {
+    val df = (1L to 60L).map(i => (i % 3, i, s"v$i")).toDF("g", "k", "v")
+    val grouped = Frames.groupedChecksum(df, Seq("g"), Seq("k", "v")).collect()
+    val whole = Frames.tableChecksum(df, Seq("k", "v")).collect()(0)
+    assert(grouped.map(_.getAs[Long]("n_rows")).sum === whole.getAs[Long]("n_rows"))
+    assert(grouped.map(_.getAs[Long]("xor_fp")).reduce(_ ^ _) ===
+      whole.getAs[Long]("xor_fp"))
+    assert(grouped.map(_.getAs[Long]("sum_fp")).sum % 1000000007L ===
+      whole.getAs[Long]("sum_fp"))
+  }
+
+  test("groupedChecksum fuses extra aggregates into the same pass") {
+    val df = Seq((0L, 1L, "a", 10L), (0L, 2L, "b", 20L), (1L, 3L, "c", 5L))
+      .toDF("g", "k", "v", "w")
+    val out = Frames.groupedChecksum(df, Seq("g"), Seq("k", "v"),
+      Seq(org.apache.spark.sql.functions.sum("w").as("w_sum")))
+      .orderBy("g").collect()
+    assert(out.map(_.getAs[Long]("w_sum")).toSeq === Seq(30L, 5L))
+  }
+
   test("tableChecksum detects a value flip and a duplicated row") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val base = Frames.tableChecksum(df, Seq("k", "v")).collect()(0)
