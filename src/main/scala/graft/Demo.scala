@@ -129,6 +129,29 @@ object Demo {
     catch { case _: Exception =>
       println("guardedLeftJoin threw as expected") }
 
+    // round 6 tail: anti-entropy fingerprint — same rows, any order /
+    // partitioning, same three BIGINTs; one flipped value changes them
+    val t1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val fp1 = graft.ops.Frames.tableChecksum(t1, Seq("k", "v")).collect()(0)
+    val fp2 = graft.ops.Frames.tableChecksum(
+      t1.orderBy(col("k").desc).repartition(3), Seq("k", "v")).collect()(0)
+    println(s"tableChecksum stable across layout: ${fp1 == fp2} (expect true)")
+
+    // round 6 tail: SCD2 collapse — A,A,B folds to two intervals
+    val snaps = Seq((1L, 2001, "A"), (1L, 2002, "A"), (1L, 2003, "B"))
+      .toDF("k", "ver", "attr")
+    graft.ops.Frames.scd2(snaps, Seq("k"), Seq("attr"), "ver")
+      .orderBy("valid_from").show(false)
+
+    // round 6 tail: containment catches the embedded quote Jaccard misses
+    val cdocs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a long article begins here the quick brown fox jumps and " +
+        "then continues with many more unrelated tokens after that end"))
+      .toDF("id", "txt").withColumn("blk", lit(1))
+    graft.dedup.Dedup.containmentPairs(cdocs, "id", "txt", Seq("blk"),
+      n = 2, minContPpm = 900000L).show(false)
+
     spark.stop()
   }
 }
