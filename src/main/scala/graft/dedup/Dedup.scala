@@ -650,6 +650,34 @@ object Dedup {
     * cross the shuffle, and the digest join's fanout is bounded by the
     * per-digest source count (≤ number of sources).
     */
+  /** NEAR-dup overlap matrix between sources: shingle-set Jaccard per
+    * source pair — [[dupMatrix]]'s fuzzy sibling (exact digests miss
+    * sources that lightly edit what they mirror). Distinct
+    * (source, shingle) first, so per-shingle join fanout is bounded by
+    * the SOURCE count (not document counts) and within-source repeats
+    * never join. Integer-ppm scores; the distinct stream is persisted
+    * so tokenize+explode runs once for sizes and pairs.
+    */
+  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
+      n: Int = 2): DataFrame = {
+    val sh = graft.ops.StageCache.persisted(
+      df.select(col(sourceCol).as("source"),
+        explode(shingles(col(textCol), n)).as("tok")).distinct())
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+    sh.select(col("source").as("src_a"), col("tok"))
+      .join(sh.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("sz").as("sz_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("sz").as("sz_b"))), Seq("src_b"))
+      .withColumn("jac_ppm",
+        expr("CAST((1000000 * inter) DIV (sz_a + sz_b - inter) AS BIGINT)"))
+      .select("src_a", "src_b", "inter", "jac_ppm")
+  }
+
   def dupMatrix(df: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
     val dg = df.select(col(sourceCol).as("source"),

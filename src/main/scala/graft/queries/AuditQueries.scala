@@ -194,6 +194,34 @@ object AuditQueries {
           .orderBy("src_a", "src_b")
       }),
 
+    // near-dup overlap matrix BETWEEN sources: shingle-set Jaccard per
+    // source pair — q_dup_matrix's fuzzy sibling. Distinct
+    // (source, shingle) bounds per-shingle fanout by the source count
+    QueryDef("q_source_overlap",
+      Some("""WITH b AS (SELECT source,
+                  list_sort(list_distinct(CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(0, len(toks) - 1), i ->
+                      array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))
+                    ELSE [] END)) AS sh
+                FROM (SELECT source, string_split_regex(trim(text), '\s+')
+                        AS toks FROM documents)),
+              s AS (SELECT DISTINCT source, unnest(sh) AS tok FROM b),
+              z AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+                FROM s GROUP BY 1),
+              p AS (SELECT a.source AS src_a, b.source AS src_b,
+                  CAST(count(*) AS BIGINT) AS inter
+                FROM s a JOIN s b ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2)
+              SELECT src_a, src_b, inter,
+                CAST((1000000 * inter) // (za.sz + zb.sz - inter) AS BIGINT)
+                  AS jac_ppm
+              FROM p JOIN z za ON p.src_a = za.source
+                     JOIN z zb ON p.src_b = zb.source
+              ORDER BY src_a, src_b"""),
+      (s, d) => graft.dedup.Dedup.sourceOverlap(documents(s, d),
+        "text", "source")
+        .orderBy("src_a", "src_b")),
+
     // SCD2 history collapse over yearly customer-priority snapshots:
     // consecutive years with the same max priority fold into one
     // validity interval (gaps-and-islands). One window shuffle keyed

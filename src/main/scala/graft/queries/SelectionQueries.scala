@@ -58,6 +58,33 @@ object SelectionQueries {
               ORDER BY t.doc_id"""),
       (s, d) => Importance.importanceScores(documents(s, d), "doc_id",
           "text", col("lang") === "en", buckets = 1024)
+        .orderBy("doc_id")),
+
+    // weight-proportional systematic sampling (RNG-free): one pick per
+    // ~500 tokens of cumulative weight per source, deterministic
+    // midpoint anchor. One stratum-keyed window shuffle — never a
+    // global single-partition cumsum
+    QueryDef("q_systematic",
+      Some("""WITH t AS (SELECT doc_id, source,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_tok
+                FROM documents),
+              c AS (SELECT doc_id, source, n_tok,
+                  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t)
+              SELECT doc_id, source, n_tok,
+                CAST((cum - 250 + 500) // 500
+                  - (cum - n_tok - 250 + 500) // 500 AS BIGINT) AS n_picks
+              FROM c
+              WHERE (cum - 250 + 500) // 500
+                  - (cum - n_tok - 250 + 500) // 500 >= 1
+              ORDER BY doc_id"""),
+      (s, d) => graft.text.Sampling.systematicSample(
+        documents(s, d).select(col("doc_id"), col("source"),
+          size(graft.text.TextAnalysis.tokens(col("text")))
+            .cast("long").as("n_tok")),
+        Seq("source"), Seq(col("doc_id")), "n_tok", step = 500L)
         .orderBy("doc_id"))
   )
 }

@@ -102,6 +102,42 @@ object Sampling {
       .filter(col("cum") <= budget)
   }
 
+  /** Weight-proportional SYSTEMATIC sampling without RNG: within each
+    * stratum, walk the cumulative-weight line in a deterministic row
+    * order and pick every row that contains a grid point
+    * `anchor + m·step` (anchor = step DIV 2 — the deterministic
+    * midpoint where classical systematic sampling draws a random
+    * offset). Every stratum yields `weight/step ± 1` picks, so the
+    * sample is token-proportional by construction; a row heavier than
+    * `step` carries several grid points and `n_picks` records that
+    * multiplicity. All arithmetic is non-negative integer (the `+step`
+    * shift keeps both DIV operands ≥ 0, where truncation == floor in
+    * both engines), so the sample is bit-reproducible across runs,
+    * partitionings, and engines. Weights must be non-negative.
+    *
+    * Scale shape: ONE window shuffle keyed by the strata columns
+    * (parallel across strata — never a global single-partition
+    * cumsum); the pick test is a map-side projection on the windowed
+    * frame. Appends `n_picks`, keeps only picked rows.
+    */
+  def systematicSample(df: DataFrame, strataCols: Seq[String],
+      order: Seq[Column], weightCol: String, step: Long): DataFrame = {
+    require(step >= 1, s"step=$step must be >= 1")
+    require(strataCols.nonEmpty,
+      "systematicSample windows per stratum; an ungrouped global cumsum " +
+        "would funnel the corpus through one partition")
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val anchor = step / 2
+    df.withColumn("__cum", sum(col(weightCol).cast("long")).over(w))
+      .withColumn("__prev", col("__cum") - col(weightCol).cast("long"))
+      .withColumn("n_picks", expr(
+        s"CAST((__cum - $anchor + $step) DIV $step - " +
+          s"(__prev - $anchor + $step) DIV $step AS BIGINT)"))
+      .filter(col("n_picks") >= 1)
+      .drop("__cum", "__prev")
+  }
+
   /** Deterministic weight-balanced shard assignment — the data-loader
     * prep step after mixing/packing: spread rows over `shards` loader
     * shards so per-shard weight (token) totals come out near-equal,

@@ -294,6 +294,19 @@ class DedupSpec extends SparkTestBase {
     assert(jac.isEmpty)
   }
 
+  test("sourceOverlap: shingle Jaccard per source pair; repeats don't inflate") {
+    val df = Seq(
+      ("s1", "alpha beta gamma"),        // shingles: {alpha beta, beta gamma}
+      ("s1", "alpha beta gamma"),        // repeat: must not inflate
+      ("s2", "alpha beta delta"),        // shares {alpha beta} with s1
+      ("s3", "zz yy xx")).toDF("source", "text")
+    val m = Dedup.sourceOverlap(df, "text", "source")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // only (s1, s2) overlap: inter 1, sizes 2 and 2 -> 1/3 = 333333 ppm
+    assert(m === Seq(("s1", "s2", 1L, 333333L)))
+    graft.ops.StageCache.releaseAll()
+  }
+
   test("dupMatrix counts distinct shared texts per source pair, once each") {
     val df = Seq(
       ("s1", "alpha"), ("s1", "alpha"), // within-source dup: no self pair

@@ -217,4 +217,39 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+
+  test("systematicSample: picks are weight-proportional per stratum") {
+    // stratum A: 10 docs x 100 tokens = 1000 total; step 250 -> 4 picks
+    // stratum B: 3 docs x 100 = 300 -> 1 pick
+    val docs = ((1L to 10L).map(i => (i, "A", 100L)) ++
+      (11L to 13L).map(i => (i, "B", 100L))).toDF("id", "src", "w")
+    val out = Sampling.systematicSample(docs, Seq("src"),
+      Seq(org.apache.spark.sql.functions.col("id")), "w", step = 250L)
+    val picks = out.groupBy("src")
+      .agg(org.apache.spark.sql.functions.sum("n_picks").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(picks("A") === 4L)
+    assert(picks("B") === 1L)
+  }
+
+  test("systematicSample: a row heavier than step carries multiple picks") {
+    val docs = Seq((1L, "A", 1000L), (2L, "A", 10L)).toDF("id", "src", "w")
+    val out = Sampling.systematicSample(docs, Seq("src"),
+      Seq(org.apache.spark.sql.functions.col("id")), "w", step = 250L)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // grid points 125, 375, 625, 875 all fall inside row 1
+    assert(out.map(t => (t._1, t._4)) === Seq((1L, 4L)))
+  }
+
+  test("systematicSample is partitioning-invariant") {
+    val docs = (1L to 50L).map(i => (i, s"s${i % 3}", 10L + i % 7))
+      .toDF("id", "src", "w")
+    val a = Sampling.systematicSample(docs, Seq("src"),
+      Seq(org.apache.spark.sql.functions.col("id")), "w", 60L)
+      .orderBy("id").collect().toSeq
+    val b = Sampling.systematicSample(docs.repartition(11), Seq("src"),
+      Seq(org.apache.spark.sql.functions.col("id")), "w", 60L)
+      .orderBy("id").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
 }
