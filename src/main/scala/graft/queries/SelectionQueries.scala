@@ -85,6 +85,44 @@ object SelectionQueries {
           size(graft.text.TextAnalysis.tokens(col("text")))
             .cast("long").as("n_tok")),
         Seq("source"), Seq(col("doc_id")), "n_tok", step = 500L)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // padding-efficiency report: batch-of-8 padding waste per source,
+    // length-sorted vs arrival order — the loader's batch-assembly
+    // decision on one row. Batch stats aggregate over batches, not docs
+    QueryDef("q_pad_waste",
+      Some("""WITH t AS (SELECT doc_id, source,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_tok
+                FROM documents),
+              sb AS (SELECT source, b, count(*) AS n, max(n_tok) AS mx,
+                  sum(n_tok) AS sm
+                FROM (SELECT source, n_tok,
+                    CAST((row_number() OVER (PARTITION BY source
+                      ORDER BY n_tok DESC, doc_id) - 1) // 8 AS BIGINT) AS b
+                  FROM t) GROUP BY 1, 2),
+              sg AS (SELECT source, CAST(sum(n*mx - sm) AS BIGINT) AS pad_s,
+                  CAST(sum(n*mx) AS BIGINT) AS slots_s
+                FROM sb GROUP BY 1),
+              ab AS (SELECT source, b, count(*) AS n, max(n_tok) AS mx,
+                  sum(n_tok) AS sm
+                FROM (SELECT source, n_tok,
+                    CAST((row_number() OVER (PARTITION BY source
+                      ORDER BY doc_id) - 1) // 8 AS BIGINT) AS b
+                  FROM t) GROUP BY 1, 2),
+              ag AS (SELECT source, CAST(sum(n*mx - sm) AS BIGINT) AS pad_a,
+                  CAST(sum(n*mx) AS BIGINT) AS slots_a
+                FROM ab GROUP BY 1)
+              SELECT sg.source,
+                CAST((1000000 * pad_s) // slots_s AS BIGINT) AS pad_sorted_ppm,
+                CAST((1000000 * pad_a) // slots_a AS BIGINT) AS pad_arrival_ppm
+              FROM sg JOIN ag ON sg.source = ag.source
+              ORDER BY sg.source"""),
+      (s, d) => graft.text.Packing.paddingReport(
+        documents(s, d).select(col("doc_id"), col("source"),
+          size(graft.text.TextAnalysis.tokens(col("text")))
+            .cast("long").as("n_tok")),
+        Seq("source"), "doc_id", "n_tok", batchRows = 8)
+        .orderBy("source"))
   )
 }

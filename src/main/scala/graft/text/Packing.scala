@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField}
 
@@ -87,5 +88,50 @@ object Packing {
     val sharded = df.withColumn(shardCol,
       pmod(crc32(col(orderCol).cast("string")), lit(nShards)).cast("int"))
     packBins(sharded, Seq(shardCol), orderCol, weightCol, capacity)
+  }
+
+  /** Padding-efficiency report: fixed-size row batches pad every
+    * sequence to the batch max, so the waste is
+    * `Σ_batches (rows·max − sum)`. This computes that waste per group
+    * under BOTH batch orders — length-sorted (the length-bucketing
+    * trick) and arrival order (the naive loader) — so the saving from
+    * sorting reads off one row: `pad_sorted_ppm` vs `pad_arrival_ppm`
+    * (ppm of the padded slot volume, integer-exact). The standard
+    * batch-assembly decision input for inference servers and training
+    * loaders alike.
+    *
+    * Scale shape: each variant is one group-keyed window + an
+    * aggregate over (group, batch) — batch-count rows, not documents;
+    * the two variants shuffle on the SAME keys (eligible for exchange
+    * reuse) and the final rollup joins two group-sized frames. Input
+    * here is (id, group, weight) only — never document text.
+    */
+  def paddingReport(df: DataFrame, groupCols: Seq[String], idCol: String,
+      weightCol: String, batchRows: Int): DataFrame = {
+    require(batchRows >= 1, s"batchRows must be >= 1 (got $batchRows)")
+    require(groupCols.nonEmpty,
+      "paddingReport windows per group; an ungrouped global row_number " +
+        "would funnel the corpus through one partition")
+    val g = groupCols.map(col)
+    def waste(order: Seq[org.apache.spark.sql.Column],
+        label: String): DataFrame = {
+      val w = Window.partitionBy(g: _*).orderBy(order: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__b", expr(s"CAST((__rn - 1) DIV $batchRows AS BIGINT)"))
+        .groupBy((g :+ col("__b")): _*)
+        .agg(count(lit(1)).as("__n"), max(col(weightCol)).as("__mx"),
+          sum(col(weightCol)).as("__sm"))
+        .groupBy(g: _*)
+        .agg(sum(col("__n") * col("__mx") - col("__sm")).cast("long").as(s"pad_$label"),
+          sum(col("__n") * col("__mx")).cast("long").as(s"slots_$label"))
+    }
+    val sorted = waste(Seq(col(weightCol).desc, col(idCol)), "sorted")
+    val arrival = waste(Seq(col(idCol)), "arrival")
+    sorted.join(arrival, groupCols)
+      .withColumn("pad_sorted_ppm",
+        expr("CAST((1000000 * pad_sorted) DIV slots_sorted AS BIGINT)"))
+      .withColumn("pad_arrival_ppm",
+        expr("CAST((1000000 * pad_arrival) DIV slots_arrival AS BIGINT)"))
+      .select((g :+ col("pad_sorted_ppm") :+ col("pad_arrival_ppm")): _*)
   }
 }

@@ -218,6 +218,28 @@ class PipelineOpsSpec extends SparkTestBase {
   }
 
 
+  test("paddingReport: length-sorting eliminates waste a mixed batch pays") {
+    // two batches of 2: arrival order pairs (10,100) twice -> pad 180;
+    // sorted pairs (100,100) and (10,10) -> pad 0
+    val docs = Seq((1L, "g", 10L), (2L, "g", 100L), (3L, "g", 10L),
+      (4L, "g", 100L)).toDF("id", "grp", "w")
+    val r = Packing.paddingReport(docs, Seq("grp"), "id", "w", batchRows = 2)
+      .collect()(0)
+    assert(r.getAs[Long]("pad_sorted_ppm") === 0L)
+    // arrival: each batch pads 10 -> 100: waste 90 per batch over 200
+    // slots/batch -> 180/400 = 450000 ppm
+    assert(r.getAs[Long]("pad_arrival_ppm") === 450000L)
+  }
+
+  test("paddingReport: a ragged final batch pads against its own max") {
+    val docs = Seq((1L, "g", 5L), (2L, "g", 7L), (3L, "g", 9L))
+      .toDF("id", "grp", "w")
+    val r = Packing.paddingReport(docs, Seq("grp"), "id", "w", batchRows = 2)
+      .collect()(0)
+    // sorted desc: batch0 = (9,7) pad 2 over 18; batch1 = (5) pad 0 over 5
+    assert(r.getAs[Long]("pad_sorted_ppm") === (1000000L * 2 / 23))
+  }
+
   test("systematicSample: picks are weight-proportional per stratum") {
     // stratum A: 10 docs x 100 tokens = 1000 total; step 250 -> 4 picks
     // stratum B: 3 docs x 100 = 300 -> 1 pick
