@@ -101,4 +101,45 @@ object TemporalJoins {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Inner interval-OVERLAP join: pairs of rows (one from `a`, one from
+    * `b`) sharing `keys` whose half-open micro-epoch intervals
+    * [aStart, aEnd) and [bStart, bEnd) intersect — the both-sides-
+    * are-intervals complement to [[rangeJoinBinned]] (telemetry
+    * overlap, shift/session intersection, conflict detection). All four
+    * bound columns are LONG epoch-microseconds (build them with
+    * `unix_micros`); non-key column sets must be disjoint.
+    *
+    * Scale shape: the same fixed-bin trick as [[rangeJoinBinned]] —
+    * each interval emits one row per `binMicros` bin it touches and
+    * candidates meet on the (keys, bin) EQUI key, so there is never a
+    * range cross-product; fanout per row is length/bin + 1. The classic
+    * hazard of binned overlap joins — a pair meeting in EVERY shared
+    * bin and needing an expensive DISTINCT — is eliminated by the
+    * first-common-bin gate: a qualifying pair is kept only in the bin
+    * containing max(aStart, bStart), which overlap guarantees lies in
+    * both bin ranges, so each pair is emitted exactly once with no
+    * dedup pass. Degenerate (empty) intervals are dropped up front,
+    * like rangeJoinBinned.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      binMicros: Long): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive (got $binMicros)")
+    val collisions = (a.columns.toSet -- keys).intersect(
+      b.columns.toSet -- keys)
+    require(collisions.isEmpty,
+      s"non-key columns collide between sides: ${collisions.mkString(", ")}")
+    def bins(s: String, e: String): Column =
+      sequence(floor(col(s) / binMicros), floor((col(e) - 1) / binMicros))
+    val av = a.filter(col(aEnd) > col(aStart))
+      .withColumn("__bin", explode(bins(aStart, aEnd)))
+    val bv = b.filter(col(bEnd) > col(bStart))
+      .withColumn("__bin", explode(bins(bStart, bEnd)))
+    av.join(bv, keys :+ "__bin")
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__bin") ===
+        floor(greatest(col(aStart), col(bStart)) / binMicros))
+      .drop("__bin")
+  }
 }

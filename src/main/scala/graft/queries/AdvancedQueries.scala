@@ -89,6 +89,45 @@ object AdvancedQueries {
           .orderBy("wkey")
       }),
 
+    // interval-overlap join: view and purchase 30-minute activity
+    // windows of the same user that intersect — both sides are
+    // intervals (TemporalJoins.intervalOverlapJoin: binned equi-join,
+    // first-common-bin gate, so each pair emits once with NO distinct)
+    QueryDef("q_interval_join",
+      Some("""WITH a AS (SELECT user_id, event_id AS a_id,
+                     epoch_us(ts) AS a_start,
+                     epoch_us(ts) + 1800000000 AS a_end
+                   FROM events WHERE event_type = 'view'),
+              b AS (SELECT user_id, event_id AS b_id,
+                     epoch_us(ts) AS b_start,
+                     epoch_us(ts) + 1800000000 AS b_end
+                   FROM events WHERE event_type = 'purchase')
+              SELECT a.user_id, a_id, b_id,
+                     CAST(least(a_end, b_end) - greatest(a_start, b_start)
+                       AS BIGINT) AS overlap_us
+              FROM a JOIN b ON a.user_id = b.user_id
+                AND a_start < b_end AND b_start < a_end
+              ORDER BY a.user_id, a_id, b_id"""),
+      (s, d) => {
+        val ev = events(s, d)
+        val halfHourUs = 1800L * 1000000L
+        def side(tpe: String, idAs: String, sAs: String, eAs: String) =
+          ev.filter(col("event_type") === tpe)
+            .select(col("user_id"), col("event_id").as(idAs),
+              unix_micros(col("ts")).as(sAs),
+              (unix_micros(col("ts")) + halfHourUs).as(eAs))
+        TemporalJoins.intervalOverlapJoin(
+            side("view", "a_id", "a_start", "a_end"),
+            side("purchase", "b_id", "b_start", "b_end"),
+            Seq("user_id"), "a_start", "a_end", "b_start", "b_end",
+            binMicros = halfHourUs)
+          .select(col("user_id"), col("a_id"), col("b_id"),
+            (least(col("a_end"), col("b_end")) -
+              greatest(col("a_start"), col("b_start"))).cast("long")
+              .as("overlap_us"))
+          .orderBy("user_id", "a_id", "b_id")
+      }),
+
     // pivot: long-to-wide with an EXPLICIT value list (no extra
     // values-discovery job — required form at scale)
     QueryDef("q_pivot",

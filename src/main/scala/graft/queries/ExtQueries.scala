@@ -789,6 +789,46 @@ object ExtQueries {
         embeddings(s, d), 5)
         .orderBy("qid", "rank")),
 
+    // ---- hybrid retrieval: reciprocal-rank fusion of two rankers ----
+    // cosine (directional) + raw dot (magnitude-weighted; the stand-in
+    // for a second channel like BM25) fused by sum of 1/(60+rank) over
+    // each channel's top-10 — rank-only arithmetic, so the fusion is
+    // bit-exact across engines by construction
+    QueryDef("q_rrf",
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                WHERE vec_id % 50 = 0),
+              c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+              scored AS (
+                SELECT qid, nid, ${dotSql("qv", "nv")} AS dp,
+                       ${cosSql("qv", "nv")} AS sim
+                FROM q, c WHERE qid <> nid),
+              ranked AS (
+                SELECT qid, nid,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nid) AS INT) AS rank_cos,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY dp DESC, nid) AS INT) AS rank_dot
+                FROM scored),
+              fused AS (
+                SELECT qid, nid,
+                  (CASE WHEN rank_cos <= 10
+                        THEN CAST(1 AS DOUBLE) / (60 + rank_cos)
+                        ELSE CAST(0 AS DOUBLE) END) +
+                  (CASE WHEN rank_dot <= 10
+                        THEN CAST(1 AS DOUBLE) / (60 + rank_dot)
+                        ELSE CAST(0 AS DOUBLE) END) AS rrf
+                FROM ranked WHERE rank_cos <= 10 OR rank_dot <= 10)
+              SELECT qid, nid, rank, rrf FROM (
+                SELECT qid, nid, rrf,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY rrf DESC, nid) AS INT) AS rank
+                FROM fused)
+              WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => Ann.rrfTopK(
+        embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        embeddings(s, d), n = 10, k = 5)
+        .orderBy("qid", "rank")),
+
     // ---- similarity search: LSH (8 hyperplane sign bits, own bucket) ----
     QueryDef("q_ann_lsh",
       Some(s"""WITH piv AS (

@@ -83,6 +83,55 @@ object Ann {
         col("rank"), col("sim"))
   }
 
+  /** Reciprocal-rank-fusion hybrid retrieval: fuse two rankers — cosine
+    * similarity (normalized, favors directional match) and raw dot
+    * product (unnormalized, favors high-magnitude corpus vectors; the
+    * stand-in for any second scoring channel, e.g. BM25 in a
+    * text+vector hybrid stack) — with the standard RRF score
+    * `sum_r 1/(rrfK + rank_r)` over each ranker's top-`n` list
+    * (Cormack et al.; a pair absent from a list contributes 0).
+    * Returns the top-`k` fused candidates per query as
+    * (qid, nid, rank, rrf).
+    *
+    * One broadcast pass computes BOTH channel scores per (query,
+    * corpus) pair — the dot product is shared work, cosine just
+    * divides by the precomputed norms — then two row_number windows
+    * per qid produce the channel ranks. RRF arithmetic is
+    * `1/(integer + integer)` doubles with one two-term sum: bit-exact
+    * and order-free across engines, unlike score-interpolation fusion
+    * which inherits float summation order. At 100 TB each ranker
+    * would feed its own top-n (IVF/LSH for the vector channel, an
+    * inverted index for the text channel) and only the ≤2n per-query
+    * candidates meet for fusion — the fusion itself is rank-only, so
+    * it never touches embeddings again.
+    */
+  def rrfTopK(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"), norm(col("embedding")).as("qnrm")))
+    val c = corpus.select(col("vec_id").as("nid"),
+      col("embedding").as("nvec"), norm(col("embedding")).as("nnrm"))
+    val scored = q.crossJoin(c)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dp", dot(col("qvec"), col("nvec")))
+      .withColumn("sim", col("dp") / (col("qnrm") * col("nnrm")))
+    val wCos = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    val wDot = Window.partitionBy("qid").orderBy(col("dp").desc, col("nid").asc)
+    val wFuse = Window.partitionBy("qid").orderBy(col("rrf").desc, col("nid").asc)
+    scored
+      .withColumn("rank_cos", row_number().over(wCos))
+      .withColumn("rank_dot", row_number().over(wDot))
+      .filter(col("rank_cos") <= n || col("rank_dot") <= n)
+      .withColumn("rrf",
+        when(col("rank_cos") <= n, lit(1.0) / (lit(rrfK) + col("rank_cos")))
+          .otherwise(lit(0.0)) +
+        when(col("rank_dot") <= n, lit(1.0) / (lit(rrfK) + col("rank_dot")))
+          .otherwise(lit(0.0)))
+      .withColumn("rank", row_number().over(wFuse))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("rrf"))
+  }
+
   /** Deterministic pivot set: the `nPivots` corpus rows with the lowest
     * ids (a stand-in for k-means centroids; deterministic beats clever
     * for reproducibility).

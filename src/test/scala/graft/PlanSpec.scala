@@ -295,4 +295,29 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"),
       "hard-negative label-inequality join should ride a broadcast nested loop")
   }
+
+  test("q_interval_join: binned EQUI join, and no distinct-style dedup pass") {
+    // the first-common-bin gate replaces the classic post-join DISTINCT;
+    // the plan must contain a hash equi-join on (user_id, __bin) and NO
+    // aggregate other than none at all (the query has no groupBy) —
+    // any HashAggregate here would be a smuggled distinct
+    val p = plan("q_interval_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "overlap join lost its equi-join form")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "overlap join degenerated to a cross-product range probe")
+    assert(!p.contains("HashAggregate"),
+      "first-common-bin gate should make the pair set distinct-free")
+  }
+
+  test("q_rrf broadcasts the query side; fusion adds no extra scan") {
+    val p = plan("q_rrf")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "rrf channel scoring should ride the brute-force broadcast pass")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("embeddings"))
+    assert(scans <= 2, // query side + corpus side
+      s"rrf re-scans embeddings $scans times; both channels must share one pass")
+  }
 }

@@ -104,4 +104,56 @@ class TemporalJoinsSpec extends SparkTestBase {
       .select("pid").as[Long].collect().toSet
     assert(out === Set(1L, 2L, 3L, 4L))
   }
+
+  test("intervalOverlapJoin: overlap pairs once each, half-open touch excluded") {
+    // key k1: a1=[0,100) overlaps b1=[50,150) and CONTAINS b2=[10,20);
+    // a1 touches b3=[100,200) exactly (half-open -> no overlap);
+    // key k2 separates a2 from k1's b rows entirely
+    val a = Seq(("k1", 1L, 0L, 100L), ("k2", 2L, 0L, 100L))
+      .toDF("k", "a_id", "a_s", "a_e")
+    val b = Seq(("k1", 1L, 50L, 150L), ("k1", 2L, 10L, 20L),
+      ("k1", 3L, 100L, 200L)).toDF("k", "b_id", "b_s", "b_e")
+    val out = TemporalJoins.intervalOverlapJoin(a, b, Seq("k"),
+        "a_s", "a_e", "b_s", "b_e", binMicros = 10L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L), (1L, 2L)))
+  }
+
+  test("intervalOverlapJoin: pair sharing MANY bins still emits exactly once") {
+    // both intervals span 10 bins together; the first-common-bin gate
+    // must collapse the 10 candidate meetings to one output row
+    val a = Seq(("k", 1L, 0L, 100L)).toDF("k", "a_id", "a_s", "a_e")
+    val b = Seq(("k", 9L, 5L, 95L)).toDF("k", "b_id", "b_s", "b_e")
+    val out = TemporalJoins.intervalOverlapJoin(a, b, Seq("k"),
+      "a_s", "a_e", "b_s", "b_e", binMicros = 10L)
+    assert(out.count() === 1L)
+  }
+
+  test("intervalOverlapJoin: equals naive overlap join for every bin width") {
+    // deterministic pseudo-random intervals; the binned plan must give
+    // the identical pair set for tiny, matched, and huge bins
+    val rows = (0 until 60).map { i =>
+      val s = (i * 37 % 97).toLong
+      (s"k${i % 3}", i.toLong, s, s + 1 + (i * 13 % 29))
+    }
+    val a = rows.filter(_._2 % 2 == 0).toDF("k", "a_id", "a_s", "a_e")
+    val b = rows.filter(_._2 % 2 == 1)
+      .map(r => (r._1, r._2, r._3, r._4)).toDF("k", "b_id", "b_s", "b_e")
+    val naive = a.join(b, Seq("k"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    for (bin <- Seq(1L, 7L, 1000L)) {
+      val binned = TemporalJoins.intervalOverlapJoin(a, b, Seq("k"),
+          "a_s", "a_e", "b_s", "b_e", bin)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(binned === naive, s"bin=$bin")
+    }
+  }
+
+  test("intervalOverlapJoin: degenerate intervals are dropped") {
+    val a = Seq(("k", 1L, 10L, 10L)).toDF("k", "a_id", "a_s", "a_e")
+    val b = Seq(("k", 2L, 0L, 100L)).toDF("k", "b_id", "b_s", "b_e")
+    assert(TemporalJoins.intervalOverlapJoin(a, b, Seq("k"),
+      "a_s", "a_e", "b_s", "b_e", 10L).count() === 0L)
+  }
 }

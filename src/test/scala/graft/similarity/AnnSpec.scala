@@ -188,4 +188,40 @@ class AnnSpec extends SparkTestBase {
     assert(untrained < trained,
       s"seeds from one cluster should underperform ($untrained vs $trained)")
   }
+
+  test("rrfTopK: fusion promotes the candidate both channels agree on") {
+    // query 0 with n=2: cosine submits (1, 3) — direction match first;
+    // dot submits (2, 3) — magnitude first. Vector 3 is the only
+    // candidate BOTH channels list, so its two terms 1/62+1/62 beat
+    // the single 1/61 of either channel winner; 1 and 2 then tie and
+    // break by nid
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.0f)),    // cos rank 1 (dir match), dot 0.9 -> dot rank 3
+      (2L, Array(8.0f, 8.0f)),    // cos 0.707 -> cos rank 3, dot 8 -> dot rank 1
+      (3L, Array(2.0f, 0.45f)))   // cos ~0.976 rank 2, dot 2.0 rank 2
+      .toDF("vec_id", "embedding")
+    val out = Ann.rrfTopK(rows.filter(col("vec_id") === 0), rows, n = 2, k = 3)
+      .select("nid", "rank", "rrf").as[(Long, Int, Double)].collect()
+      .sortBy(_._2)
+    assert(out.map(_._1).toSeq === Seq(3L, 1L, 2L))
+    val expected3 = 1.0 / 62 + 1.0 / 62
+    assert(out.head._3 === expected3, "rrf must be the exact two-term sum")
+    assert(out(1)._3 === 1.0 / 61 && out(2)._3 === 1.0 / 61)
+  }
+
+  test("rrfTopK: a candidate outside one channel's top-n contributes one term") {
+    // n=1: each channel submits only its winner; fused list is the two
+    // winners with single-term scores, ordered by rank-1 term then nid
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.0f)),
+      (2L, Array(8.0f, 8.0f)),
+      (3L, Array(2.0f, 0.45f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.rrfTopK(rows.filter(col("vec_id") === 0), rows, n = 1, k = 3)
+      .select("nid", "rrf").as[(Long, Double)].collect().toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === 1.0 / 61 && out(2L) === 1.0 / 61)
+  }
 }
