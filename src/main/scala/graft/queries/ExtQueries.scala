@@ -23,14 +23,20 @@ object ExtQueries {
          array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))
        ELSE [] END))"""
 
-  /** DuckDB fragment: left-to-right double dot product of a and b. */
-  private[queries] def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+  /** DuckDB fragment: left-to-right double dot product of the first
+    * `n` components of a and b (n = 64 is the full fixture width).
+    */
+  private[queries] def dotSqlN(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${n + 1}),
         i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))),
         (acc, x) -> acc + x)"""
 
-  private[queries] def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  private[queries] def dotSql(a: String, b: String): String = dotSqlN(a, b, 64)
+
+  private[queries] def cosSqlN(a: String, b: String, n: Int): String =
+    s"(${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)})))"
+
+  private[queries] def cosSql(a: String, b: String): String = cosSqlN(a, b, 64)
 
   /** DuckDB CTE chain ending in `scored` — tokenized docs with
     * stopword-hit counts, token/char counts (shared by
@@ -1341,6 +1347,66 @@ object ExtQueries {
               .cast("long").as("recall_bp"),
             col("n_cand"))
           .orderBy("method")
+      }),
+
+    // ---- Matryoshka truncation recall: recall@5 of brute-force search
+    // over the first 8/16/32 embedding components vs the full-width
+    // answer — the eval a deployment runs before shipping truncated
+    // (MRL-style) embeddings to cut index size 2-8×. Truncated search
+    // reuses the SAME brute operator on sliced arrays, so the oracle is
+    // the same fold over range(1, d+1); only pair-set intersections
+    // cross the engine boundary (float-proof like q_ann_recall) ----
+    QueryDef("q_mrl_recall",
+      Some {
+        def tcte(d: Int) =
+          s"""t$d AS (
+                SELECT qid, nid FROM (
+                  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                    ORDER BY ${cosSqlN("qv", "nv", d)} DESC, nid) AS rank
+                  FROM q, c WHERE qid <> nid)
+                WHERE rank <= 5)"""
+        def counted(d: Int) =
+          s"""SELECT $d AS dim, (SELECT count(*) FROM brute) AS n_brute,
+                (SELECT count(*) FROM t$d i JOIN brute b
+                  ON i.qid = b.qid AND i.nid = b.nid) AS n_hit"""
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                WHERE vec_id % 50 = 0),
+              c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+              brute AS (
+                SELECT qid, nid FROM (
+                  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                    ORDER BY ${cosSql("qv", "nv")} DESC, nid) AS rank
+                  FROM q, c WHERE qid <> nid)
+                WHERE rank <= 5),
+              ${tcte(8)}, ${tcte(16)}, ${tcte(32)},
+              counted AS (${counted(8)} UNION ALL ${counted(16)}
+                UNION ALL ${counted(32)})
+              SELECT CAST(dim AS INT) AS dim, n_brute, n_hit,
+                CAST(floor(n_hit * 10000.0 / n_brute + 0.5) AS BIGINT)
+                  AS recall_bp
+              FROM counted ORDER BY dim"""
+      },
+      (s, d) => {
+        val full = embeddings(s, d)
+        val qsF = full.filter(col("vec_id") % 50 === 0)
+        val brute = graft.ops.StageCache.persisted(
+          Ann.bruteForceTopK(qsF, full, 5).select("qid", "nid"))
+        val nb = brute.agg(count(lit(1)).cast("long").as("n_brute"))
+        def truncHits(dim: Int) = {
+          def cut(df: org.apache.spark.sql.DataFrame) = df.select(
+            col("vec_id"), slice(col("embedding"), 1, dim).as("embedding"))
+          brute.join(
+              Ann.bruteForceTopK(cut(qsF), cut(full), 5).select("qid", "nid"),
+              Seq("qid", "nid"), "left_semi")
+            .agg(count(lit(1)).cast("long").as("n_hit"))
+            .select(lit(dim).cast("int").as("dim"), col("n_hit"))
+        }
+        truncHits(8).unionByName(truncHits(16)).unionByName(truncHits(32))
+          .crossJoin(broadcast(nb))
+          .select(col("dim"), col("n_brute"), col("n_hit"),
+            floor(col("n_hit") * 10000.0 / col("n_brute") + 0.5)
+              .cast("long").as("recall_bp"))
+          .orderBy("dim")
       })
   )
 }

@@ -210,6 +210,26 @@ class AnnSpec extends SparkTestBase {
     assert(out(1)._3 === 1.0 / 61 && out(2)._3 === 1.0 / 61)
   }
 
+  test("prefix-truncated search ranks by the prefix only (MRL eval primitive)") {
+    // full width: vec 2 is an exact direction match (cos 1.0) and beats
+    // vec 1 (cos 0.8, trailing mass); truncating to the first 2 dims
+    // hides that trailing mass -> both tie at cos 1.0 and nid breaks
+    // toward 1 — the ranking flip q_mrl_recall's report quantifies
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.8f, 0.0f, 0.6f, 0.0f)),
+      (2L, Array(0.7f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def cut(d: Int) = rows.select(col("vec_id"),
+      slice(col("embedding"), 1, d).as("embedding"))
+    val fullTop = Ann.bruteForceTopK(rows.filter(col("vec_id") === 0), rows, 1)
+      .select("nid").as[Long].head()
+    val truncTop = Ann.bruteForceTopK(
+        cut(2).filter(col("vec_id") === 0), cut(2), 1)
+      .select("nid").as[Long].head()
+    assert(fullTop === 2L && truncTop === 1L)
+  }
+
   test("rrfTopK: a candidate outside one channel's top-n contributes one term") {
     // n=1: each channel submits only its winner; fused list is the two
     // winners with single-term scores, ordered by rank-1 term then nid
