@@ -253,5 +253,120 @@ object AuditQueries {
           .agg(max("o_orderpriority").as("prio")),
         Seq("o_custkey"), Seq("prio"), "ver")
         .orderBy("o_custkey", "valid_from"))
+  ) ++ webDefs
+
+  // ---- web-corpus hygiene: URL canonicalization + char-class screen
+  // (lazy: `defs` above references it before this val would initialize
+  // in declaration order — eager, it would still be null there)
+
+  private lazy val webDefs: Seq[QueryDef] = Seq(
+
+    // crawl-frontier dedup key: the same page arrives as http/https,
+    // www/bare, trailing-slash, and tracking-param (utm_*/ref/fbclid)
+    // variants; canonicalizing folds them BEFORE any content is fetched
+    // or compared (key-normalization-before-join, as in the reference's
+    // clean-key joins — delinquent_data_submitters.py:120-141 — applied
+    // to URLs). The fixture builds 3 such variants per (source, page)
+    // from doc_id arithmetic; the report counts raw spellings folded
+    // into each canonical key. Map-side regex parse, one canonical-key
+    // agg shuffle — at 100 TB the canonical key is ALSO the natural
+    // partition key for the downstream fetch/dedup stages
+    QueryDef("q_url_canon",
+      Some("""WITH u AS (SELECT source,
+                  CASE doc_id % 3
+                    WHEN 0 THEN 'https://www.' || source || '.example.com/docs/'
+                      || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&id='
+                      || CAST(doc_id % 50 % 7 AS VARCHAR) || '&utm_campaign=x'
+                    WHEN 1 THEN 'http://' || source || '.example.com/docs/'
+                      || CAST(doc_id % 50 AS VARCHAR) || '?id='
+                      || CAST(doc_id % 50 % 7 AS VARCHAR)
+                    ELSE 'https://' || source || '.example.com/docs/'
+                      || CAST(doc_id % 50 AS VARCHAR) || '?id='
+                      || CAST(doc_id % 50 % 7 AS VARCHAR) || '&fbclid=abc'
+                  END AS url
+                FROM documents),
+              p AS (SELECT url,
+                  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                  regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth,
+                  regexp_extract(url, '\?([^#]*)', 1) AS qs
+                FROM u),
+              c AS (SELECT url,
+                  regexp_extract(regexp_replace(host, '^www\.', ''),
+                    '([^.]+\.[^.]+)$', 1) AS domain,
+                  regexp_replace(host, '^www\.', '')
+                    || regexp_replace(pth, '/+$', '')
+                    || CASE WHEN qc = '' THEN '' ELSE '?' || qc END AS canonical
+                FROM (SELECT url, host, pth,
+                        array_to_string(list_filter(string_split(qs, '&'),
+                          x -> NOT regexp_matches(x,
+                            '^(utm_[a-z]+|ref|fbclid|gclid)=')), '&') AS qc
+                      FROM p))
+              SELECT canonical, domain,
+                     CAST(count(*) AS BIGINT) AS n_urls,
+                     CAST(count(DISTINCT url) AS BIGINT) AS n_raw
+              FROM c GROUP BY 1, 2 ORDER BY canonical"""),
+      (s, d) => {
+        val page = (col("doc_id") % 50).cast("string")
+        val idq = (col("doc_id") % 50 % 7).cast("string")
+        val url = when(col("doc_id") % 3 === 0,
+            concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+              page, lit("/?utm_source=feed&id="), idq, lit("&utm_campaign=x")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("http://"), col("source"), lit(".example.com/docs/"),
+              page, lit("?id="), idq))
+          .otherwise(
+            concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+              page, lit("?id="), idq, lit("&fbclid=abc")))
+        documents(s, d)
+          .withColumn("url", url)
+          .withColumn("u", graft.text.Urls.parse(col("url")))
+          .groupBy(col("u.canonical").as("canonical"),
+            col("u.domain").as("domain"))
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("url")).as("n_raw"))
+          .orderBy("canonical")
+      }),
+
+    // char-class diversity screen: Simpson index (1 - Σp²) and top
+    // class share over {lower, upper, digit, ws, other} — flags base64
+    // blobs, separator walls, gibberish runs that token-level
+    // qualityScore misses. Simpson, not Shannon: rational arithmetic
+    // only, so the doubles are bit-identical across engines (ln differs
+    // in the last ulp — same reason Scoring ships unlogged odds-idf).
+    // Pure map-side regexp strip-lengths; no explode, no shuffle
+    QueryDef("q_char_diversity",
+      Some("""WITH m AS (SELECT doc_id,
+                  CAST(len(text) AS DOUBLE) AS n,
+                  CAST(len(text) - len(regexp_replace(text, '[a-z]', '', 'g'))
+                    AS DOUBLE) AS lo,
+                  CAST(len(text) - len(regexp_replace(text, '[A-Z]', '', 'g'))
+                    AS DOUBLE) AS up,
+                  CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS DOUBLE) AS di,
+                  CAST(len(text) - len(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+                    AS DOUBLE) AS ws
+                FROM documents),
+              s AS (SELECT doc_id, n, lo, up, di, ws,
+                           n - lo - up - di - ws AS ot
+                    FROM m),
+              p AS (SELECT doc_id, n,
+                  CASE WHEN n > 0 THEN lo / n ELSE 0.0 END AS p1,
+                  CASE WHEN n > 0 THEN up / n ELSE 0.0 END AS p2,
+                  CASE WHEN n > 0 THEN di / n ELSE 0.0 END AS p3,
+                  CASE WHEN n > 0 THEN ws / n ELSE 0.0 END AS p4,
+                  CASE WHEN n > 0 THEN ot / n ELSE 0.0 END AS p5
+                FROM s)
+              SELECT doc_id,
+                CASE WHEN n > 0
+                  THEN 1.0 - (p1*p1 + p2*p2 + p3*p3 + p4*p4 + p5*p5)
+                  ELSE 0.0 END AS simpson,
+                greatest(p1, p2, p3, p4, p5) AS top_share
+              FROM p ORDER BY doc_id"""),
+      (s, d) => documents(s, d)
+        .withColumn("cd",
+          graft.text.TextAnalysis.charClassDiversity(col("text")))
+        .select(col("doc_id"), col("cd.simpson").as("simpson"),
+          col("cd.top_share").as("top_share"))
+        .orderBy("doc_id"))
   )
 }

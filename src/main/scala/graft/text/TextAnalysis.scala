@@ -192,4 +192,39 @@ object TextAnalysis {
       (size(arr).cast("double") - size(array_distinct(arr)).cast("double"))
         / size(arr).cast("double"))
       .otherwise(0.0)
+
+  /** Character-class mix diversity: struct(simpson, top_share) over the
+    * 5-way class distribution {lowercase, uppercase, digit, whitespace,
+    * other}. `simpson` is the Simpson diversity index 1 - Σ pᵢ² (0 =
+    * one class only, 0.8 = uniform over 5); `top_share` is the largest
+    * class's fraction. A near-zero simpson / near-one top_share flags
+    * gibberish runs, base64 blobs, and separator walls — the cheap
+    * char-level screen next to [[qualityScoreT]]'s token-level one.
+    *
+    * Simpson instead of Shannon entropy ON PURPOSE: 1 - Σ pᵢ² is pure
+    * rational arithmetic (counts, one division each, exact IEEE ops in
+    * a fixed order), so both engines produce bit-identical doubles —
+    * `ln` differs in the last ulp between Java's Math.log intrinsic and
+    * libm, which breaks hash-exact oracles (same reason Scoring uses
+    * unlogged odds-idf). Class counts come from 4 regexp_replace strip
+    * lengths: per-row, map-side, codegen'd, no explode.
+    */
+  def charClassDiversity(text: Column): Column = {
+    val n = length(text).cast("double")
+    def cnt(cls: String): Column =
+      (length(text) - length(regexp_replace(text, cls, ""))).cast("double")
+    val lowerC = cnt("[a-z]")
+    val upperC = cnt("[A-Z]")
+    val digitC = cnt("[0-9]")
+    // explicit class, not \s: Java regex \s and RE2 \s agree, but the
+    // explicit form leaves nothing to engine interpretation
+    val wsC = cnt("[ \\t\\n\\r]")
+    val otherC = n - lowerC - upperC - digitC - wsC
+    def share(c: Column): Column = when(n > 0, c / n).otherwise(lit(0.0))
+    val shares = Seq(lowerC, upperC, digitC, wsC, otherC).map(share)
+    val simpson = lit(1.0) - shares.map(p => p * p).reduce(_ + _)
+    struct(
+      when(n > 0, simpson).otherwise(lit(0.0)).as("simpson"),
+      greatest(shares: _*).as("top_share"))
+  }
 }
