@@ -8,8 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // set at build time so no read can resolve a schema before the
+      // legacy conf lands; UTC pins the NTZ->timestamp cast in eventsRaw
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a silently-swallowed exception must not hide inside a "passing"
+    // round: every failure is collected and flagged in the output JSON
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // noop sink executes the FULL physical plan (count() would let
     // Catalyst prune every projected expression away)
     def runIn(name: String, dir: String): Double = {
@@ -17,6 +24,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -95,9 +103,9 @@ object Bench {
       }.reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       // 10x events: disjoint user/event id spaces per copy; ts/props
-      // unchanged (the nanosAsLong read yields a plain long ts column,
-      // which Tables.eventsRaw handles identically on re-read)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // pass through unchanged in whatever type the fixture ships
+      // (nanos-as-long or TIMESTAMP_NTZ micros — Tables.eventsRaw
+      // branches on the resolved type at re-read)
       val evs = spark.read.parquet(s"$sfDir/events.parquet")
       (0 until 10).map { k =>
         evs.withColumn("user_id", col("user_id") + lit(k * 10000000L))
@@ -132,6 +140,9 @@ object Bench {
       else s""","sf1_subset":${sf1.sortBy(_._1).map { case (n, (t, e)) =>
         "\"" + n + "\":{\"sec\":" + r2(t) + ",\"exp\":" + r2(e) + "}"
       }.mkString("{", ",", "}")}"""
+    val failedPart =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     def line(kept: Seq[(String, Double)]): String = {
       val rest = bySlowest.drop(kept.size)
       val restPart =
@@ -139,13 +150,13 @@ object Bench {
         else s""","rest_sec":${r2(rest.map(_._2).sum)},"n_rest":${rest.size}"""
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${
         results.size},"queries":${
-        kept.map(entry).mkString("{", ",", "}")}$restPart$sf1Part,"value":${r2(total)}}"""
+        kept.map(entry).mkString("{", ",", "}")}$restPart$failedPart$sf1Part,"value":${r2(total)}}"""
     }
     val kept = (bySlowest.size to 0 by -1).view
       .map(bySlowest.take).find(k => line(k).length <= 1400)
       .getOrElse(Seq.empty)
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${
-      bySlowest.map(entry).mkString("{", ",", "}")}$sf1Part,"value":${r2(total)}}"""
+      bySlowest.map(entry).mkString("{", ",", "}")}$failedPart$sf1Part,"value":${r2(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_full_last.json")
       try w.println(full) finally w.close()

@@ -349,8 +349,10 @@ object ExtQueries {
               SELECT lang, CAST(bin AS INT) AS bin,
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n_tok) AS BIGINT) AS total_tok,
-                list(doc_id ORDER BY doc_id) AS doc_ids,
-                list(filled - n_tok ORDER BY doc_id) AS starts
+                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                  AS doc_ids,
+                string_agg(CAST(filled - n_tok AS VARCHAR), ',' ORDER BY doc_id)
+                  AS starts
               FROM g GROUP BY lang, bin ORDER BY lang, bin"""),
       (s, d) => {
         val packed = Packing.packBins(
@@ -367,9 +369,17 @@ object ExtQueries {
             sum("n_tok").cast("long").as("total_tok"),
             sort_array(collect_list(struct(col("doc_id"), col("start"))))
               .as("pm"))
+          // member lists ship as comma-joined strings, not arrays: the
+          // driver's compare sorts rows on every output column, and an
+          // array cell is unsortable/unhashable there — a string is the
+          // portable encoding of ordered per-bin metadata
           .select(col("lang"), col("bin"), col("n_docs"), col("total_tok"),
-            transform(col("pm"), s => s.getField("doc_id")).as("doc_ids"),
-            transform(col("pm"), s => s.getField("start")).as("starts"))
+            concat_ws(",",
+              transform(col("pm"), s => s.getField("doc_id").cast("string")))
+              .as("doc_ids"),
+            concat_ws(",",
+              transform(col("pm"), s => s.getField("start").cast("string")))
+              .as("starts"))
           .orderBy("lang", "bin")
       }),
 

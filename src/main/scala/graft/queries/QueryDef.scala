@@ -18,17 +18,26 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as long (legacy
-    * conf) and convert losslessly to a microsecond TimestampType
-    * (`ts div 1000` — integer division, no double round-trip).
+  /** The events fixture has shipped `ts` two ways across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read nanos-as-long via the
+    * legacy conf, then `ts div 1000` — lossless integer division) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ).
+    * Branch on the resolved type so both land on the same microsecond
+    * TimestampType column; the NTZ cast is value-preserving because the
+    * session timezone is UTC (asserted at session build).
     */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")

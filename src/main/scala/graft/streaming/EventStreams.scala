@@ -25,16 +25,25 @@ object EventStreams {
     * file streams).
     */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    // fixture stores ts as TIMESTAMP(NANOS): read nanos-as-long, then
-    // convert to a microsecond timestamp (lossless integer division)
+    // the fixture has shipped ts as TIMESTAMP(NANOS) (→ long via the
+    // legacy conf) and TIMESTAMP(MICROS, NTZ) across testdata
+    // generations — branch on the resolved batch schema, same as
+    // Tables.eventsRaw (UTC session makes the NTZ cast lossless)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema: StructType = spark.read
       .parquet(s"$sfDir/events.parquet").schema
     // file streams need a directory source; glob-filter to the one table
-    spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
   }
 
   /** Hourly per-type rollup. Works identically on a static frame (batch
