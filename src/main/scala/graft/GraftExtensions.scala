@@ -27,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
+    // off unless spark.graft.rangeJoin.binSeconds is set positive
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
   }
 }

@@ -89,6 +89,46 @@ object AdvancedQueries {
           .orderBy("wkey")
       }),
 
+    // the same point-in-interval semantics through the PURE SQL
+    // surface: the query text writes the bare inequality join every
+    // user naturally writes (no equi key -> Spark alone can only plan
+    // a nested loop), and RangeBinJoinRule (installed imperatively —
+    // the driver session sets no spark.sql.extensions) rewrites it to
+    // the binned equi-join at optimization time. The 50 highest-value
+    // events open 6 h attribution windows; each window counts and
+    // sums every event inside it. RangeBinJoinRuleSpec pins the plan
+    // (no nested-loop node survives the rewrite)
+    QueryDef("q_range_auto",
+      Some("""WITH iv AS (SELECT event_id AS iv_id, ts AS w_start,
+                     ts + INTERVAL 6 HOUR AS w_end
+                   FROM events ORDER BY value DESC, event_id LIMIT 50)
+              SELECT iv_id, CAST(count(*) AS BIGINT) AS n_ev,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS cents
+              FROM iv JOIN events e
+                ON e.ts >= iv.w_start AND e.ts < iv.w_end
+              GROUP BY iv_id ORDER BY iv_id"""),
+      (s, d) => {
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.RangeBinJoinRule))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+
+              graft.plans.RangeBinJoinRule
+        // bin = the window length: each interval fans out to <= 2 bins
+        s.conf.set(graft.plans.RangeBinJoinRule.binSecondsKey, "21600")
+        val view = s"g_range_ev_${d.replaceAll("[^0-9]", "")}"
+        events(s, d).createOrReplaceTempView(view)
+        s.sql(s"""WITH iv AS (SELECT event_id AS iv_id, ts AS w_start,
+               ts + INTERVAL 6 HOUR AS w_end
+             FROM $view ORDER BY value DESC, event_id LIMIT 50)
+           SELECT iv_id, CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM iv JOIN $view e
+             ON e.ts >= iv.w_start AND e.ts < iv.w_end
+           GROUP BY iv_id ORDER BY iv_id""")
+      }),
+
     // interval-overlap join: view and purchase 30-minute activity
     // windows of the same user that intersect — both sides are
     // intervals (TemporalJoins.intervalOverlapJoin: binned equi-join,
