@@ -29,5 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
     // off unless spark.graft.rangeJoin.binSeconds is set positive
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
+    // plans graft.plans.AsOfJoinPlan (inert for every other plan)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

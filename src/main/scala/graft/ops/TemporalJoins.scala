@@ -75,6 +75,46 @@ object TemporalJoins {
           rightCols.map(c => col("__rpay").getField(c).as(c)): _*)
   }
 
+  /** [[asofJoin]] planned through the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]]): same contract and answer (spec-
+    * pinned equivalent), but each side shuffles once on its own keys
+    * and a per-partition O(1)-state merge replaces the union + window
+    * scan — no padded union rows cross the wire. Requires the planner
+    * strategy (GraftExtensions, or this call installs it imperatively
+    * on the session).
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    require(keys.nonEmpty, "asofJoinNative requires at least one key")
+    val collisions = rightCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightCols collide with left columns: ${collisions.mkString(", ")}")
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    // re-alias the right side so a self-join (both sides scanning the
+    // same relation) cannot carry duplicate attribute ids into the
+    // hand-built node — the same dedup the analyzer does for Join
+    val rPlan0 = right.queryExecution.analyzed
+    val rAliases = rPlan0.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rPlan0)
+    val rOut = rAliases.map(_.toAttribute)
+    def pick(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column not found: $n"))
+    org.apache.spark.sql.GraftShim.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(pick(lPlan.output, _)), keys.map(pick(rOut, _)),
+      pick(lPlan.output, leftTime), pick(rOut, rightTime),
+      rightCols.map(pick(rOut, _))))
+  }
+
   /** Inner range join: rows of `points` whose `pointCol` timestamp
     * falls in [startCol, endCol) of an interval. Column sets of the
     * two frames must be disjoint. Degenerate intervals (end <= start)

@@ -18,4 +18,12 @@ object GraftShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Wrap an already-resolved logical plan as a DataFrame
+    * (`Dataset.ofRows` is private[sql]) — the entry point for custom
+    * logical operators like [[graft.plans.AsOfJoinPlan]].
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
