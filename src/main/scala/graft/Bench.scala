@@ -87,7 +87,10 @@ object Bench {
       // event ids per copy, so user partitions stay disjoint (10x
       // transition rows over the same page-node set — iteration count
       // and node-side state are scale-INdependent by design)
-      "q_pagerank", "q_triangles")
+      "q_pagerank", "q_triangles",
+      // native as-of operator: 10x disjoint users -> the sorted-merge
+      // exec should scale linearly in rows
+      "q_asof_native")
     val resultMap = results.toMap
     val sf1Enabled = sys.env.get("SPARK_GRAFT_SF1")
       .map(_ != "0").getOrElse(sfDir.contains("sf0.1") && only.isEmpty)

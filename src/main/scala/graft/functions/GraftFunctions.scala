@@ -28,6 +28,7 @@ object GraftFunctions {
     "word_shingles" -> (exprs =>
       WordShingles(exprs(0), intLit(exprs(1), "word_shingles", "n"))),
     "minhash_sig" -> (exprs =>
-      MinHashSig(exprs(0), intLit(exprs(1), "minhash_sig", "k")))
+      MinHashSig(exprs(0), intLit(exprs(1), "minhash_sig", "k"))),
+    "char_class_counts" -> (exprs => CharClassCounts(exprs.head))
   )
 }

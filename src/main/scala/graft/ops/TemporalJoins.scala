@@ -115,6 +115,103 @@ object TemporalJoins {
       rightCols.map(pick(rOut, _))))
   }
 
+  /** [[asofJoin]] for the fact-times-small-dimension shape: the right
+    * side (a slowly-changing dimension keyed by (keys, time) — fx
+    * rates, config versions, price lists) is collected ONCE, sorted
+    * per key, and broadcast; each left row then binary-searches the
+    * key's time index. The left side is never shuffled, sorted, or
+    * widened — at 100 TB this is the difference between a map-only
+    * stage and repartitioning the whole fact table, the same decision
+    * broadcast-hash vs sort-merge encodes for equi joins. Same
+    * contract and answer as [[asofJoin]] (spec-pinned): right unique
+    * per (keys, time), null right times dropped, null left times
+    * match nothing, null keys group together.
+    *
+    * `maxRightRows` bounds the driver collect — the call fails fast
+    * (before collecting) if the dimension exceeds it, because a
+    * too-big broadcast should be an explicit decision, not an OOM.
+    */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      maxRightRows: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
+      StructField, StructType, TimestampNTZType, TimestampType}
+    val collisions = rightCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightCols collide with left columns: ${collisions.mkString(", ")}")
+    val spark = left.sparkSession
+    // both times to one comparable long (epoch micros / days / raw)
+    def timeKey(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+        case DateType => datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+        case LongType | IntegerType => col(c).cast("long")
+        case dt => throw new IllegalArgumentException(
+          s"unsupported time type for $c: $dt")
+      }
+    def timeUnit(df: DataFrame, c: String): String =
+      df.schema(c).dataType match {
+        case TimestampType | TimestampNTZType => "micros"
+        case DateType => "days"
+        case _ => "raw"
+      }
+    require(timeUnit(left, leftTime) == timeUnit(right, rightTime),
+      s"incomparable time units: $leftTime is ${timeUnit(left, leftTime)}, " +
+        s"$rightTime is ${timeUnit(right, rightTime)}")
+    require(maxRightRows > 0 && maxRightRows < Int.MaxValue,
+      s"maxRightRows out of range: $maxRightRows")
+    // one bounded pass: take(max+1) both enforces the cap and fetches
+    // the dimension (a separate count() would compute the right-side
+    // plan twice)
+    val rRows = right.filter(col(rightTime).isNotNull)
+      .withColumn("__t_us", timeKey(right, rightTime))
+      .select(((keys :+ "__t_us") ++ rightCols).map(col): _*)
+      .take(maxRightRows.toInt + 1)
+    require(rRows.length <= maxRightRows,
+      s"right side exceeds maxRightRows=$maxRightRows — " +
+        "use asofJoinNative (shuffle merge) for a large right side")
+    val k = keys.length
+    // per key: time-sorted parallel arrays (times, payload rows)
+    val index: Map[Seq[Any], (Array[Long], Array[Seq[Any]])] =
+      rRows.toSeq.groupBy(r => Seq.tabulate(k)(r.get))
+        .map { case (key, rows) =>
+          val sorted = rows.sortBy(_.getLong(k))
+          (key, (sorted.map(_.getLong(k)).toArray,
+            sorted.map(r => Seq.tabulate(rightCols.length)(i =>
+              r.get(k + 1 + i))).toArray))
+        }
+    val bIndex = spark.sparkContext.broadcast(index)
+    val leftKeyed = left.withColumn("__t_us",
+      when(col(leftTime).isNotNull, timeKey(left, leftTime)))
+    val lSchema = leftKeyed.schema
+    val keyIdx = keys.map(lSchema.fieldIndex)
+    val tIdx = lSchema.fieldIndex("__t_us")
+    val nOut = rightCols.length
+    val outSchema = StructType(left.schema.fields ++
+      rightCols.map(c => StructField(c,
+        right.schema(right.schema.fieldIndex(c)).dataType, nullable = true)))
+    val nLeft = left.schema.fields.length
+    val outRdd = leftKeyed.rdd.mapPartitions { it =>
+      val idx = bIndex.value
+      it.map { row =>
+        val payload: Seq[Any] =
+          if (row.isNullAt(tIdx)) Seq.fill(nOut)(null)
+          else idx.get(keyIdx.map(row.get)) match {
+            case None => Seq.fill(nOut)(null)
+            case Some((times, payloads)) =>
+              val t = row.getLong(tIdx)
+              val pos = java.util.Arrays.binarySearch(times, t)
+              val at = if (pos >= 0) pos else -(pos + 1) - 1
+              if (at < 0) Seq.fill(nOut)(null) else payloads(at)
+          }
+        Row.fromSeq(Seq.tabulate(nLeft)(row.get) ++ payload)
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
   /** Inner range join: rows of `points` whose `pointCol` timestamp
     * falls in [startCol, endCol) of an interval. Column sets of the
     * two frames must be disjoint. Degenerate intervals (end <= start)

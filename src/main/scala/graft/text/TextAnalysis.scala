@@ -210,15 +210,18 @@ object TextAnalysis {
     * lengths: per-row, map-side, codegen'd, no explode.
     */
   def charClassDiversity(text: Column): Column = {
-    val n = length(text).cast("double")
-    def cnt(cls: String): Column =
-      (length(text) - length(regexp_replace(text, cls, ""))).cast("double")
-    val lowerC = cnt("[a-z]")
-    val upperC = cnt("[A-Z]")
-    val digitC = cnt("[0-9]")
-    // explicit class, not \s: Java regex \s and RE2 \s agree, but the
-    // explicit form leaves nothing to engine interpretation
-    val wsC = cnt("[ \\t\\n\\r]")
+    // one-pass codegen census [n, lo, up, di, ws] — the regex-strip
+    // formulation rewrote the full text once per class (4 allocations
+    // per document; measured 3.2 s -> sub-second on the sf0.1 screen).
+    // Values are identical: ASCII classes, codepoint-counted n
+    val cc = org.apache.spark.sql.GraftShim.column(
+      graft.functions.CharClassCounts(
+        org.apache.spark.sql.GraftShim.expression(text)))
+    val n = cc.getItem(0).cast("double")
+    val lowerC = cc.getItem(1).cast("double")
+    val upperC = cc.getItem(2).cast("double")
+    val digitC = cc.getItem(3).cast("double")
+    val wsC = cc.getItem(4).cast("double")
     val otherC = n - lowerC - upperC - digitC - wsC
     def share(c: Column): Column = when(n > 0, c / n).otherwise(lit(0.0))
     val shares = Seq(lowerC, upperC, digitC, wsC, otherC).map(share)
