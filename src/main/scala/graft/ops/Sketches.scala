@@ -38,4 +38,90 @@ object Sketches {
       .limit(k)
       .withColumn("cms_ge_exact", est >= col("exact_cnt"))
   }
+
+  /** KMV (k-minimum-values) distinct-overlap estimates for every
+    * ordered pair of `groupCol` values: per group keep the k smallest
+    * md5 hashes of distinct `valueCol` content; the k-th smallest
+    * estimates the group's distinct count, the k-th smallest of two
+    * merged sketches estimates the union, and inclusion-exclusion
+    * gives the intersection. Returns one row per pair with
+    * `(est_a, est_b, est_union, est_int, exact_int)` — the exact
+    * intersection rides along as the verification column, the same
+    * pattern as [[heavyHitters]].
+    *
+    * Deterministic by construction (md5 order, integer-only math:
+    * value of the first 14 hex digits, estimate = (k-1)*2^56 div v),
+    * so the whole report is engine-replayable bit-for-bit — no RNG,
+    * no floats. Groups with fewer than k distinct values short-circuit
+    * to their exact count (the sketch IS the set).
+    *
+    * Scale shape: the only pass over the corpus is the distinct
+    * (group, digest) projection; everything after operates on
+    * |groups| x k sketch rows (tiny — pair merges join against a
+    * broadcast pair dim). At 100 TB the sketches are what you persist
+    * per source/day and merge across snapshots; `k` bounds both
+    * memory and estimate error (relative error ~ 1/sqrt(k)).
+    */
+  def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 128, s"k must be in [2, 128], got $k (128 " +
+      "keeps (k-1)*2^56 inside BIGINT)")
+    import org.apache.spark.sql.expressions.Window
+    // distinct (group, content-hash): the one corpus-wide pass
+    val d = StageCache.persisted(df
+      .select(col(groupCol).as("src"), md5(col(valueCol)).as("h"))
+      .distinct())
+    val w = Window.partitionBy("src").orderBy("h")
+    val sk = StageCache.persisted(
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") <= k))
+    // first 14 hex digits as an exact BIGINT (< 2^56); guard the
+    // 16^-14 all-zero-prefix hash against div-by-zero
+    def v14(h: org.apache.spark.sql.Column) =
+      greatest(conv(substring(h, 1, 14), 16, 10).cast("long"), lit(1L))
+    // integral divide (`div`), NOT `/`: long / long is DOUBLE division
+    // in Spark SQL, and (k-1)*2^56 is beyond double's 2^53 exactness
+    def intDiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      GraftShim.column(new org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(GraftShim.expression(a), GraftShim.expression(b)))
+    def estFrom(nSk: org.apache.spark.sql.Column,
+        vk: org.apache.spark.sql.Column) =
+      when(nSk < k, nSk.cast("long"))
+        .otherwise(intDiv(lit((k - 1).toLong * (1L << 56)), vk))
+    val perSrc = sk.groupBy("src").agg(
+      max("rn").as("n_sk"),
+      max(when(col("rn") === k, v14(col("h")))).as("vk"))
+    val pairDim = perSrc.select(col("src").as("sa"), col("n_sk").as("na"),
+        col("vk").as("va"))
+      .join(perSrc.select(col("src").as("sb"), col("n_sk").as("nb"),
+        col("vk").as("vb")), col("sa") < col("sb"))
+    val pairKeys = broadcast(pairDim.select("sa", "sb"))
+    // merged sketch per pair: k smallest of the two sketches' union
+    val merged = sk.join(pairKeys, col("src") === col("sa"))
+      .select("sa", "sb", "h")
+      .unionByName(sk.join(pairKeys, col("src") === col("sb"))
+        .select("sa", "sb", "h"))
+      .distinct()
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("sa", "sb").orderBy("h")))
+      .filter(col("rn") <= k)
+    val perPair = merged.groupBy("sa", "sb").agg(
+      max("rn").as("n_u"),
+      max(when(col("rn") === k, v14(col("h")))).as("vu"))
+    // exact intersection (verification column): digest-only self-join
+    val exact = d.select(col("src").as("sa"), col("h"))
+      .join(d.select(col("src").as("sb"), col("h")), Seq("h"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("exact_int"))
+    pairDim.join(perPair, Seq("sa", "sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        estFrom(col("na"), col("va")).as("est_a"),
+        estFrom(col("nb"), col("vb")).as("est_b"),
+        estFrom(col("n_u"), col("vu")).as("est_union"))
+      .withColumn("est_int",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .join(exact.select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("exact_int")), Seq("source_a", "source_b"), "left")
+      .withColumn("exact_int", coalesce(col("exact_int"), lit(0L)))
+  }
 }

@@ -367,6 +367,71 @@ object AuditQueries {
           graft.text.TextAnalysis.charClassDiversity(col("text")))
         .select(col("doc_id"), col("cd.simpson").as("simpson"),
           col("cd.top_share").as("top_share"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // KMV distinct-overlap sketch: per source pair, estimated distinct
+    // doc intersection from k-minimum-values sketches (k=16) with the
+    // exact intersection as the verification column. Deterministic by
+    // construction — md5 order + integer-only math — so the DuckDB
+    // oracle replays the ESTIMATES bit-for-bit, not just the exact
+    // column (the same full-replay bar as q_quantized_topk)
+    QueryDef("q_kmv_overlap",
+      Some("""WITH d AS (SELECT DISTINCT source AS src, md5(text) AS h
+                         FROM documents),
+              sk AS (SELECT src, h,
+                       row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+                     FROM d QUALIFY rn <= 16),
+              hv AS (SELECT DISTINCT h,
+                       greatest(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, 15),
+                           i -> CAST(CASE
+                             WHEN ascii(substr(h, CAST(i AS INT), 1)) >= 97
+                             THEN ascii(substr(h, CAST(i AS INT), 1)) - 87
+                             ELSE ascii(substr(h, CAST(i AS INT), 1)) - 48 END
+                             AS BIGINT))),
+                         (acc, c) -> acc * 16 + c), CAST(1 AS BIGINT)) AS v
+                     FROM sk),
+              ps AS (SELECT src, max(rn) AS n_sk,
+                       max(CASE WHEN rn = 16 THEN v END) AS vk
+                     FROM sk JOIN hv USING (h) GROUP BY src),
+              pe AS (SELECT src,
+                       CASE WHEN n_sk < 16 THEN CAST(n_sk AS BIGINT)
+                            ELSE 1080863910568919040 // vk END AS est
+                     FROM ps),
+              pairs AS (SELECT a.src AS sa, a.est AS est_a,
+                               b.src AS sb, b.est AS est_b
+                        FROM pe a JOIN pe b ON a.src < b.src),
+              m AS (SELECT p.sa, p.sb, s.h
+                    FROM pairs p JOIN sk s ON s.src = p.sa
+                    UNION
+                    SELECT p.sa, p.sb, s.h
+                    FROM pairs p JOIN sk s ON s.src = p.sb),
+              mr AS (SELECT sa, sb, h,
+                       row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+                     FROM m QUALIFY rn <= 16),
+              pu AS (SELECT sa, sb, max(rn) AS n_u,
+                       max(CASE WHEN rn = 16 THEN v END) AS vu
+                     FROM mr JOIN hv USING (h) GROUP BY sa, sb),
+              pue AS (SELECT sa, sb,
+                        CASE WHEN n_u < 16 THEN CAST(n_u AS BIGINT)
+                             ELSE 1080863910568919040 // vu END AS est_union
+                      FROM pu),
+              ex AS (SELECT a.src AS sa, b.src AS sb,
+                       CAST(count(*) AS BIGINT) AS exact_int
+                     FROM d a JOIN d b ON a.h = b.h AND a.src < b.src
+                     GROUP BY 1, 2)
+              SELECT p.sa AS source_a, p.sb AS source_b,
+                     CAST(p.est_a AS BIGINT) AS est_a,
+                     CAST(p.est_b AS BIGINT) AS est_b,
+                     CAST(u.est_union AS BIGINT) AS est_union,
+                     CAST(greatest(p.est_a + p.est_b - u.est_union, 0)
+                       AS BIGINT) AS est_int,
+                     COALESCE(ex.exact_int, CAST(0 AS BIGINT)) AS exact_int
+              FROM pairs p JOIN pue u USING (sa, sb)
+              LEFT JOIN ex USING (sa, sb)
+              ORDER BY source_a, source_b"""),
+      (s, d) => graft.ops.Sketches.kmvOverlap(
+          documents(s, d), "source", "text", 16)
+        .orderBy("source_a", "source_b"))
   )
 }
