@@ -428,6 +428,84 @@ object EventQueries {
         .toDF().select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
           floor(element_at(col("features"), 1) * 65535.0 + 0.5).cast("long")
             .as("f0_u16"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // multimodal near-dup: 64-bit perceptual aHash over the decoded
+    // payload (chars stand in for thumbnail pixels at the stub
+    // boundary), LSH-bucketed on 4 sixteen-bit bands — candidates meet
+    // on an equi key, never all-pairs — then exact hamming <= 6
+    // verify, sketch carried through the join (the image twin of
+    // q_dedup_simhash)
+    QueryDef("q_media_phash",
+      Some("""WITH base AS (SELECT doc_id, text,
+                       CAST(least(len(text), 256) AS BIGINT) AS n
+                     FROM documents WHERE len(text) > 0),
+              cod AS (SELECT doc_id, n,
+                       list_transform(range(1, n + 1),
+                         i -> CAST(ascii(substr(text, CAST(i AS INT), 1))
+                              AS BIGINT)) AS codes
+                     FROM base),
+              hb AS (SELECT doc_id,
+                       list_transform(range(0, 4), b ->
+                         list_sum(list_transform(range(0, 16), j ->
+                           (CASE WHEN
+                             list_sum(list_transform(range(1, n + 1), i ->
+                               CASE WHEN (CAST(i - 1 AS BIGINT) * 64) // n
+                                         = b * 16 + j
+                                    THEN codes[CAST(i AS INT)]
+                                    ELSE CAST(0 AS BIGINT) END)) * n >
+                             list_sum(codes) *
+                             list_sum(list_transform(range(1, n + 1), i ->
+                               CASE WHEN (CAST(i - 1 AS BIGINT) * 64) // n
+                                         = b * 16 + j
+                                    THEN CAST(1 AS BIGINT)
+                                    ELSE CAST(0 AS BIGINT) END))
+                            THEN CAST(1 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END) *
+                           CAST(power(2, j) AS BIGINT)))) AS bands
+                     FROM cod),
+              e AS (SELECT doc_id, CAST(b AS INT) AS b,
+                       bands[CAST(b + 1 AS INT)] AS v
+                    FROM hb, unnest(range(0, 4)) AS t(b)),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+                       FROM e a JOIN e bb
+                         ON a.b = bb.b AND a.v = bb.v
+                        AND a.doc_id < bb.doc_id),
+              hm AS (SELECT c.id_a, c.id_b,
+                       CAST(bit_count(xor(ha.bands[1], hc.bands[1])) +
+                            bit_count(xor(ha.bands[2], hc.bands[2])) +
+                            bit_count(xor(ha.bands[3], hc.bands[3])) +
+                            bit_count(xor(ha.bands[4], hc.bands[4]))
+                         AS BIGINT) AS hamming
+                     FROM cand c
+                     JOIN hb ha ON ha.doc_id = c.id_a
+                     JOIN hb hc ON hc.doc_id = c.id_b)
+              SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 6
+              ORDER BY id_a, id_b"""),
+      (s, d) => {
+        val ah = graft.ops.StageCache.persisted(
+          Multimodal.aHash(
+            documents(s, d).filter(length(col("text")) > 0), "text")
+            .select("doc_id", "bands"))
+        val e = ah.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("b", "v")))
+        val cand = e.select(col("b"), col("v"), col("doc_id").as("id_a"))
+          .join(e.select(col("b"), col("v"), col("doc_id").as("id_b")),
+            Seq("b", "v"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val hamming = (0 until 4).map(i =>
+          bit_count(element_at(col("ba"), i + 1)
+            .bitwiseXOR(element_at(col("bb"), i + 1)))).reduce(_ + _)
+        cand
+          .join(ah.select(col("doc_id").as("id_a"), col("bands").as("ba")),
+            Seq("id_a"))
+          .join(ah.select(col("doc_id").as("id_b"), col("bands").as("bb")),
+            Seq("id_b"))
+          .withColumn("hamming", hamming.cast("long"))
+          .filter(col("hamming") <= 6)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      })
   )
 }

@@ -68,4 +68,25 @@ class MultimodalSpec extends SparkTestBase {
       .orderBy("doc_id").collect()
     assert(feats.toSeq === single.toSeq, "features must not depend on partitioning")
   }
+
+  test("aHash: identical payloads collide, small edits stay near") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val edited = base.replace("lazy", "hazy") // one small local change
+    val noise = (1 to 400).map(i => s"xQ$i%zk").mkString("#")
+    val df = Seq((1L, base), (2L, base), (3L, edited), (4L, noise), (5L, ""))
+      .toDF("doc_id", "text")
+    val bands = Multimodal.aHash(df, "text").select("doc_id", "bands")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def hamming(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(bands(1L) === bands(2L), "identical text must hash identically")
+    assert(hamming(bands(1L), bands(3L)) <= 6,
+      s"one-word edit drifted ${hamming(bands(1L), bands(3L))} bits")
+    assert(hamming(bands(1L), bands(4L)) > 6,
+      "unrelated text should not be a near-dup")
+    assert(bands(5L) === Seq(0L, 0L, 0L, 0L), "empty payload -> zero hash")
+    assert(bands.values.forall(_.forall(v => v >= 0L && v < 65536L)),
+      "bands must be 16-bit values")
+  }
 }
