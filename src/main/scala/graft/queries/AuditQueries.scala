@@ -252,7 +252,54 @@ object AuditQueries {
             year(col("o_orderdate")).cast("int").as("ver"))
           .agg(max("o_orderpriority").as("prio")),
         Seq("o_custkey"), Seq("prio"), "ver")
-        .orderBy("o_custkey", "valid_from"))
+        .orderBy("o_custkey", "valid_from")),
+
+    // SCD2 version lookup: join each fact to the dimension VERSION
+    // valid at its event time — the canonical versioned-dimension
+    // pattern, composed from the SCD2 collapse above + the native
+    // as-of operator (valid_from <= yr, latest wins). No range probe,
+    // no between-join: one sorted merge per side. Fact side sampled
+    // (1/97) so the report stays reviewable
+    QueryDef("q_scd2_lookup",
+      Some("""WITH s AS (SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS ver,
+                  max(o_orderpriority) AS prio
+                FROM orders GROUP BY 1, 2),
+              c AS (SELECT o_custkey, ver, prio,
+                  CASE WHEN lag(prio) OVER (PARTITION BY o_custkey ORDER BY ver)
+                    IS DISTINCT FROM prio THEN 1 ELSE 0 END AS chg
+                FROM s),
+              r AS (SELECT o_custkey, ver, prio,
+                  sum(chg) OVER (PARTITION BY o_custkey ORDER BY ver
+                    ROWS UNBOUNDED PRECEDING) AS run
+                FROM c),
+              g AS (SELECT o_custkey, prio,
+                  CAST(min(ver) AS INT) AS valid_from
+                FROM r GROUP BY o_custkey, prio, run),
+              f AS (SELECT o_orderkey, o_custkey AS custkey,
+                      CAST(year(o_orderdate) AS INT) AS yr
+                    FROM orders WHERE o_orderkey % 97 = 0)
+              SELECT f.o_orderkey, f.custkey, f.yr, g.prio,
+                     CAST(g.valid_from AS INT) AS valid_from
+              FROM f ASOF LEFT JOIN g
+                ON f.custkey = g.o_custkey AND f.yr >= g.valid_from
+              ORDER BY o_orderkey"""),
+      (s, d) => {
+        val dim = graft.ops.Frames.scd2(
+          orders(s, d)
+            .groupBy(col("o_custkey"),
+              year(col("o_orderdate")).cast("int").as("ver"))
+            .agg(max("o_orderpriority").as("prio")),
+          Seq("o_custkey"), Seq("prio"), "ver")
+          .select(col("o_custkey").as("custkey"), col("prio"),
+            col("valid_from"))
+        val facts = orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+            year(col("o_orderdate")).cast("int").as("yr"))
+        graft.ops.TemporalJoins.asofJoinNative(facts, dim, Seq("custkey"),
+            "yr", "valid_from", Seq("prio", "valid_from"))
+          .orderBy("o_orderkey")
+      })
   ) ++ webDefs
 
   // ---- web-corpus hygiene: URL canonicalization + char-class screen
