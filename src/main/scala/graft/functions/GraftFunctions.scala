@@ -29,6 +29,8 @@ object GraftFunctions {
       WordShingles(exprs(0), intLit(exprs(1), "word_shingles", "n"))),
     "minhash_sig" -> (exprs =>
       MinHashSig(exprs(0), intLit(exprs(1), "minhash_sig", "k"))),
-    "char_class_counts" -> (exprs => CharClassCounts(exprs.head))
+    "char_class_counts" -> (exprs => CharClassCounts(exprs.head)),
+    "ahash_bands" -> (exprs =>
+      AHashBands(exprs(0), intLit(exprs(1), "ahash_bands", "capChars")))
   )
 }

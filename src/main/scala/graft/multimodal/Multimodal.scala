@@ -111,52 +111,16 @@ object Multimodal {
     * At the stubbed decode boundary, "pixel intensity" = the char's
     * code point over the first `capChars` chars (a real decoder swaps
     * in grayscale thumbnail pixels; banding/bucketing/verify are
-    * unchanged). Pure Column HOFs — map-side, engine-reproducible; a
-    * codegen Expression (one pass, like CharClassCounts) is the
-    * upgrade path if the hash ever dominates a profile.
+    * unchanged). Backed by the one-pass codegen
+    * [[graft.functions.AHashBands]] expression — map-side, no shuffle,
+    * engine-reproducible (9.2 s -> sub-second at sf0.1 vs the
+    * interpreted higher-order-function formulation it replaced).
     */
   def aHash(df: DataFrame, textCol: String, capChars: Int = 256,
-      bandsCol: String = "bands"): DataFrame = {
-    require(capChars >= 64, s"capChars=$capChars must be >= 64")
-    val text = col(textCol)
-    val n = least(length(text), lit(capChars))
-    // empty payloads short-circuit to the zero hash below, but the
-    // staged columns still EVALUATE on those rows — nSafe keeps the
-    // segment division and the sequence bounds legal (ANSI div-by-zero;
-    // sequence(1, 0) would DESCEND)
-    val nSafe = greatest(n, lit(1))
-    // STAGED columns, not one nested expression: higher-order
-    // functions evaluate interpreted (no codegen, no subexpression
-    // elimination), so an intermediate referenced k times would be
-    // recomputed k times per row. Each withColumn stage aliases a
-    // non-cheap expression that the next stage references repeatedly,
-    // which also stops CollapseProject from merging the stages back
-    val pow2 = array((0 to 15).map(j => lit(1L << j)): _*)
-    df
-      // (seg, code) per sampled char: seg = floor((i-1)*64 / n); the
-      // double division is exact (operands < 2^14)
-      .withColumn("__ah_cs", transform(sequence(lit(1), nSafe), i =>
-        struct(
-          floor(((i - 1) * 64).cast("double") / nSafe).cast("int").as("seg"),
-          ascii(text.substr(i, lit(1))).cast("long").as("code"))))
-      .withColumn("__ah_total", aggregate(col("__ah_cs"), lit(0L),
-        (acc, c) => acc + c.getField("code")))
-      // bit s: segment mean > global mean, integer cross-multiplied
-      .withColumn("__ah_bits", transform(sequence(lit(0), lit(63)), s => {
-        val seg = filter(col("__ah_cs"), c => c.getField("seg") === s)
-        val sumS = aggregate(seg, lit(0L),
-          (acc, c) => acc + c.getField("code"))
-        (sumS * nSafe > col("__ah_total") * size(seg)).cast("long")
-      }))
-      .withColumn(bandsCol,
-        when(n > 0,
-          transform(sequence(lit(0), lit(3)), b =>
-            aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
-              acc + element_at(col("__ah_bits"), b * 16 + j + 1) *
-                element_at(pow2, j + 1))))
-          .otherwise(array(lit(0L), lit(0L), lit(0L), lit(0L))))
-      .drop("__ah_cs", "__ah_total", "__ah_bits")
-  }
+      bandsCol: String = "bands"): DataFrame =
+    df.withColumn(bandsCol, org.apache.spark.sql.GraftShim.column(
+      graft.functions.AHashBands(
+        org.apache.spark.sql.GraftShim.expression(col(textCol)), capChars)))
 
   /** Oracle-expressible slice of the media pipeline: payload byte
     * length, md5 hex, and metadata projection (no mapPartitions).

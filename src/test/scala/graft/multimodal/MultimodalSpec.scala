@@ -89,4 +89,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(bands.values.forall(_.forall(v => v >= 0L && v < 65536L)),
       "bands must be 16-bit values")
   }
+
+  test("aHash intensity is the CODEPOINT (DuckDB ascii parity), not the lead byte") {
+    import spark.implicits._
+    // é = U+00E9: codepoint 233; its UTF-8 lead byte is 0xC3 (195) and
+    // would differ. An all-é payload has every segment mean == global
+    // mean -> all bits 0, same as an all-'a' payload; a payload whose
+    // second half is é (233 > mean) must set exactly the upper 32 bits
+    val df = Seq(
+      (1L, "a" * 128), (2L, "é" * 128), (3L, ("a" * 64) + ("é" * 64))
+    ).toDF("doc_id", "text")
+    val bands = Multimodal.aHash(df, "text").select("doc_id", "bands")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bands(1L) === Seq(0L, 0L, 0L, 0L))
+    assert(bands(2L) === Seq(0L, 0L, 0L, 0L))
+    assert(bands(3L) === Seq(0L, 0L, 65535L, 65535L),
+      "second half above mean -> bits 32..63 set")
+  }
 }
