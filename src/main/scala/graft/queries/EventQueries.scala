@@ -315,6 +315,28 @@ object EventQueries {
         .filter(col("k_val") >= 50)
         .orderBy("event_id")),
 
+    // VARIANT surface (Spark 4 semi-structured type): parse once into
+    // the binary VARIANT encoding, then typed path extraction — at
+    // scale this replaces per-path get_json_object re-parses of the
+    // same string (N paths = N parses) with one parse + cheap binary
+    // navigation. Missing paths come back null, not an error
+    QueryDef("q_variant",
+      Some("""SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+                     json_extract_string(props, '$.k') AS k_str,
+                     json_extract_string(props, '$.missing') AS missing
+              FROM events ORDER BY event_id"""),
+      (s, d) => {
+        val v = parse_json(col("props"))
+        events(s, d)
+          .withColumn("v", v)
+          .select(col("event_id"),
+            variant_get(col("v"), "$.k", "bigint").as("k_int"),
+            variant_get(col("v"), "$.k", "string").as("k_str"),
+            variant_get(col("v"), "$.missing", "string").as("missing"))
+          .orderBy("event_id")
+      }),
+
     // forward fill (fill_null(strategy="forward")): value is observed
     // only on purchase events; every later event of the same user
     // carries the last purchase amount forward (null before the first

@@ -936,6 +936,41 @@ object ExtQueries {
         embeddings(s, d), 5, 10, nprobe = 2)
         .orderBy("qid", "rank")),
 
+    // ---- incremental IVF maintenance: the existing corpus (even ids)
+    // owns the pivots and the persisted cell index; the day-2 delta
+    // (odd ids) is assigned map-side with the same inlined pivots and
+    // unioned in — no corpus re-scan per ingest. Search over the
+    // merged index must equal re-indexing everything with the
+    // corpus's pivots, which is what the oracle replays ----
+    QueryDef("q_incremental_ivf",
+      Some(s"""WITH piv AS (
+                SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+                WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 10),
+              cells AS (
+                SELECT vec_id, embedding, pid AS cell FROM (
+                  SELECT e.vec_id, e.embedding, p.pid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosSql("e.embedding", "p.pvec")} DESC, p.pid) AS rn
+                  FROM embeddings e, piv p)
+                WHERE rn = 1),
+              q AS (SELECT vec_id AS qid, embedding AS qv, cell
+                    FROM cells WHERE vec_id % 50 = 0),
+              scored AS (
+                SELECT q.qid, c.vec_id AS nid, ${cosSql("q.qv", "c.embedding")} AS sim
+                FROM q JOIN cells c ON q.cell = c.cell AND q.qid <> c.vec_id)
+              SELECT qid, nid, rank, sim FROM (
+                SELECT qid, nid, sim,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nid) AS INT) AS rank
+                FROM scored)
+              WHERE rank <= 5 ORDER BY qid, rank"""),
+      (s, d) => Ann.ivfTopKIncremental(
+        embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        embeddings(s, d).filter(col("vec_id") % 2 === 0),
+        embeddings(s, d).filter(col("vec_id") % 2 === 1),
+        5, 10)
+        .orderBy("qid", "rank")),
+
     // ---- similarity search: LSH multi-probe (nprobe=2) — the query
     // also probes the bucket with its lowest-|margin| sign bit flipped
     // (the bit most likely to have landed on the wrong side of the

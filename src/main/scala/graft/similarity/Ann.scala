@@ -239,6 +239,14 @@ object Ann {
     val qcells =
       if (nprobe <= 1) assignInlined(queries, piv)
       else probeInlined(queries, piv, nprobe)
+    searchCells(qcells, cells, k)
+  }
+
+  /** Probe the prepared cell table with cell-assigned queries: the
+    * shared search tail of every IVF variant.
+    */
+  private def searchCells(qcells: DataFrame, cells: DataFrame,
+      k: Int): DataFrame = {
     val q = broadcast(qcells.select(col("vec_id").as("qid"),
       col("embedding").as("qvec"), norm(col("embedding")).as("qnrm"), col("cell")))
     val scored = q.join(cells.select(col("vec_id").as("nid"),
@@ -250,6 +258,24 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /** Incremental IVF maintenance — the daily-embedding-ingest shape:
+    * pivots and the cell index belong to the EXISTING corpus (at
+    * scale, a persisted table); a new `delta` batch is assigned
+    * map-side with the same inlined pivots and unioned in. The corpus
+    * is never re-scanned or re-assigned per delta, and because cell
+    * assignment is row-independent, searching the merged index is
+    * IDENTICAL to re-indexing corpus+delta from scratch with the
+    * corpus's pivots — which is exactly what the oracle replays.
+    * (Pivot drift is a re-TRAIN decision, made on its own cadence.)
+    */
+  def ivfTopKIncremental(queries: DataFrame, corpus: DataFrame,
+      delta: DataFrame, k: Int, nPivots: Int): DataFrame = {
+    val piv = collectPivots(pivots(corpus, nPivots))
+    val cells = graft.ops.StageCache.persisted(assignInlined(corpus, piv))
+      .unionByName(assignInlined(delta, piv))
+    searchCells(assignInlined(queries, piv), cells, k)
   }
 
   /** The candidate (qid, nid) pairs an IVF probe would score — the
