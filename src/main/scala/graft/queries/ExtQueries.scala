@@ -388,6 +388,56 @@ object ExtQueries {
     // (count desc, token asc) — the report that sizes a tokenizer
     // before training. Integer token counts; top-K via
     // TakeOrderedAndProject (never a global sort of the vocab) ----
+    // ---- BPE merge step: pair table over the distinct-word
+    // vocabulary (freq-weighted — corpus size never touches the pair
+    // stage), deterministic winner, greedy-merge effect measured with
+    // run-parity overlap semantics (odd-ranked links of same-pair
+    // islands = floor(run/2) merges, the sequential answer without a
+    // sequential scan) ----
+    QueryDef("q_bpe_step",
+      Some("""WITH words AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+                  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                  FROM documents)
+                WHERE len(w) > 0 GROUP BY w),
+              stream AS (
+                SELECT w, freq, CAST(p AS INT) AS pos,
+                       substr(w, CAST(p AS INT), 1) AS sym,
+                       CASE WHEN p < len(w)
+                            THEN substr(w, CAST(p + 1 AS INT), 1) END AS nxt
+                FROM words, unnest(range(1, len(w) + 1)) AS t(p)),
+              links AS (SELECT * FROM stream WHERE nxt IS NOT NULL),
+              pc AS (SELECT sym AS a, nxt AS b,
+                       CAST(sum(freq) AS BIGINT) AS cnt
+                     FROM links GROUP BY 1, 2),
+              top AS (SELECT a, b, cnt,
+                       CAST(row_number() OVER (ORDER BY cnt DESC, a, b)
+                         AS INT) AS rank
+                      FROM pc QUALIFY rank <= 10),
+              w1 AS (SELECT a, b FROM top WHERE rank = 1),
+              members AS (
+                SELECT l.w, l.freq, l.pos FROM links l, w1
+                WHERE l.sym = w1.a AND l.nxt = w1.b),
+              isl AS (SELECT w, freq, pos,
+                       pos - row_number() OVER (PARTITION BY w ORDER BY pos)
+                         AS island
+                      FROM members),
+              mg AS (SELECT w, freq, CAST(count(*) AS BIGINT) AS m FROM (
+                       SELECT w, freq, island,
+                         row_number() OVER (PARTITION BY w, island
+                           ORDER BY pos) AS rn
+                       FROM isl)
+                     WHERE (SELECT a <> b FROM w1) OR rn % 2 = 1
+                     GROUP BY w, freq),
+              tb AS (SELECT CAST(sum(freq) AS BIGINT) AS v FROM stream),
+              tm AS (SELECT COALESCE(CAST(sum(m * freq) AS BIGINT),
+                       CAST(0 AS BIGINT)) AS v FROM mg)
+              SELECT rank, a, b, cnt,
+                     tb.v AS total_syms_before,
+                     tb.v - tm.v AS total_syms_after
+              FROM top, tb, tm ORDER BY rank"""),
+      (s, d) => graft.text.Bpe.mergeStepReport(documents(s, d), "text", 10)),
+
     QueryDef("q_oov_rate",
       Some("""WITH counts AS (
                 SELECT tok, CAST(count(*) AS BIGINT) AS n
