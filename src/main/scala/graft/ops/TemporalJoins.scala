@@ -84,11 +84,15 @@ object TemporalJoins {
     * on the session).
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String,
-      rightCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+      Cast, Expression, UnaryMinus, UnixMicros}
     import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     require(keys.nonEmpty, "asofJoinNative requires at least one key")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val collisions = rightCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"rightCols collide with left columns: ${collisions.mkString(", ")}")
@@ -108,10 +112,23 @@ object TemporalJoins {
     def pick(out: Seq[Attribute], n: String): Attribute =
       out.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column not found: $n"))
+    // forward as-of (EARLIEST right at-or-after) = backward as-of on
+    // the NEGATED time axis — the merge exec orders and compares by
+    // these expressions, the carried payload keeps original values
+    def timeExpr(a: Attribute): Expression =
+      if (direction == "backward") a
+      else a.dataType match {
+        case TimestampType => UnaryMinus(UnixMicros(a), false)
+        case TimestampNTZType => UnaryMinus(UnixMicros(Cast(a,
+          TimestampType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone))), false)
+        case _ => UnaryMinus(a, false)
+      }
     org.apache.spark.sql.GraftShim.ofRows(spark, graft.plans.AsOfJoinPlan(
       lPlan, rPlan,
       keys.map(pick(lPlan.output, _)), keys.map(pick(rOut, _)),
-      pick(lPlan.output, leftTime), pick(rOut, rightTime),
+      timeExpr(pick(lPlan.output, leftTime)),
+      timeExpr(pick(rOut, rightTime)),
       rightCols.map(pick(rOut, _))))
   }
 

@@ -91,6 +91,38 @@ object AdvancedQueries {
           .orderBy("event_id")
       }),
 
+    // FORWARD as-of through the native operator: each purchase matched
+    // to the user's EARLIEST click at-or-after it (follow-up
+    // attribution) — backward as-of on the negated time axis inside
+    // the same sorted-merge exec; DuckDB oracles it with ASOF ... <=
+    QueryDef("q_asof_fwd",
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, ts AS click_ts, min(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+              SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts,
+                     c.click_id, CAST(c.click_ts AS VARCHAR) AS click_ts,
+                     CAST(epoch_us(c.click_ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+              FROM p ASOF LEFT JOIN c
+                ON p.user_id = c.user_id AND p.ts <= c.click_ts
+              ORDER BY event_id"""),
+      (s, d) => {
+        val ev = events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val c = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts").as("click_ts"))
+          .agg(min("event_id").as("click_id"))
+        TemporalJoins.asofJoinNative(p, c, Seq("user_id"), "ts", "click_ts",
+            Seq("click_id", "click_ts"), direction = "forward")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("string").as("ts"), col("click_id"),
+            col("click_ts").cast("string").as("click_ts"),
+            (unix_micros(col("click_ts")) - unix_micros(col("ts")))
+              .cast("long").as("gap_us"))
+          .orderBy("event_id")
+      }),
+
     // the SAME as-of semantics through the NATIVE custom operator
     // (AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec): one shuffle
     // per side + O(1)-state sorted merge, no union row padding. Same

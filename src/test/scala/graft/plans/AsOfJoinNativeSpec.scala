@@ -110,6 +110,33 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(got === Set((1L, 3L), (4L, -1L)))
   }
 
+  test("forward direction: earliest right at-or-after, ties inclusive") {
+    val got = run((l, r) => TemporalJoins.asofJoinNative(
+      l, r.withColumnRenamed("k2", "k"), Seq("k"), "t", "rt",
+      Seq("rt", "payload"), direction = "forward"))
+    assert(got === Set(
+      (1L, "a200"), // earliest a >= 100
+      (2L, "a200"), (3L, "a200"), // tie at 200 matches inclusively
+      (4L, "b60"), // 60 >= 50
+      (5L, null), // no c rows
+      (6L, null), // nothing at-or-after 1000
+      (7L, null))) // null-key right row is at 40 < 100
+  }
+
+  test("forward direction on timestamp-typed time columns") {
+    import spark.implicits._
+    val l = Seq((1L, "x", 100L), (2L, "x", 700L)).toDF("pid", "k", "tus")
+      .withColumn("t", timestamp_micros(col("tus"))).drop("tus")
+    val r = Seq(("x", 500L, "x5"), ("x", 900L, "x9"))
+      .toDF("k", "rus", "payload")
+      .withColumn("rt", timestamp_micros(col("rus"))).drop("rus")
+    val got = TemporalJoins.asofJoinNative(l, r, Seq("k"), "t", "rt",
+        Seq("payload"), direction = "forward")
+      .select("pid", "payload").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(got === Set((1L, "x5"), (2L, "x9")))
+  }
+
   test("large keyspace round-trip equals window implementation") {
     import spark.implicits._
     val l = spark.range(2000).select(col("id").as("pid"),
