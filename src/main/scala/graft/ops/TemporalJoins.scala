@@ -256,6 +256,28 @@ object TemporalJoins {
       .drop("__bin")
   }
 
+  /** LEFT range join: [[rangeJoinBinned]] plus the intervals that
+    * contain NO point, padded with nulls on the point side — the
+    * "every campaign window, even dead ones" report. `ivIdCol` must
+    * uniquely identify interval rows (left-join multiplicity needs an
+    * identity; binning destroys positional identity). Shape: the
+    * binned inner join + one bare-id anti join — the unmatched pass
+    * carries only ids across the wire, never the interval payload.
+    */
+  def rangeJoinBinnedLeft(intervals: DataFrame, ivIdCol: String,
+      startCol: String, endCol: String, points: DataFrame,
+      pointCol: String, binSeconds: Long): DataFrame = {
+    val inner = rangeJoinBinned(intervals, startCol, endCol, points,
+      pointCol, binSeconds)
+    val matched = inner.select(col(ivIdCol)).distinct()
+    val unmatched = intervals
+      .join(matched, Seq(ivIdCol), "left_anti")
+    val padded = points.schema.fields.foldLeft(unmatched) { (df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    inner.unionByName(padded.select(inner.columns.map(col): _*))
+  }
+
   /** Inner interval-OVERLAP join: pairs of rows (one from `a`, one from
     * `b`) sharing `keys` whose half-open micro-epoch intervals
     * [aStart, aEnd) and [bStart, bEnd) intersect — the both-sides-

@@ -186,6 +186,39 @@ object AdvancedQueries {
           .orderBy("wkey")
       }),
 
+    // LEFT range join: the same windows with a 1-DAY span, so some
+    // contain no shipment at all — and STILL appear, zero-counted
+    // (binned inner + bare-id anti join; the dead-window report a
+    // coverage audit needs). count(l_shipdate) skips the null padding
+    QueryDef("q_range_join_left",
+      Some("""WITH w AS (SELECT o_orderkey AS wkey, o_orderdate AS w_start,
+                     o_orderdate + INTERVAL 1 DAY AS w_end
+                   FROM orders
+                   WHERE o_orderpriority = '1-URGENT' AND o_custkey < 150)
+              SELECT wkey, CAST(w_start AS VARCHAR) AS w_start,
+                     CAST(count(l_shipdate) AS BIGINT) AS n_items,
+                     CAST(COALESCE(sum(CAST(floor(l_quantity * 100 + 0.5)
+                       AS BIGINT)), 0) AS BIGINT) AS qty_cents
+              FROM w LEFT JOIN lineitem
+                ON l_shipdate >= w_start AND l_shipdate < w_end
+              GROUP BY 1, 2 ORDER BY wkey"""),
+      (s, d) => {
+        val w = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_custkey") < 150)
+          .select(col("o_orderkey").as("wkey"), col("o_orderdate").as("w_start"),
+            expr("o_orderdate + INTERVAL 1 DAY").as("w_end"))
+        TemporalJoins.rangeJoinBinnedLeft(w, "wkey", "w_start", "w_end",
+            lineitem(s, d).select("l_shipdate", "l_quantity"),
+            "l_shipdate", binSeconds = 86400L)
+          .groupBy("wkey", "w_start")
+          .agg(count(col("l_shipdate")).as("n_items"),
+            coalesce(sum(floor(col("l_quantity") * 100 + 0.5)).cast("long"),
+              lit(0L)).as("qty_cents"))
+          .select(col("wkey"), col("w_start").cast("string").as("w_start"),
+            col("n_items"), col("qty_cents"))
+          .orderBy("wkey")
+      }),
+
     // the same point-in-interval semantics through the PURE SQL
     // surface: the query text writes the bare inequality join every
     // user naturally writes (no equi key -> Spark alone can only plan

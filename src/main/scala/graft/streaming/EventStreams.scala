@@ -181,6 +181,25 @@ object EventStreams {
     * backlog, then stop) or a processing-time trigger for continuous
     * apply.
     */
+  /** Stream enrichment by AS-OF lookup: every micro-batch of the fact
+    * stream is matched to the latest dimension row at-or-before each
+    * event's time through [[graft.ops.TemporalJoins.asofJoinBroadcast]]
+    * — the dimension (rates, config versions) is re-fetched per batch,
+    * so a slowly-changing dim picks up updates between batches, and
+    * the STREAM side never shuffles: each micro-batch is a map-only
+    * binary search into the broadcast time index. `sink` receives the
+    * enriched batch (write it, publish it); trigger/checkpoint are the
+    * caller's to configure on the returned writer.
+    */
+  def enrichAsOfStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      rightCols: Seq[String])(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      sink(graft.ops.TemporalJoins.asofJoinBroadcast(
+        b, dim, keys, leftTime, rightTime, rightCols), id)
+    }
+
   def applyCdc(changes: DataFrame, snapshotDir: String, keys: Seq[String],
       versionCol: String)(batch: (DataFrame, Long) => Unit = null)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

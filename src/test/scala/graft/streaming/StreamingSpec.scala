@@ -211,4 +211,38 @@ class StreamingSpec extends SparkTestBase {
     assert(replay.count() === 0L)
   }
 
+  test("streaming as-of enrichment matches the batch as-of join") {
+    val ev = graft.queries.Tables.eventsRaw(spark, sf)
+    val dim = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(min("event_id").as("click_id"))
+    val expected = graft.ops.TemporalJoins.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        dim, Seq("user_id"), "ts", "click_ts", Seq("click_id"))
+      .select("event_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = EventStreams.enrichAsOfStream(
+        EventStreams.readEventsStream(spark, sf)
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        dim, Seq("user_id"), "ts", "click_ts", Seq("click_id")) {
+        (batch, _) =>
+          got.synchronized {
+            got ++= batch.select("event_id", "click_id").collect()
+              .map(r => (r.getLong(0),
+                if (r.isNullAt(1)) -1L else r.getLong(1)))
+          }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        s"/tmp/graft_asof_ckpt_${System.nanoTime()}")
+      .start()
+    q.awaitTermination(120000)
+    assert(got.toSet === expected)
+    assert(got.nonEmpty)
+  }
+
 }
