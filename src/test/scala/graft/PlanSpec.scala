@@ -320,4 +320,36 @@ class PlanSpec extends SparkTestBase {
     assert(scans <= 2, // query side + corpus side
       s"rrf re-scans embeddings $scans times; both channels must share one pass")
   }
+
+  test("q_range_auto: the SQL inequality join is rewritten off the nested loop") {
+    val p = plan("q_range_auto")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "RangeBinJoinRule did not fire on the registered SQL query")
+    assert(p.contains("Generate"), "binned rewrite should explode interval bins")
+  }
+
+  test("q_asof_native and q_asof_fwd plan the custom AsOfJoin operator") {
+    for (q <- Seq("q_asof_native", "q_asof_fwd")) {
+      val p = plan(q)
+      assert(p.contains("AsOfJoin"), s"$q did not plan AsOfJoinExec")
+      assert(!p.contains("Window"), s"$q fell back to a window formulation")
+    }
+  }
+
+  test("q_asof_broadcast never hash-shuffles the fact side") {
+    // the registered query ends in an ORDER BY for the oracle, so one
+    // rangepartitioning exchange is the report sort; the ENRICHMENT
+    // must contribute none (no hash shuffle anywhere in the plan)
+    val p = plan("q_asof_broadcast")
+    assert(!p.contains("hashpartitioning"),
+      "broadcast as-of must not hash-shuffle")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1,
+      "only the final report sort may exchange")
+  }
+
+  test("q_kmv_overlap pair merges join against a broadcast pair dim") {
+    val p = plan("q_kmv_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      "sketch-row joins should broadcast the tiny pair dim")
+  }
 }
