@@ -479,6 +479,32 @@ object AuditQueries {
               ORDER BY source_a, source_b"""),
       (s, d) => graft.ops.Sketches.kmvOverlap(
           documents(s, d), "source", "text", 16)
-        .orderBy("source_a", "source_b"))
+        .orderBy("source_a", "source_b")),
+
+    // token-budget triple: whitespace words, GPT-2-style regex
+    // pretokens (contractions / letter / digit / punct runs — the
+    // standard pre-training budget unit), and the ceil(len/4) subword
+    // heuristic, side by side per document. Both engines run the SAME
+    // no-lookahead pattern (leftmost-first in Java regex and RE2)
+    QueryDef("q_token_regex",
+      Some("""SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                  AS n_ws,
+                CAST(len(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                  AS BIGINT) AS n_gpt,
+                CAST(list_sum(list_transform(
+                  string_split_regex(trim(text), '\s+'),
+                  t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS BIGINT)
+                  AS n_sub
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import graft.text.TextAnalysis
+        documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
+          size(TextAnalysis.gptTokens(col("text"))).cast("long").as("n_gpt"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("n_sub"))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -28,6 +28,22 @@ object TextAnalysis {
 
   def subwordCount(text: Column): Column = subwordCountT(tokens(text))
 
+  /** GPT-2-style pretokenizer pattern (no-lookahead form): English
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, leftover whitespace. Pure alternation — valid
+    * and leftmost-first in both Java regex and RE2, so Spark and
+    * DuckDB tokenize identically.
+    */
+  val gptPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-style pretokens of `text` under [[gptPattern]] — the unit a
+    * real BPE tokenizer would split further against its vocab; counting
+    * these is the standard pre-training token-budget estimate.
+    */
+  def gptTokens(text: Column): Column =
+    regexp_extract_all(text, lit(gptPattern), lit(0))
+
   /** Deterministic MLM-style token masking (denoising corpus prep):
     * token i of document `id` is replaced by `maskTok` iff the first
     * two hex chars of md5(id:i) fall below the rate gate — the same
