@@ -156,4 +156,24 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(TemporalJoins.intervalOverlapJoin(a, b, Seq("k"),
       "a_s", "a_e", "b_s", "b_e", 10L).count() === 0L)
   }
+
+  test("rangeJoinBinnedLeft: empty and degenerate intervals survive, null-padded") {
+    val iv = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")), // has pts
+      (20L, ts("2024-05-01 00:00:00"), ts("2024-05-02 00:00:00")), // empty
+      (30L, ts("2024-06-01 00:00:00"), ts("2024-06-01 00:00:00"))  // degenerate
+    ).toDF("ivid", "s", "e")
+    val pts = Seq(
+      (1L, ts("2024-01-01 06:00:00")), (2L, ts("2024-01-01 18:00:00"))
+    ).toDF("pid", "pt")
+    val out = TemporalJoins.rangeJoinBinnedLeft(iv, "ivid", "s", "e",
+        pts, "pt", 86400L)
+      .select("ivid", "pid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // matched interval emits per point; unmatched AND degenerate
+    // intervals each emit one null-padded row (LEFT semantics — the
+    // inner path drops degenerates, the left path must not)
+    assert(out === Set((10L, 1L), (10L, 2L), (20L, -1L), (30L, -1L)))
+  }
 }
