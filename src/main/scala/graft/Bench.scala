@@ -16,11 +16,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // a silently-swallowed exception must not hide inside a "passing"
     // round: every failure is collected and flagged in the output JSON
+    // AND fails the run (exit 1) after the JSON line is printed
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Spark JOB COUNT per query: scheduling overhead (not data) is the
+    // sf1 heavy-tail cost, so the action count is the tuning signal.
+    // onJobStart events post to the listener bus before the job's
+    // tasks run, so by the time an action returns the counter has
+    // seen every job it spawned.
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
+    val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     // noop sink executes the FULL physical plan (count() would let
     // Catalyst prune every projected expression away)
     def runIn(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
+      val j0 = jobCounter.get()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -28,7 +44,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $secs%8.2f s")
+      val jobs = jobCounter.get() - j0
+      jobCounts(name) = jobs
+      System.err.println(f"[bench] $name%-22s $secs%8.2f s  $jobs%3d jobs")
       // isolate queries: the dedup/ANN pipelines persist sketch stages
       // that would otherwise accumulate memory pressure across the run;
       // the forced GC (outside the timed section) stops 100 queries'
@@ -119,10 +137,11 @@ object Bench {
           only.forall(_.contains(n))).map { n =>
         val t10 = runIn(n, dir)
         val t1 = resultMap.getOrElse(n, 0.0)
-        val exp = if (t1 > 0 && t10 > 0) math.log(t10 / t1) / math.log(10.0)
-                  else 0.0
-        System.err.println(f"[bench] sf1 $n%-20s $t10%8.2f s exp $exp%.2f")
-        n -> ((t10, exp))
+        val alpha = if (t1 > 0 && t10 > 0) math.log(t10 / t1) / math.log(10.0)
+                    else 0.0
+        System.err.println(
+          f"[bench] sf1 $n%-20s $t10%8.2f s alpha $alpha%.2f")
+        n -> ((t10, alpha))
       }
     }
 
@@ -140,8 +159,9 @@ object Bench {
     val bySlowest = results.sortBy(-_._2)
     val sf1Part =
       if (sf1.isEmpty) ""
-      else s""","sf1_subset":${sf1.sortBy(_._1).map { case (n, (t, e)) =>
-        "\"" + n + "\":{\"sec\":" + r2(t) + ",\"exp\":" + r2(e) + "}"
+      else s""","sf1_subset":${sf1.sortBy(_._1).map { case (n, (t, a)) =>
+        "\"" + n + "\":{\"sec\":" + r2(t) + ",\"alpha\":" + r2(a) +
+          ",\"jobs\":" + jobCounts.getOrElse(n, 0) + "}"
       }.mkString("{", ",", "}")}"""
     val failedPart =
       if (failed.isEmpty) ""
@@ -158,13 +178,26 @@ object Bench {
     val kept = (bySlowest.size to 0 by -1).view
       .map(bySlowest.take).find(k => line(k).length <= 1400)
       .getOrElse(Seq.empty)
+    // full dump also carries per-query Spark JOB counts (the action-
+    // count tuning signal; compact line omits them to stay in-window)
+    val jobsPart = s""","jobs":${bySlowest.map { case (n, _) =>
+      "\"" + n + "\":" + jobCounts.getOrElse(n, 0)
+    }.mkString("{", ",", "}")}"""
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${
-      bySlowest.map(entry).mkString("{", ",", "}")}$failedPart$sf1Part,"value":${r2(total)}}"""
+      bySlowest.map(entry).mkString("{", ",", "}")}$jobsPart$failedPart$sf1Part,"value":${r2(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_full_last.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     println(line(kept))
     spark.stop()
+    // a bench with ANY failed query must never report success (the r6
+    // silent-failure class): JSON above still carries the partial
+    // numbers + the failed list, but the process exits nonzero
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[bench] FAILED queries: ${failed.mkString(", ")} — exit 1")
+      sys.exit(1)
+    }
   }
 }

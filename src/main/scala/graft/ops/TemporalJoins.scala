@@ -124,12 +124,25 @@ object TemporalJoins {
           Some(spark.sessionState.conf.sessionLocalTimeZone))), false)
         case _ => UnaryMinus(a, false)
       }
+    // the physical merge compares raw UnsafeRow fields with orderings
+    // built from the LEFT types only — mismatched key/time types would
+    // compare garbage silently, so fail fast here
+    val lk = keys.map(pick(lPlan.output, _))
+    val rk = keys.map(pick(rOut, _))
+    lk.zip(rk).zip(keys).foreach { case ((a, b), n) =>
+      require(org.apache.spark.sql.types.DataType
+        .equalsStructurally(a.dataType, b.dataType, ignoreNullability = true),
+        s"asofJoinNative key '$n' type mismatch: " +
+          s"left ${a.dataType.sql} vs right ${b.dataType.sql}")
+    }
+    val lt = timeExpr(pick(lPlan.output, leftTime))
+    val rt = timeExpr(pick(rOut, rightTime))
+    require(org.apache.spark.sql.types.DataType
+      .equalsStructurally(lt.dataType, rt.dataType, ignoreNullability = true),
+      s"asofJoinNative time type mismatch: " +
+        s"$leftTime ${lt.dataType.sql} vs $rightTime ${rt.dataType.sql}")
     org.apache.spark.sql.GraftShim.ofRows(spark, graft.plans.AsOfJoinPlan(
-      lPlan, rPlan,
-      keys.map(pick(lPlan.output, _)), keys.map(pick(rOut, _)),
-      timeExpr(pick(lPlan.output, leftTime)),
-      timeExpr(pick(rOut, rightTime)),
-      rightCols.map(pick(rOut, _))))
+      lPlan, rPlan, lk, rk, lt, rt, rightCols.map(pick(rOut, _))))
   }
 
   /** [[asofJoin]] for the fact-times-small-dimension shape: the right
@@ -144,13 +157,28 @@ object TemporalJoins {
     * per (keys, time), null right times dropped, null left times
     * match nothing, null keys group together.
     *
-    * `maxRightRows` bounds the driver collect — the call fails fast
-    * (before collecting) if the dimension exceeds it, because a
+    * `maxRightRows` bounds the driver collect — a cheap row COUNT of
+    * the capped plan runs first (columns prune to nothing, so only a
+    * count crosses the wire), and the call fails before any wide
+    * payload row is collected if the dimension exceeds the cap: a
     * too-big broadcast should be an explicit decision, not an OOM.
     */
   def asofJoinBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightCols: Seq[String],
-      maxRightRows: Long = 10000000L): DataFrame = {
+      maxRightRows: Long = 1000000L): DataFrame =
+    asofJoinBroadcastHandle(left, right, keys, leftTime, rightTime,
+      rightCols, maxRightRows)._1
+
+  /** [[asofJoinBroadcast]] exposing the broadcast it created, so
+    * per-micro-batch callers (enrichAsOfStream) can `destroy()` it
+    * after the batch action completes instead of accumulating one
+    * broadcast per batch for the life of the stream.
+    */
+  private[graft] def asofJoinBroadcastHandle(left: DataFrame,
+      right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      maxRightRows: Long = 1000000L)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[_]) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
       StructField, StructType, TimestampNTZType, TimestampType}
@@ -179,16 +207,23 @@ object TemporalJoins {
         s"$rightTime is ${timeUnit(right, rightTime)}")
     require(maxRightRows > 0 && maxRightRows < Int.MaxValue,
       s"maxRightRows out of range: $maxRightRows")
-    // one bounded pass: take(max+1) both enforces the cap and fetches
-    // the dimension (a separate count() would compute the right-side
-    // plan twice)
-    val rRows = right.filter(col(rightTime).isNotNull)
+    // cap check BEFORE the payload collect: limit(cap+1).count() moves
+    // only a count to the driver (Catalyst prunes every column), so an
+    // oversized dimension fails fast instead of OOMing the driver with
+    // up to cap+1 wide rows mid-collect. The post-collect require is
+    // belt-and-braces against the source growing between the two
+    // actions.
+    val rBase = right.filter(col(rightTime).isNotNull)
+    require(rBase.limit(maxRightRows.toInt + 1).count() <= maxRightRows,
+      s"right side exceeds maxRightRows=$maxRightRows — " +
+        "use asofJoinNative (shuffle merge) for a large right side")
+    val rRows = rBase
       .withColumn("__t_us", timeKey(right, rightTime))
       .select(((keys :+ "__t_us") ++ rightCols).map(col): _*)
       .take(maxRightRows.toInt + 1)
     require(rRows.length <= maxRightRows,
-      s"right side exceeds maxRightRows=$maxRightRows — " +
-        "use asofJoinNative (shuffle merge) for a large right side")
+      s"right side grew past maxRightRows=$maxRightRows between the " +
+        "cap check and the collect")
     val k = keys.length
     // per key: time-sorted parallel arrays (times, payload rows)
     val index: Map[Seq[Any], (Array[Long], Array[Seq[Any]])] =
@@ -226,7 +261,7 @@ object TemporalJoins {
         Row.fromSeq(Seq.tabulate(nLeft)(row.get) ++ payload)
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
+    (spark.createDataFrame(outRdd, outSchema), bIndex)
   }
 
   /** Inner range join: rows of `points` whose `pointCol` timestamp

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
   AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, Explode,
-  Expression, Floor, GreaterThan, GreaterThanOrEqual, LessThan,
-  LessThanOrEqual, Literal, Sequence, Subtract, UnixMicros}
+  Expression, Floor, GreaterThan, GreaterThanOrEqual, If, LessThan,
+  LessThanOrEqual, Literal, RaiseError, Sequence, Subtract, UnixMicros}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join,
   LogicalPlan, Project}
@@ -44,6 +44,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType,
 object RangeBinJoinRule extends Rule[LogicalPlan] {
 
   val binSecondsKey = "spark.graft.rangeJoin.binSeconds"
+
+  /** Blast-radius guard: max bins a single interval may fan out to.
+    * One corrupt/wide interval (or LongType bounds that are NOT epoch
+    * micros — the rule cannot tell) with a small bin would otherwise
+    * materialize millions of Sequence elements per row, turning a
+    * slow-but-working nested loop into an executor OOM the moment the
+    * conf is enabled. Exceeding the cap raises a clear error at
+    * execution (never silently drops matches).
+    */
+  val maxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
+  val maxBinsDefault = 100000L
 
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConj(l) ++ splitConj(r)
@@ -128,7 +139,11 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
           pattern match {
             case None => j
             case Some((lo, hi, pointOnLeft)) =>
-              rewrite(j, lo, hi, pointOnLeft, binUs)
+              val maxBins =
+                try conf.getConfString(maxBinsKey,
+                  maxBinsDefault.toString).toLong
+                catch { case _: NumberFormatException => maxBinsDefault }
+              rewrite(j, lo, hi, pointOnLeft, binUs, maxBins)
           }
         }
     }
@@ -148,7 +163,7 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
     Floor(Divide(Cast(m, DoubleType), Literal(binUs.toDouble)))
 
   private def rewrite(j: Join, lo: Bound, hi: Bound, pointOnLeft: Boolean,
-      binUs: Long): LogicalPlan = {
+      binUs: Long, maxBins: Long): LogicalPlan = {
     val (pointChild, intervalChild) =
       if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
 
@@ -163,8 +178,21 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
       else micros(hi.bound)
     // Sequence is TimeZoneAware: without an explicit zone it stays
     // UNRESOLVED and the optimizer rejects the rewritten plan
-    val seq = Sequence(binOf(micros(lo.bound), binUs), binOf(hiMicros, binUs),
-      None, Some(conf.sessionLocalTimeZone))
+    val binLo = binOf(micros(lo.bound), binUs)
+    val binHi = binOf(hiMicros, binUs)
+    val seqRaw = Sequence(binLo, binHi, None,
+      Some(conf.sessionLocalTimeZone))
+    // fanout guard: a single interval spanning more than maxBins bins
+    // raises (clear error beats executor OOM; a filter would silently
+    // drop its matches). Cast(RaiseError, array) never materializes —
+    // RaiseError throws before the cast evaluates.
+    val seq = If(
+      LessThan(Subtract(binHi, binLo), Literal(maxBins)),
+      seqRaw,
+      Cast(new RaiseError(Literal(
+        s"graft range-join rewrite: an interval spans > $maxBins bins " +
+          s"of $binUs us — widen $binSecondsKey, raise $maxBinsKey, " +
+          "or clean the interval bounds")), seqRaw.dataType))
     val ivBin = AttributeReference("__graft_bin", LongType,
       nullable = false)()
     val ivPlan = Generate(Explode(seq), unrequiredChildIndex = Nil,

@@ -244,19 +244,35 @@ object AdvancedQueries {
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+
               graft.plans.RangeBinJoinRule
-        // bin = the window length: each interval fans out to <= 2 bins
-        s.conf.set(graft.plans.RangeBinJoinRule.binSecondsKey, "21600")
-        val view = s"g_range_ev_${d.replaceAll("[^0-9]", "")}"
-        events(s, d).createOrReplaceTempView(view)
-        s.sql(s"""WITH iv AS (SELECT event_id AS iv_id, ts AS w_start,
-               ts + INTERVAL 6 HOUR AS w_end
-             FROM $view ORDER BY value DESC, event_id LIMIT 50)
-           SELECT iv_id, CAST(count(*) AS BIGINT) AS n_ev,
-             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
-               AS BIGINT) AS cents
-           FROM iv JOIN $view e
-             ON e.ts >= iv.w_start AND e.ts < iv.w_end
-           GROUP BY iv_id ORDER BY iv_id""")
+        // bin = the window length: each interval fans out to <= 2 bins.
+        // The conf is scoped to THIS build: the rule reads it at
+        // optimization time, so force the optimized plan (cached by
+        // QueryExecution's lazy val) while the conf is set, then
+        // restore — no other inequality join on the shared session
+        // gets silently re-planned, and RangeBinJoinRuleSpec's
+        // conf-off assertions stay order-independent.
+        val binKey = graft.plans.RangeBinJoinRule.binSecondsKey
+        val prior = s.conf.getOption(binKey)
+        s.conf.set(binKey, "21600")
+        try {
+          val view = s"g_range_ev_${d.replaceAll("[^0-9]", "")}"
+          events(s, d).createOrReplaceTempView(view)
+          val df = s.sql(
+            s"""WITH iv AS (SELECT event_id AS iv_id, ts AS w_start,
+                 ts + INTERVAL 6 HOUR AS w_end
+               FROM $view ORDER BY value DESC, event_id LIMIT 50)
+             SELECT iv_id, CAST(count(*) AS BIGINT) AS n_ev,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS cents
+             FROM iv JOIN $view e
+               ON e.ts >= iv.w_start AND e.ts < iv.w_end
+             GROUP BY iv_id ORDER BY iv_id""")
+          df.queryExecution.optimizedPlan // rewrite fires NOW, cached
+          df
+        } finally prior match {
+          case Some(v) => s.conf.set(binKey, v)
+          case None => s.conf.unset(binKey)
+        }
       }),
 
     // interval-overlap join: view and purchase 30-minute activity

@@ -491,7 +491,7 @@ object AuditQueries {
                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
                   AS n_ws,
                 CAST(len(regexp_extract_all(text,
-                  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\x0B\p{L}\p{N}]+|[ \t\n\r\f\x0B]+'))
                   AS BIGINT) AS n_gpt,
                 CAST(list_sum(list_transform(
                   string_split_regex(trim(text), '\s+'),

@@ -196,8 +196,12 @@ object EventStreams {
       rightCols: Seq[String])(sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
-      sink(graft.ops.TemporalJoins.asofJoinBroadcast(
-        b, dim, keys, leftTime, rightTime, rightCols), id)
+      // the broadcast index is per-batch; destroy it once the sink's
+      // action completes, or a long-running stream accumulates one
+      // broadcast per micro-batch on the driver and executors
+      val (enriched, bc) = graft.ops.TemporalJoins.asofJoinBroadcastHandle(
+        b, dim, keys, leftTime, rightTime, rightCols)
+      try sink(enriched, id) finally bc.destroy()
     }
 
   def applyCdc(changes: DataFrame, snapshotDir: String, keys: Seq[String],

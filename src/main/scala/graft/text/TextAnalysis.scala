@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of trimmed text. */
+  /** Whitespace tokens of trimmed text. Engine boundary: Java `\s`
+    * includes U+000B (vertical tab) where RE2's does not, so a DuckDB
+    * `\s+` oracle diverges on VT-bearing text — the test fixtures
+    * contain none (verified), and [[gptPattern]] spells the class out
+    * explicitly where exact cross-engine token identity is the point.
+    */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Token count (whitespace tokenization). */
@@ -32,10 +37,15 @@ object TextAnalysis {
     * contraction suffixes, space-prefixed letter runs, digit runs,
     * punctuation runs, leftover whitespace. Pure alternation — valid
     * and leftmost-first in both Java regex and RE2, so Spark and
-    * DuckDB tokenize identically.
+    * DuckDB tokenize identically. Whitespace is the EXPLICIT class
+    * `[ \t\n\r\f\x0B]` rather than `\s`, because the two engines
+    * disagree on `\s` at the edges (Java includes U+000B vertical
+    * tab, RE2 does not) — the explicit class is the Java `\s` set
+    * spelled out, identical in both.
     */
   val gptPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \\t\\n\\r\\f\\x0B\\p{L}\\p{N}]+|[ \\t\\n\\r\\f\\x0B]+"
 
   /** BPE-style pretokens of `text` under [[gptPattern]] — the unit a
     * real BPE tokenizer would split further against its vocab; counting

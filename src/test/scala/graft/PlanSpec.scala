@@ -322,10 +322,18 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q_range_auto: the SQL inequality join is rewritten off the nested loop") {
+    val before = spark.conf.getOption(
+      graft.plans.RangeBinJoinRule.binSecondsKey)
     val p = plan("q_range_auto")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       "RangeBinJoinRule did not fire on the registered SQL query")
     assert(p.contains("Generate"), "binned rewrite should explode interval bins")
+    // the builder scopes its bin conf to its own (eagerly forced)
+    // optimization — the shared session must come back unchanged, or
+    // every later inequality join gets silently re-planned
+    assert(spark.conf.getOption(
+      graft.plans.RangeBinJoinRule.binSecondsKey) === before,
+      "q_range_auto leaked binSeconds onto the shared session")
   }
 
   test("q_asof_native and q_asof_fwd plan the custom AsOfJoin operator") {

@@ -95,6 +95,28 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(phys).size === 2, phys)
   }
 
+  test("whole-stage codegen engages (starred operator, results identical)") {
+    // a '*(n) AsOfJoin' line means CollapseCodegenStages accepted the
+    // operator AND the generated code compiled (Spark silently falls
+    // back to doExecute otherwise — this pin turns that silence into
+    // a failure); the result assertion reruns an edge-case answer
+    // through the fused path
+    val df = TemporalJoins.asofJoinNative(
+      leftDf, rightDf.withColumnRenamed("k2", "k"), Seq("k"), "t", "rt",
+      Seq("payload"))
+    val sel = df.select(col("pid"), col("payload"))
+    val got = sel.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set(
+      (1L, "a90"), (2L, "a200"), (3L, "a200"), (4L, null), (5L, null),
+      (6L, "a500"), (7L, "n40")))
+    // AQE finalizes the plan only at execution — inspect AFTER collect,
+    // on the executed Dataset itself
+    val phys = sel.queryExecution.executedPlan.toString
+    assert(phys.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("AsOfJoin")), phys)
+  }
+
   test("self-join on the same relation gets distinct attribute ids") {
     import spark.implicits._
     val ev = Seq((1L, "a", 100L, "p"), (2L, "a", 90L, "c"),
@@ -154,5 +176,26 @@ class AsOfJoinNativeSpec extends SparkTestBase {
       .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
       .toSet
     assert(viaNative === viaWindow)
+  }
+
+  test("mismatched key/time types across sides fail fast, not silently") {
+    import spark.implicits._
+    // int key vs string key: the raw UnsafeRow orderings would compare
+    // garbage — must raise a clear error instead
+    val l = Seq((1L, 1, 100L)).toDF("pid", "k", "t")
+    val rStrKey = Seq(("1", 90L, "p")).toDF("k2", "rt", "payload")
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoinNative(l, rStrKey.withColumnRenamed("k2", "k"),
+        Seq("k"), "t", "rt", Seq("payload"))
+    }
+    assert(e1.getMessage.contains("type mismatch"), e1.getMessage)
+    // long left time vs timestamp right time
+    val rTsTime = Seq((1, "p")).toDF("k", "payload")
+      .withColumn("rt", timestamp_micros(lit(90L)))
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoinNative(l, rTsTime,
+        Seq("k"), "t", "rt", Seq("payload"))
+    }
+    assert(e2.getMessage.contains("time type mismatch"), e2.getMessage)
   }
 }

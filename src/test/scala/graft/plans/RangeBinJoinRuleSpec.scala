@@ -109,7 +109,9 @@ class RangeBinJoinRuleSpec extends SparkTestBase {
   }
 
   test("does not fire: conf off, cross equality present, non-inner") {
-    // conf off -> nested loop stays
+    // conf EXPLICITLY off (not just "never set") -> nested loop stays,
+    // regardless of which suite touched the shared session first
+    spark.conf.set(RangeBinJoinRule.binSecondsKey, "0")
     val cond = col("ts") >= col("lo") && col("ts") < col("hi")
     val physOff = ivDf.join(ptDf, cond)
       .queryExecution.executedPlan.toString
@@ -130,6 +132,26 @@ class RangeBinJoinRuleSpec extends SparkTestBase {
       assert(!lj.queryExecution.optimizedPlan.toString
         .contains("__graft_bin"))
     }
+  }
+
+  test("fanout guard: interval wider than maxBinsPerInterval raises") {
+    // interval 5 spans 10h = 60 bins of 600s; cap at 5 -> clear error
+    // at execution instead of an unbounded Sequence materialization
+    spark.conf.set(RangeBinJoinRule.maxBinsKey, "5")
+    try {
+      val cond = col("ts") >= col("lo") && col("ts") < col("hi")
+      val e = intercept[Exception] {
+        withRule(600L) { ivDf.join(ptDf, cond).collect() }
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("spans > 5 bins")), e.toString)
+      // narrow intervals under the cap still work
+      spark.conf.set(RangeBinJoinRule.maxBinsKey, "100")
+      val expected = pairs(ivDf.join(ptDf, cond))
+      assert(withRule(600L) { pairs(ivDf.join(ptDf, cond)) } === expected)
+    } finally spark.conf.unset(RangeBinJoinRule.maxBinsKey)
   }
 
   test("sql surface: inequality join through spark.sql gets the rewrite") {
