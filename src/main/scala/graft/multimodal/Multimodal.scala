@@ -122,6 +122,41 @@ object Multimodal {
       graft.functions.AHashBands(
         org.apache.spark.sql.GraftShim.expression(col(textCol)), capChars)))
 
+  /** Wrap text into a REAL binary PGM ("P5") payload: the Netpbm
+    * header (`P5\n{w} {h}\n255\n`) followed by `w*h` raw gray bytes —
+    * the text's UTF-8 byte stream repeated/truncated to fill the
+    * raster. This is the fixture-side stand-in for an image INGEST
+    * (real corpora arrive with the payload already binary); what
+    * matters is that the payload is a genuine decodable image format,
+    * so [[pgmAHash]] exercises an actual header parse + pixel walk.
+    * Map-side Column arithmetic only, and byte-reproducible: the
+    * oracle replays `byte i = utf8(text)[i mod n_bytes]` without ever
+    * constructing the payload.
+    */
+  def asPgm(text: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
+      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val npix = (w * h).cast("int")
+    val nb = length(encode(text, "utf-8"))
+    val reps = ceil(npix.cast("double") / nb).cast("int")
+    val pix = encode(call_function("repeat", text, reps), "utf-8")
+      .substr(lit(1), npix)
+    concat(
+      encode(concat(lit("P5\n"), w.cast("string"), lit(" "),
+        h.cast("string"), lit("\n255\n")), "utf-8"),
+      pix)
+  }
+
+  /** aHash over a DECODED image payload: parse the PGM header, pool
+    * the real pixel grid to 8×8 luma, hash — the codegen
+    * [[graft.functions.PgmAHashBands]] expression. Same 4-band output
+    * contract as [[aHash]]; null for malformed payloads (a corpus
+    * scan must survive corrupt blobs).
+    */
+  def pgmAHash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.PgmAHashBands(
+        org.apache.spark.sql.GraftShim.expression(payload)))
+
   /** Oracle-expressible slice of the media pipeline: payload byte
     * length, md5 hex, and metadata projection (no mapPartitions).
     */

@@ -48,6 +48,32 @@ object Normalize {
     */
   def toIntLenient(c: Column): Column = trim(c).try_cast("int")
 
+  /** STRICT value remap (Polars `replace_strict`, reference
+    * `unreg_pharmacists.py:120-121`): every non-null input must be a
+    * key of `mapping`, or the JOB FAILS naming the offending value —
+    * the contract that catches a new unexpected code the day it
+    * appears instead of silently propagating a null through three
+    * downstream joins. Nulls map to null (no mapping consulted),
+    * matching Polars. The guard is IN-PLAN (`raise_error` in the
+    * otherwise-branch), so the operator stays a lazy codegen'd
+    * when-chain — no extra pass, no action, broadcast- and
+    * pushdown-transparent like any other Column.
+    *
+    * For a lenient remap (unmapped → null or passthrough), use a
+    * plain when/otherwise chain — see q_when_case.
+    */
+  def replaceStrict(c: Column, mapping: Seq[(String, String)]): Column = {
+    require(mapping.nonEmpty, "replaceStrict: mapping must be non-empty")
+    val chain = mapping.tail.foldLeft(
+      when(c === mapping.head._1, lit(mapping.head._2))) {
+      case (acc, (k, v)) => acc.when(c === k, lit(v))
+    }
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(chain.otherwise(raise_error(concat(
+        lit("replace_strict: unmapped key '"), c.cast("string"),
+        lit("' — extend the mapping or use a lenient when/otherwise remap")))))
+  }
+
   /** 1 -> "1st", 2 -> "2nd", ... (reference `mu_extras.py:140` ordinal
     * map_elements UDF) — pure Column expression, no UDF.
     */

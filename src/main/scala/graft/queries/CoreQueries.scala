@@ -62,6 +62,30 @@ object CoreQueries {
         lit("az").as("state")
       ).orderBy("ckey")),
 
+    // P13 strict: replace_strict with the raise-on-unmapped contract
+    // (reference `unreg_pharmacists.py:120-121` — Polars replace_strict
+    // aborts when a value has no mapping). The oracle covers the
+    // all-mapped happy path (CASE chain, provably identical here since
+    // c_mktsegment's domain is the 5 TPC-H segments); the raising path
+    // is pinned in NormalizeSpec (the in-plan raise_error fires naming
+    // the offending key).
+    QueryDef("q_replace_strict",
+      Some("""SELECT c_custkey AS ckey,
+              CASE WHEN c_mktsegment = 'BUILDING' THEN 'bld'
+                   WHEN c_mktsegment = 'AUTOMOBILE' THEN 'auto'
+                   WHEN c_mktsegment = 'MACHINERY' THEN 'mach'
+                   WHEN c_mktsegment = 'HOUSEHOLD' THEN 'hh'
+                   WHEN c_mktsegment = 'FURNITURE' THEN 'furn'
+                   END AS seg
+              FROM customer ORDER BY ckey"""),
+      (s, d) => customer(s, d).select(
+        col("c_custkey").as("ckey"),
+        Normalize.replaceStrict(col("c_mktsegment"), Seq(
+          "BUILDING" -> "bld", "AUTOMOBILE" -> "auto",
+          "MACHINERY" -> "mach", "HOUSEHOLD" -> "hh",
+          "FURNITURE" -> "furn")).as("seg")
+      ).orderBy("ckey")),
+
     // P10/P11: casts + fill_null/coalesce
     // (reference `mm2.py:33,52`, `mm1.py:25`, `threshold.py:51`)
     QueryDef("q_cast_fill",

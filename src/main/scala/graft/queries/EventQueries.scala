@@ -452,43 +452,51 @@ object EventQueries {
             .as("f0_u16"))
         .orderBy("doc_id")),
 
-    // multimodal near-dup: 64-bit perceptual aHash over the decoded
-    // payload (chars stand in for thumbnail pixels at the stub
-    // boundary), LSH-bucketed on 4 sixteen-bit bands — candidates meet
-    // on an equi key, never all-pairs — then exact hamming <= 6
-    // verify, sketch carried through the join (the image twin of
-    // q_dedup_simhash)
+    // multimodal near-dup: 64-bit perceptual aHash over REAL DECODED
+    // pixels — each doc is wrapped into a genuine binary PGM ("P5")
+    // payload (dims vary per doc_id, raster = the text's UTF-8 bytes
+    // repeated), PgmAHashBands parses the header and average-pools the
+    // pixel grid to 8×8 luma, then LSH-bucketed on 4 sixteen-bit
+    // bands — candidates meet on an equi key, never all-pairs — then
+    // exact hamming <= 6 verify, sketch carried through the join (the
+    // image twin of q_dedup_simhash). The 8×8 pooling makes the hash
+    // resolution-independent: the same byte stream rasterized 8x8 and
+    // 16x16 still meets. The oracle never builds the payload — it
+    // replays the decode's byte-walk (pixel i = utf8(text)[i mod nb],
+    // parsed out of the hex dump) and every pooling/threshold step in
+    // integer arithmetic.
     QueryDef("q_media_phash",
-      Some("""WITH base AS (SELECT doc_id, text,
-                       CAST(least(len(text), 256) AS BIGINT) AS n
+      Some("""WITH base AS (SELECT doc_id,
+                       CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS w,
+                       CAST(8 + (doc_id % 2) * 8 AS BIGINT) AS h,
+                       hex(encode(text)) AS hx,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS nb
                      FROM documents WHERE len(text) > 0),
-              cod AS (SELECT doc_id, n,
-                       list_transform(range(1, n + 1),
-                         i -> CAST(ascii(substr(text, CAST(i AS INT), 1))
-                              AS BIGINT)) AS codes
-                     FROM base),
-              hb AS (SELECT doc_id,
-                       list_transform(range(0, 4), b ->
-                         list_sum(list_transform(range(0, 16), j ->
-                           (CASE WHEN
-                             list_sum(list_transform(range(1, n + 1), i ->
-                               CASE WHEN (CAST(i - 1 AS BIGINT) * 64) // n
-                                         = b * 16 + j
-                                    THEN codes[CAST(i AS INT)]
-                                    ELSE CAST(0 AS BIGINT) END)) * n >
-                             list_sum(codes) *
-                             list_sum(list_transform(range(1, n + 1), i ->
-                               CASE WHEN (CAST(i - 1 AS BIGINT) * 64) // n
-                                         = b * 16 + j
-                                    THEN CAST(1 AS BIGINT)
-                                    ELSE CAST(0 AS BIGINT) END))
-                            THEN CAST(1 AS BIGINT)
-                            ELSE CAST(0 AS BIGINT) END) *
-                           CAST(power(2, j) AS BIGINT)))) AS bands
-                     FROM cod),
-              e AS (SELECT doc_id, CAST(b AS INT) AS b,
-                       bands[CAST(b + 1 AS INT)] AS v
-                    FROM hb, unnest(range(0, 4)) AS t(b)),
+              px AS (SELECT doc_id, w, h, w*h AS npix, CAST(t.i AS BIGINT) AS i,
+                       CAST((strpos('0123456789ABCDEF',
+                               substr(hx, CAST((t.i % nb)*2+1 AS INT), 1)) - 1) * 16 +
+                            (strpos('0123456789ABCDEF',
+                               substr(hx, CAST((t.i % nb)*2+2 AS INT), 1)) - 1)
+                         AS BIGINT) AS v
+                     FROM base, unnest(range(0, w*h)) AS t(i)),
+              seg AS (SELECT doc_id, npix,
+                        ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS s, v
+                      FROM px),
+              tot AS (SELECT doc_id, npix, sum(v) AS total
+                      FROM seg GROUP BY doc_id, npix),
+              sa AS (SELECT doc_id, s, sum(v) AS sv, count(*) AS sc
+                     FROM seg GROUP BY doc_id, s),
+              bits AS (SELECT sa.doc_id, sa.s,
+                        CASE WHEN sa.sv * t.npix > t.total * sa.sc
+                             THEN 1 ELSE 0 END AS bit
+                       FROM sa JOIN tot t ON t.doc_id = sa.doc_id),
+              bands AS (SELECT doc_id, CAST(s // 16 AS INT) AS b,
+                         CAST(sum(bit * CAST(power(2, s % 16) AS BIGINT))
+                           AS BIGINT) AS v
+                        FROM bits GROUP BY doc_id, b),
+              hb AS (SELECT doc_id, list(v ORDER BY b) AS bands
+                     FROM bands GROUP BY doc_id),
+              e AS (SELECT doc_id, b, v FROM bands),
               cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
                        FROM e a JOIN e bb
                          ON a.b = bb.b AND a.v = bb.v
@@ -505,10 +513,14 @@ object EventQueries {
               SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 6
               ORDER BY id_a, id_b"""),
       (s, d) => {
+        val wc = (lit(8) + pmod(col("doc_id"), lit(3)) * 4).cast("int")
+        val hc = (lit(8) + pmod(col("doc_id"), lit(2)) * 8).cast("int")
         val ah = graft.ops.StageCache.persisted(
-          Multimodal.aHash(
-            documents(s, d).filter(length(col("text")) > 0), "text")
-            .select("doc_id", "bands"))
+          documents(s, d).filter(length(col("text")) > 0)
+            .select(col("doc_id"),
+              Multimodal.pgmAHash(
+                Multimodal.asPgm(col("text"), wc, hc)).as("bands"))
+            .filter(col("bands").isNotNull))
         val e = ah.select(col("doc_id"),
           posexplode(col("bands")).as(Seq("b", "v")))
         val cand = e.select(col("b"), col("v"), col("doc_id").as("id_a"))

@@ -517,7 +517,11 @@ object ExtQueries {
               ORDER BY id_a, id_b"""),
       (s, d) => {
         val docs = documents(s, d)
-        val index = Dedup.minhashIndex(
+        // in-session stand-in for the staged corpus index: each frame
+        // has one consumer here, so the unpersisted view is the right
+        // plan (a real daily run reads the index from parquet instead —
+        // DedupSpec pins that reloaded shape)
+        val index = Dedup.minhashIndexView(
           docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
         Dedup.incrementalMinhashPairs(index,
             docs.filter(pmod(col("doc_id"), lit(2)) === 1),

@@ -106,4 +106,85 @@ class MultimodalSpec extends SparkTestBase {
     assert(bands(3L) === Seq(0L, 0L, 65535L, 65535L),
       "second half above mean -> bits 32..63 set")
   }
+
+  // ---- PgmAHashBands: REAL decode path ----
+
+  private def pgm(w: Int, h: Int, px: Array[Byte],
+      header: String = null): Array[Byte] = {
+    val hdr = Option(header).getOrElse(s"P5\n$w $h\n255\n")
+    hdr.getBytes("UTF-8") ++ px
+  }
+
+  private def decodeBands(payloads: Seq[Array[Byte]]): Map[Long, Option[Seq[Long]]] = {
+    import spark.implicits._
+    payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.pgmAHash(col("payload")).as("bands"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1)))).toMap
+  }
+
+  test("pgmAHash decodes real pixels: top-dark bottom-bright 8x8") {
+    // rows 0-3 = 0, rows 4-7 = 200 -> global mean 100: bits 0..31
+    // clear, bits 32..63 set (bands 0,1 = 0; bands 2,3 = 0xFFFF)
+    val px = Array.fill(32)(0.toByte) ++ Array.fill(32)(200.toByte)
+    val out = decodeBands(Seq(pgm(8, 8, px)))
+    assert(out(0L) === Some(Seq(0L, 0L, 65535L, 65535L)))
+  }
+
+  test("pgmAHash pooling is resolution-independent (8x8 vs 16x16 scene)") {
+    val small = Array.fill(32)(10.toByte) ++ Array.fill(32)(240.toByte)
+    // the same scene at 16x16: each 8x8 cell is a 2x2 pixel block
+    val big = Array.fill(128)(10.toByte) ++ Array.fill(128)(240.toByte)
+    val out = decodeBands(Seq(pgm(8, 8, small), pgm(16, 16, big)))
+    assert(out(0L) === out(1L), "pooled grids must match across resolutions")
+  }
+
+  test("pgmAHash parses comments, whitespace runs, and maxval < 255") {
+    val px = Array.fill(32)(0.toByte) ++ Array.fill(32)(99.toByte)
+    val canonical = pgm(8, 8, px)
+    val fancy = pgm(8, 8, px,
+      header = "P5 # magic\n# a comment line\n  8\t8\n# another\n100\n")
+    val out = decodeBands(Seq(canonical, fancy))
+    assert(out(0L).isDefined && out(0L) === out(1L),
+      "comment/whitespace/maxval variants must decode to the same hash")
+  }
+
+  test("pgmAHash returns null on malformed payloads, not an error") {
+    val px64 = Array.fill(64)(50.toByte)
+    val cases = Seq(
+      "P6\n8 8\n255\n".getBytes("UTF-8") ++ px64, // wrong magic (PPM)
+      pgm(8, 8, Array.fill(40)(1.toByte)), // truncated raster
+      "P5\n8 8\n65535\n".getBytes("UTF-8") ++ px64, // 2-byte samples
+      "P5\n0 8\n255\n".getBytes("UTF-8"), // zero dim
+      "P5\n999999999 999999999\n255\n".getBytes("UTF-8"), // lying dims
+      Array.empty[Byte])
+    val out = decodeBands(cases)
+    assert(out.values.forall(_.isEmpty), s"all malformed must be null: $out")
+    // and a good payload in the same column still decodes
+    val ok = decodeBands(Seq(pgm(8, 8, px64)))
+    assert(ok(0L).isDefined)
+  }
+
+  test("asPgm builds the exact canonical payload pgmAHash expects") {
+    import spark.implicits._
+    // text of 10 ASCII bytes rastered into 8x8: byte i = text[i mod 10]
+    val text = "abcdefghij"
+    val df = Seq((0L, text)).toDF("doc_id", "text")
+    val payload = df.select(
+      Multimodal.asPgm(col("text"), lit(8), lit(8)).as("p"))
+      .as[Array[Byte]].head()
+    val expected = pgm(8, 8,
+      Array.tabulate(64)(i => text.charAt(i % 10).toByte))
+    assert(payload.toSeq === expected.toSeq)
+    // multi-byte text: the raster is the UTF-8 BYTE stream, repeated
+    val df2 = Seq((0L, "é!")).toDF("doc_id", "text") // bytes C3 A9 21
+    val p2 = df2.select(
+      Multimodal.asPgm(col("text"), lit(8), lit(8)).as("p"))
+      .as[Array[Byte]].head()
+    val stream = Array(0xC3.toByte, 0xA9.toByte, 0x21.toByte)
+    assert(p2.toSeq === pgm(8, 8,
+      Array.tabulate(64)(i => stream(i % 3))).toSeq)
+  }
 }

@@ -30,6 +30,28 @@ class NormalizeSpec extends SparkTestBase {
       Seq("SMITH", "JONES", "NODEG", "TRAP MD"))
   }
 
+  test("replaceStrict remaps, passes nulls, and FAILS on unmapped keys") {
+    val mapping = Seq("P" -> "pharmacist", "T" -> "technician")
+    // happy path: all keys mapped, nulls pass through untouched
+    val ok = Seq(Some("P"), Some("T"), None).toDF("code")
+      .withColumn("r", Normalize.replaceStrict(col("code"), mapping))
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(ok === Seq(Some("P") -> Some("pharmacist"),
+      Some("T") -> Some("technician"), None -> None))
+    // the strictness contract (Polars replace_strict,
+    // unreg_pharmacists.py:120-121): an unmapped key aborts the job
+    // naming the value, instead of propagating a silent null
+    val err = intercept[Exception] {
+      Seq("P", "X").toDF("code")
+        .withColumn("r", Normalize.replaceStrict(col("code"), mapping))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(err).exists(m =>
+      m != null && m.contains("unmapped key 'X'")), s"got: $err")
+  }
+
   test("isBlank covers null, empty, whitespace") {
     val df = Seq(Some(""), Some("  "), Some("x"), None)
       .toDF("s").withColumn("b", Normalize.isBlank(col("s")))

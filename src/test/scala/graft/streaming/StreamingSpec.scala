@@ -55,6 +55,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("append-mode watermark DROPS late rows and counts them in state metrics") {
+    // The deliberate delta from the batch twin: q_event_window's batch
+    // oracle aggregates every row, but the streaming rollup's contract
+    // is bounded state — a row behind the watermark is dropped, not
+    // retro-merged into its (already-emitted) window. This pins that
+    // drop end-to-end: append output excludes the late row AND the
+    // state operator metrics account for it (numRowsDroppedByWatermark),
+    // so an ops dashboard sees the data loss instead of silence.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val agg = input.toDF().toDF("event_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("win_start"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_test").start()
+    try {
+      def us(min: Long): Long = min * 60L * 1000000L
+      // batch 1: two rows in window [0,10) + one at 40min that will
+      // advance the watermark to 30min once the batch commits
+      input.addData((1L, us(0)), (2L, us(5)), (3L, us(40)))
+      q.processAllAvailable()
+      // batch 2: watermark = 30min, so window [0,10) finalizes and
+      // emits n=2; the late row at 2min is behind the watermark
+      input.addData((4L, us(2)))
+      q.processAllAvailable()
+      val out = spark.table("late_test")
+        .as[(Long, Long)].collect().toMap
+      assert(out === Map(0L -> 2L),
+        s"late row must not reopen the closed window; got $out")
+      val dropped = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped === 1L,
+        s"exactly the one late row should be counted dropped, got $dropped")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join matches the batch join") {
     import spark.implicits._
     val dim = graft.queries.Tables.eventsRaw(spark, sf)
