@@ -135,7 +135,13 @@ object Bench {
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       sf1Queries.filter(n => SparkEntry.queries.contains(n) &&
           only.forall(_.contains(n))).map { n =>
-        val t10 = runIn(n, dir)
+        // min-of-2 like the sf0.1 outlier pass: host/GC contention is
+        // strictly additive, and a single-shot sf1 number was observed
+        // 1.8x off the quiet-machine cost for the same plan
+        val tA = runIn(n, dir); val jA = jobCounts(n)
+        val tB = runIn(n, dir); val jB = jobCounts(n)
+        val (t10, j10) = if (tB < tA) (tB, jB) else (tA, jA)
+        jobCounts(n) = j10
         val t1 = resultMap.getOrElse(n, 0.0)
         val alpha = if (t1 > 0 && t10 > 0) math.log(t10 / t1) / math.log(10.0)
                     else 0.0

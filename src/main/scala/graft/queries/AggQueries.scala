@@ -166,6 +166,32 @@ object AggQueries {
           round(sum("l_extendedprice"), 2).as("sum_price"))
         .orderBy("rflag")),
 
+    // write_excel column_totals sink parity (reference `mm2.py:87-127`:
+    // the Excel sink appends a grand-total row under each numeric
+    // column). Modeled as ROLLUP — ONE scan computes the per-group rows
+    // and the totals row as grouping sets (vs the naive agg UNION ALL
+    // grand-agg, which scans twice); the null rollup group is relabeled
+    // 'TOTAL' and ordered last, which is exactly the sink's layout.
+    QueryDef("q_column_totals",
+      // GROUPING() (not coalesce-on-null) labels the totals row, so a
+      // genuine NULL group value could never collide with the label
+      Some("""SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'TOTAL'
+                          ELSE l_returnflag END AS rflag,
+                     sum(l_quantity) AS sum_qty,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM lineitem GROUP BY ROLLUP (l_returnflag)
+              ORDER BY GROUPING(l_returnflag), rflag"""),
+      (s, d) => lineitem(s, d)
+        .rollup(col("l_returnflag"))
+        .agg(sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).as("__g"))
+        .select(when(col("__g") === 1, "TOTAL")
+            .otherwise(col("l_returnflag")).as("rflag"),
+          col("sum_qty"), col("n_rows"), col("__g"))
+        .orderBy(col("__g"), col("rflag"))
+        .drop("__g")),
+
     // A4: collect-to-list agg (reference `awarxe_cleanup.py:264-265`);
     // sorted + string-joined so the comparison is order-insensitive
     QueryDef("q_collect_list",

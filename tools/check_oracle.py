@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local pre-flight for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [q_a,q_b,...]
+
+The optional third argument restricts the check to a comma-separated
+query subset — pair it with SPARK_GRAFT_ONLY on graft.Verify for a
+fast targeted gate during iteration.
 
 Reads every <verifyOutDir>/<query>/ parquet written by graft.Verify, runs
 the matching oracle SQL from oracle_sql.json in DuckDB over the same
@@ -30,8 +34,15 @@ def canon(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    if only is not None:
+        missing = only - set(oracles)
+        if missing:
+            print(f"FAIL: unknown queries in subset: {sorted(missing)}")
+            sys.exit(1)
+        oracles = {k: v for k, v in oracles.items() if k in only}
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
