@@ -292,6 +292,36 @@ object ExtQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- text: FUZZY decontamination — train docs that are MinHash
+    // near-dups of a benchmark doc (paraphrase-tolerant eval-leak
+    // check; raw shingle overlap misses reworded questions). The
+    // incremental-index probe shape: benchmark sketched once,
+    // candidates only inside shared LSH buckets. The oracle is the
+    // full banding recompute restricted to train-vs-bench pairs ----
+    QueryDef("q_fuzzy_decontaminate",
+      Some(s"""WITH $minhashBucketCtes,
+              fz AS (
+                SELECT DISTINCT a.id AS train_id, b.id AS bench_id,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    AS jaccard
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.id % 10 <> 0 AND b.id % 10 = 0
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    >= 0.1)
+              SELECT train_id, bench_id, jaccard FROM fz
+              ORDER BY train_id, bench_id"""),
+      (s, d) => {
+        val docs = documents(s, d)
+        Decontaminate.fuzzyContamination(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", threshold = 0.1)
+          .orderBy("train_id", "bench_id")
+      }),
+
     // ---- deterministic stratified sampling: md5-gated, so the same
     // rows are drawn regardless of partitioning, seed, or engine ----
     QueryDef("q_stratified_sample",

@@ -31,4 +31,29 @@ object Decontaminate {
       .join(broadcast(benchVocab), Seq("tok"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
+
+  /** FUZZY decontamination: training documents that are MinHash
+    * near-duplicates of a benchmark document — the paraphrase-tolerant
+    * complement to [[contaminationHits]] (raw shingle overlap misses a
+    * lightly reworded eval question; near-dup Jaccard catches it).
+    * Returns (train_id, bench_id, jaccard) for every pair clearing
+    * `threshold`, so the caller can both DROP train docs and report
+    * WHICH benchmark items leaked.
+    *
+    * Scale shape: this is exactly the incremental-index probe — the
+    * benchmark is sketched once (thousands of docs; at 100 TB the
+    * staged parquet index the daily dedup already maintains), the
+    * corpus sketches itself map-side and candidates form only inside
+    * shared LSH buckets. Corpus ids must be disjoint from benchmark
+    * ids.
+    */
+  def fuzzyContamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 2, k: Int = 16,
+      bands: Int = 8, threshold: Double = 0.3): DataFrame =
+    Dedup.incrementalMinhashPairsFromIndex(
+        Dedup.minhashIndexView(bench, idCol, textCol, n, k, bands),
+        Dedup.minhashIndexView(corpus, idCol, textCol, n, k, bands),
+        threshold)
+      .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
+        col("jaccard"))
 }

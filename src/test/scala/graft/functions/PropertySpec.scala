@@ -102,4 +102,39 @@ class PropertySpec extends AnyFunSuite {
       assert(agg.merge(br, bl) === expected, "merge must be commutative")
     }
   }
+
+  test("pgm_ahash_bands: random images match an independent reference decode") {
+    // reference implementation written from the spec, not the kernel:
+    // parse canonical header, pool (r*8/h, c*8/w), threshold by
+    // cross-multiplication, pack little-endian 16-bit bands
+    def reference(w: Int, h: Int, px: Array[Int]): Seq[Long] = {
+      val sums = new Array[Long](64); val cnts = new Array[Long](64)
+      var total = 0L
+      for (r <- 0 until h; c <- 0 until w) {
+        val seg = (r * 8 / h) * 8 + (c * 8 / w)
+        val v = px(r * w + c).toLong
+        sums(seg) += v; cnts(seg) += 1; total += v
+      }
+      val n = w.toLong * h
+      (0 until 4).map { b =>
+        (0 until 16).foldLeft(0L) { (acc, j) =>
+          val seg = b * 16 + j
+          if (sums(seg) * n > total * cnts(seg)) acc | (1L << j) else acc
+        }
+      }
+    }
+    val expr = PgmAHashBands(
+      org.apache.spark.sql.catalyst.expressions.Literal(Array.empty[Byte]))
+    (1 to 200).foreach { _ =>
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(24)
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      val payload = s"P5\n$w $h\n255\n".getBytes("UTF-8") ++
+        px.map(_.toByte)
+      val got = expr.compute(payload)
+      assert(got != null, s"w=$w h=$h decoded null")
+      val arr = (0 until 4).map(got.getLong)
+      assert(arr === reference(w, h, px), s"w=$w h=$h")
+    }
+  }
 }

@@ -19,6 +19,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(hits === Seq((10L, 1L), (11L, 3L)))
   }
 
+  test("fuzzyContamination catches a paraphrase exact overlap underweights") {
+    // bench doc vs a train doc with ONE word swapped: most shingles
+    // still match -> high Jaccard, flagged; the unrelated doc is not
+    val bench = Seq(
+      (100L, "what is the capital city of france paris obviously today"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "what is the capital city of france paris obviously now"),
+      (2L, "completely unrelated sentence about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.fuzzyContamination(corpus, bench,
+        "doc_id", "text", threshold = 0.3)
+      .select("train_id", "bench_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 100L)))
+  }
+
   test("hashGate fractions: 0 keeps nothing, 1 keeps all, mid is stable") {
     val df = spark.range(1000).toDF("id")
     assert(df.filter(Sampling.hashGate(col("id"), 0.0)).count() === 0)
