@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 
@@ -46,6 +46,98 @@ object Tune {
       }
       val best = ts.minBy(_._1)
       println(f"[tune] $name%-28s ${best._1}%7.2f s  ${best._2}%3d jobs  ${best._3}%9d rows")
+    }
+
+    // ---- A/B experiments: current operator vs the inline-reconstructed
+    // prior shape, interleaved in ONE JVM (subset runs in separate JVMs
+    // are NOT comparable: JIT warmth and host load dominate the delta).
+    // Each pair runs A,B,A,B with min-of-2 inside time().
+    if (args.drop(1).headOption.contains("ab")) {
+      import org.apache.spark.storage.StorageLevel
+      def shingleDocs = docs.select(col("lang"), col("source"),
+        col("doc_id").as("id"), Dedup.shingles(col("text"), 2).as("sh"))
+      def jac(a: Column, b: Column): Column = {
+        val inter = graft.functions.SketchExpressions.sortedIntersectSize(a, b)
+        inter.cast("double") / (size(a) + size(b) - inter)
+      }
+      for (_ <- 1 to 2) {
+        time("ngramPruned NEW (no persist)") {
+          Dedup.ngramJaccardPairsPruned(docs, "doc_id", "text",
+            Seq("lang", "source"), 2, 0.09)
+        }
+        time("ngramPruned OLD (persisted)") {
+          val d = graft.ops.StageCache.persisted(shingleDocs)
+          Dedup.ngramPrefixCandidatesFromShingles(d, Seq("lang", "source"), 0.09)
+            .join(d.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+            .join(d.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+            .select(col("id_a"), col("id_b"),
+              jac(col("sh_a"), col("sh_b")).as("jaccard"))
+            .filter(col("jaccard") >= 0.09)
+        }
+      }
+      def simhashBuckets = docs
+        .select(col("doc_id").as("id"), Dedup.simhashBits(col("text")).as("bits"))
+        .select(col("id"), col("bits"), explode(array(
+          concat_ws("", slice(col("bits"), 1, 8)),
+          concat(lit("h2:"), concat_ws("", slice(col("bits"), 9, 8))))).as("bucket"))
+      for (_ <- 1 to 2) {
+        time("simhash NEW (no persist)") {
+          Dedup.simhashPairs(docs, "doc_id", "text", 3)
+        }
+        time("simhash OLD (persisted)") {
+          val buckets = graft.ops.StageCache.persisted(simhashBuckets)
+          val h1Differs = graft.functions.SketchExpressions
+            .absDiffSum(slice(col("bits_a"), 1, 8), slice(col("bits_b"), 1, 8)) =!= 0
+          buckets.select(col("bucket"), col("id").as("id_a"), col("bits").as("bits_a"))
+            .join(buckets.select(col("bucket"), col("id").as("id_b"),
+              col("bits").as("bits_b")), Seq("bucket"))
+            .filter(col("id_a") < col("id_b"))
+            .filter(!col("bucket").startsWith("h2:") || h1Differs)
+            .select(col("id_a"), col("id_b"),
+              graft.functions.SketchExpressions
+                .absDiffSum(col("bits_a"), col("bits_b")).as("hamming"))
+            .filter(col("hamming") <= 3)
+        }
+      }
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+      def edges = events.selectExpr("user_id AS src",
+          "event_id % 150 AS dst", "1 + user_id % 7 AS w")
+      for (_ <- 1 to 2) {
+        time("pageRank NEW (fused ew, no per-iter ckpt)") {
+          graft.ops.Graph.pageRank(edges, "src", "dst", "w", 3)
+        }
+        time("pageRank OLD (per-iter ckpt)") {
+          val e = edges.select(col("src").cast("long").as("__src"),
+              col("dst").cast("long").as("__dst"),
+              col("w").cast("long").as("__w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val nodes = e.select(col("__src").as("node"))
+            .unionByName(e.select(col("__dst").as("node")))
+            .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+          val n = nodes.count()
+          val scale = 1000000000L
+          val base = (scale * 15L) / (100L * n)
+          val outw = e.groupBy("__src").agg(sum("__w").as("__ow"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          var pr = nodes.withColumn("rank", lit(scale / n))
+          for (_ <- 1 to 3) {
+            val contrib = e.join(outw, "__src")
+              .join(pr.select(col("node").as("__src"), col("rank").as("__pr")),
+                "__src")
+              .select(col("__dst").as("node"),
+                expr("(__pr * __w) DIV __ow").as("__c"))
+              .groupBy("node").agg(sum("__c").as("__S"))
+            pr = nodes.join(contrib, Seq("node"), "left")
+              .select(col("node"), (lit(base) +
+                expr("(85 * coalesce(__S, 0L)) DIV 100")).as("rank"))
+              .localCheckpoint(false)
+          }
+          pr.count()
+          e.unpersist(); nodes.unpersist(); outw.unpersist()
+          pr
+        }
+      }
+      spark.stop(); return
     }
 
     time("minhashPairs") {

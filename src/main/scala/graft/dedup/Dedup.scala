@@ -397,12 +397,16 @@ object Dedup {
     // distinct() shuffle (17M rows at the 10× bench tier) with a
     // map-side filter. The standard multi-band dedup trick: band i
     // emits iff no earlier band collided.
-    val bucketsRaw = df
+    // persisted (measured against the unpersisted exchange-reuse shape
+    // at the 10× tier: 1.2 s vs 1.5 s min-of-2, interleaved in one
+    // JVM): unlike the minhash/ngram cases the per-row sketch here is
+    // md5-per-TOKEN, so the cache build amortizes a genuinely hot map
+    // pass across the two self-join sides
+    val buckets = graft.ops.StageCache.persisted(df
       .select(col(idCol).as("id"), simhashBits(col(textCol)).as("bits"))
       .select(col("id"), col("bits"), explode(array(
         concat_ws("", slice(col("bits"), 1, 8)),
-        concat(lit("h2:"), concat_ws("", slice(col("bits"), 9, 8))))).as("bucket"))
-    val buckets = graft.ops.StageCache.persisted(bucketsRaw)
+        concat(lit("h2:"), concat_ws("", slice(col("bits"), 9, 8))))).as("bucket")))
     val h1Differs = graft.functions.SketchExpressions
       .absDiffSum(slice(col("bits_a"), 1, 8), slice(col("bits_b"), 1, 8)) =!= 0
     buckets.select(col("bucket"), col("id").as("id_a"), col("bits").as("bits_a"))
@@ -638,12 +642,13 @@ object Dedup {
       blockCols: Seq[String], n: Int = 2, threshold: Double = 0.2): DataFrame = {
     require(threshold > 0,
       "ngramJaccardPairsPruned prunes by required overlap; threshold must be > 0")
-    // ONE persisted shingle stage feeds the prefix index and both
-    // verify joins (it was previously shingled twice: once for the
-    // index, once for verification)
-    val docs = graft.ops.StageCache.persisted(
-      df.select((blockCols.map(col) :+ col(idCol).as("id") :+
-        shingles(col(textCol), n).as("sh")): _*))
+    // unpersisted shingle stage: the two verify sides shuffle
+    // identically on id (one exchange, reused), and the prefix index
+    // consumes its own exploded shuffle — re-shingling is a map pass,
+    // cheaper than building a columnar cache of string arrays (same
+    // measured trade as minhashIndexView)
+    val docs = df.select((blockCols.map(col) :+ col(idCol).as("id") :+
+      shingles(col(textCol), n).as("sh")): _*)
     ngramPrefixCandidatesFromShingles(docs, blockCols, threshold)
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
