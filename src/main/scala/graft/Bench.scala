@@ -20,9 +20,11 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // Spark JOB COUNT per query: scheduling overhead (not data) is the
     // sf1 heavy-tail cost, so the action count is the tuning signal.
-    // onJobStart events post to the listener bus before the job's
-    // tasks run, so by the time an action returns the counter has
-    // seen every job it spawned.
+    // Posting to the listener bus is synchronous but DELIVERY is not
+    // (AsyncEventQueue dispatches on its own thread), so an action can
+    // return while its last JobStart is still queued — read the
+    // counter only after it has gone quiet (settledJobs below), or a
+    // straggler increment lands in the NEXT query's window.
     val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -32,6 +34,19 @@ object Bench {
         }
       })
     val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // wait (outside the timed section) for the async listener bus to
+    // go quiet: stable across one 25 ms window, capped at 500 ms
+    def settledJobs(): Int = {
+      var last = jobCounter.get()
+      val deadline = System.nanoTime() + 500L * 1000 * 1000
+      while (System.nanoTime() < deadline) {
+        Thread.sleep(25)
+        val cur = jobCounter.get()
+        if (cur == last) return cur
+        last = cur
+      }
+      last
+    }
     // noop sink executes the FULL physical plan (count() would let
     // Catalyst prune every projected expression away)
     def runIn(name: String, dir: String): Double = {
@@ -44,7 +59,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      val jobs = jobCounter.get() - j0
+      val jobs = settledJobs() - j0
       jobCounts(name) = jobs
       System.err.println(f"[bench] $name%-22s $secs%8.2f s  $jobs%3d jobs")
       // isolate queries: the dedup/ANN pipelines persist sketch stages
@@ -86,9 +101,14 @@ object Bench {
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
     val cutoff = math.max(0.8, 1.5 * median)
     val retryBudget = 75.0
+    // greedy, not prefix: one pathological first-pass outlier beyond
+    // the whole budget must not block the cheap suspects behind it —
+    // skip what doesn't fit and keep filling with what does
     val suspects = firstPass.filter(_._2 > cutoff).sortBy(-_._2)
-      .scanLeft(("", 0.0)) { case ((_, acc), (n, t)) => (n, acc + t) }
-      .drop(1).takeWhile(_._2 <= retryBudget).map(_._1).toSet
+      .foldLeft((Set.empty[String], retryBudget)) {
+        case ((acc, rem), (n, t)) =>
+          if (t <= rem) (acc + n, rem - t) else (acc, rem)
+      }._1
     val results = firstPass.map { case (n, t) =>
       if (suspects.contains(n)) {
         val t2 = run(n)
@@ -116,6 +136,9 @@ object Bench {
       // exec should scale linearly in rows
       "q_asof_native")
     val resultMap = results.toMap
+    // snapshot the MAIN-run job counts before the sf1 tier runs the
+    // same query names and overwrites jobCounts with sf1-tier numbers
+    val mainJobCounts = jobCounts.toMap
     val sf1Enabled = sys.env.get("SPARK_GRAFT_SF1")
       .map(_ != "0").getOrElse(sfDir.contains("sf0.1") && only.isEmpty)
     val sf1: Seq[(String, (Double, Double))] = if (!sf1Enabled) Seq.empty else {
@@ -193,7 +216,7 @@ object Bench {
     // full dump also carries per-query Spark JOB counts (the action-
     // count tuning signal; compact line omits them to stay in-window)
     val jobsPart = s""","jobs":${bySlowest.map { case (n, _) =>
-      "\"" + n + "\":" + jobCounts.getOrElse(n, 0)
+      "\"" + n + "\":" + mainJobCounts.getOrElse(n, 0)
     }.mkString("{", ",", "}")}"""
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${
       bySlowest.map(entry).mkString("{", ",", "}")}$jobsPart$failedPart$sf1Part,"value":${r2(total)}}"""

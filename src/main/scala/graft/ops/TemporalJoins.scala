@@ -162,6 +162,10 @@ object TemporalJoins {
     * count crosses the wire), and the call fails before any wide
     * payload row is collected if the dimension exceeds the cap: a
     * too-big broadcast should be an explicit decision, not an OOM.
+    * NOTE: the default cap was tightened from 10M to 1M rows — a
+    * dimension in the 1M–10M band that previously broadcast by
+    * default now needs an explicit `maxRightRows` (or asofJoinNative,
+    * which is the right plan at that size anyway).
     */
   def asofJoinBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightCols: Seq[String],
@@ -212,15 +216,21 @@ object TemporalJoins {
     // oversized dimension fails fast instead of OOMing the driver with
     // up to cap+1 wide rows mid-collect. The post-collect require is
     // belt-and-braces against the source growing between the two
-    // actions.
+    // actions. The dimension plan is persisted across the two actions:
+    // without it an uncached computed dimension (a join/aggregate, or
+    // every micro-batch of enrichAsOfStream) would be evaluated twice
+    // per call — "only a count crosses the wire" is true of driver
+    // transfer, not of cluster compute.
     val rBase = right.filter(col(rightTime).isNotNull)
-    require(rBase.limit(maxRightRows.toInt + 1).count() <= maxRightRows,
-      s"right side exceeds maxRightRows=$maxRightRows — " +
-        "use asofJoinNative (shuffle merge) for a large right side")
-    val rRows = rBase
       .withColumn("__t_us", timeKey(right, rightTime))
       .select(((keys :+ "__t_us") ++ rightCols).map(col): _*)
-      .take(maxRightRows.toInt + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rRows = try {
+      require(rBase.limit(maxRightRows.toInt + 1).count() <= maxRightRows,
+        s"right side exceeds maxRightRows=$maxRightRows — " +
+          "use asofJoinNative (shuffle merge) for a large right side")
+      rBase.take(maxRightRows.toInt + 1)
+    } finally rBase.unpersist(false)
     require(rRows.length <= maxRightRows,
       s"right side grew past maxRightRows=$maxRightRows between the " +
         "cap check and the collect")

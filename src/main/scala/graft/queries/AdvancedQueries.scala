@@ -246,11 +246,17 @@ object AdvancedQueries {
               graft.plans.RangeBinJoinRule
         // bin = the window length: each interval fans out to <= 2 bins.
         // The conf is scoped to THIS build: the rule reads it at
-        // optimization time, so force the optimized plan (cached by
-        // QueryExecution's lazy val) while the conf is set, then
+        // optimization time, so optimize while the conf is set, then
         // restore — no other inequality join on the shared session
         // gets silently re-planned, and RangeBinJoinRuleSpec's
-        // conf-off assertions stay order-independent.
+        // conf-off assertions stay order-independent. The REWRITTEN
+        // plan is then re-wrapped as the returned frame: merely
+        // forcing df.queryExecution.optimizedPlan would cache the
+        // rewrite only on that one QueryExecution, and any downstream
+        // action that builds a fresh one (Bench's noop write, Verify's
+        // parquet write) would re-optimize from the raw logical plan
+        // AFTER the conf restore — silently falling back to the
+        // nested loop this query exists to avoid.
         val binKey = graft.plans.RangeBinJoinRule.binSecondsKey
         val prior = s.conf.getOption(binKey)
         s.conf.set(binKey, "21600")
@@ -267,8 +273,8 @@ object AdvancedQueries {
              FROM iv JOIN $view e
                ON e.ts >= iv.w_start AND e.ts < iv.w_end
              GROUP BY iv_id ORDER BY iv_id""")
-          df.queryExecution.optimizedPlan // rewrite fires NOW, cached
-          df
+          org.apache.spark.sql.GraftShim.ofRows(s,
+            df.queryExecution.optimizedPlan) // rewrite baked into the plan
         } finally prior match {
           case Some(v) => s.conf.set(binKey, v)
           case None => s.conf.unset(binKey)

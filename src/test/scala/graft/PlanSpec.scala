@@ -328,6 +328,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       "RangeBinJoinRule did not fire on the registered SQL query")
     assert(p.contains("Generate"), "binned rewrite should explode interval bins")
+    // the rewrite must survive a FRESH QueryExecution built from the
+    // returned frame's logical plan — that is the path Bench (noop
+    // write) and Verify (parquet write) take, AFTER the builder has
+    // restored the bin conf; forcing the builder's own cached
+    // optimizedPlan is not enough (regression: the rewrite fired only
+    // in the cached QE and every real consumer got the nested loop)
+    val fresh = SparkEntry.queries("q_range_auto")(spark, sf)
+      .select(org.apache.spark.sql.functions.col("*"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!fresh.contains("NestedLoop") && !fresh.contains("CartesianProduct"),
+      "RangeBinJoinRule rewrite did not survive a fresh QueryExecution")
     // the builder scopes its bin conf to its own (eagerly forced)
     // optimization — the shared session must come back unchanged, or
     // every later inequality join gets silently re-planned
