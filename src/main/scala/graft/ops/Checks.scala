@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass data-quality constraint suite — the ingest gate a 100 TB
+  * pipeline runs BEFORE admitting a snapshot (semantic ancestor: the
+  * reference's extract gates, `check_masked.py:48-72`'s column/row
+  * audit and the fail-fast emptiness checks behind
+  * `Relational.requireEmpty`). The difference from calling
+  * requireEmpty N times is the execution shape: every row-predicate
+  * check compiles to a conditional count inside ONE fused global
+  * aggregate, so N constraints cost one scan of the table (plus one
+  * distinct-aggregate phase when a primary-key check is present) —
+  * not N jobs. At 100 TB the difference is N-1 full-table reads.
+  *
+  * Row-predicate checks: `violation` is a boolean Column; a row where
+  * it evaluates TRUE counts against the check. NULL evaluations count
+  * as PASS — callers who want null-is-violation say so explicitly
+  * (`coalesce(pred, lit(true))`), keeping the predicate's semantics
+  * identical to what the same text means in an external SQL engine.
+  *
+  * Primary-key check: violations = `count(*) − count(distinct key)` —
+  * every row beyond the first of a duplicated key counts, and every
+  * NULL-key row counts (count distinct ignores nulls), which is
+  * exactly PRIMARY KEY semantics (unique AND not null). Multi-column
+  * keys count a row whenever ANY key column is null.
+  *
+  * Returns one row per check: (check_name, n_violations, pass),
+  * ordered by check_name.
+  */
+object Checks {
+
+  /** A named row-level constraint; `violation` TRUE = the row fails. */
+  final case class Check(name: String, violation: Column)
+
+  def report(df: DataFrame, checks: Seq[Check],
+      primaryKey: Option[(String, Seq[String])] = None): DataFrame = {
+    val names = checks.map(_.name) ++ primaryKey.map(_._1)
+    require(names.nonEmpty, "Checks.report: no checks given")
+    require(names.distinct.length == names.length,
+      s"duplicate check names: ${names.diff(names.distinct).mkString(", ")}")
+    // one fused aggregate row: conditional counts for the predicates,
+    // count(*) − countDistinct for the key (sum over empty input is
+    // NULL → coalesce keeps an empty table all-pass instead of
+    // all-null)
+    val aggs = checks.map(c =>
+      coalesce(sum(when(c.violation, 1L).otherwise(0L)), lit(0L))
+        .as(c.name)) ++
+      primaryKey.map { case (nm, cols) =>
+        require(cols.nonEmpty, s"primary-key check $nm: no key columns")
+        (count(lit(1)) - countDistinct(col(cols.head),
+          cols.tail.map(col): _*)).as(nm)
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single report row to (check_name, n_violations)
+    val pairs = names.map(n => s"'$n', `$n`").mkString(", ")
+    row.selectExpr(
+        s"stack(${names.length}, $pairs) AS (check_name, n_violations)")
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("check_name")
+  }
+}

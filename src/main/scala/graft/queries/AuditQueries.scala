@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Frames, Relational}
+import graft.ops.{Checks, Frames, Relational}
 
 /** Audit / data-quality pipeline queries (reference check_masked.py +
   * the unreg_presc fail-fast gate). q_masked_diff is the
@@ -57,6 +57,51 @@ object AuditQueries {
         li.groupBy("l_linestatus").agg(count(lit(1)).as("n"))
           .orderBy("l_linestatus")
       }),
+
+    // one-pass constraint suite (graft.ops.Checks): N ingest-gate
+    // constraints — row predicates + a primary-key check — evaluated
+    // in ONE fused aggregate scan of the table, not N jobs. The
+    // fixture mixes passing checks with deliberately tight thresholds
+    // (allowed-language subset, max-length cap) so the report carries
+    // both zero and non-zero violation rows. Row predicates treat
+    // NULL as a violation explicitly (coalesce(pred, TRUE)) with the
+    // same expression text on both engines.
+    QueryDef("q_check_suite",
+      Some("""WITH agg AS (SELECT
+                sum(CASE WHEN coalesce(lang NOT IN ('en', 'de', 'fr'), TRUE)
+                    THEN 1 ELSE 0 END) AS lang_allowed,
+                sum(CASE WHEN coalesce(length(trim(text)) = 0, TRUE)
+                    THEN 1 ELSE 0 END) AS text_nonempty,
+                sum(CASE WHEN coalesce(n_chars <> length(text), TRUE)
+                    THEN 1 ELSE 0 END) AS n_chars_consistent,
+                sum(CASE WHEN coalesce(n_chars > 300, TRUE)
+                    THEN 1 ELSE 0 END) AS n_chars_le_300,
+                sum(CASE WHEN coalesce(NOT regexp_matches(source, '^src[0-9]+$'), TRUE)
+                    THEN 1 ELSE 0 END) AS source_format,
+                count(*) - count(DISTINCT doc_id) AS doc_id_pk
+              FROM documents)
+              SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+                     n_violations = 0 AS pass
+              FROM (
+                SELECT 'doc_id_pk' AS check_name, doc_id_pk AS n_violations FROM agg
+                UNION ALL SELECT 'lang_allowed', lang_allowed FROM agg
+                UNION ALL SELECT 'n_chars_consistent', n_chars_consistent FROM agg
+                UNION ALL SELECT 'n_chars_le_300', n_chars_le_300 FROM agg
+                UNION ALL SELECT 'source_format', source_format FROM agg
+                UNION ALL SELECT 'text_nonempty', text_nonempty FROM agg)
+              ORDER BY check_name"""),
+      (s, d) => Checks.report(documents(s, d), Seq(
+          Checks.Check("lang_allowed",
+            coalesce(!col("lang").isin("en", "de", "fr"), lit(true))),
+          Checks.Check("text_nonempty",
+            coalesce(length(trim(col("text"))) === 0, lit(true))),
+          Checks.Check("n_chars_consistent",
+            coalesce(col("n_chars") =!= length(col("text")), lit(true))),
+          Checks.Check("n_chars_le_300",
+            coalesce(col("n_chars") > 300, lit(true))),
+          Checks.Check("source_format",
+            coalesce(!col("source").rlike("^src[0-9]+$"), lit(true)))),
+        primaryKey = Some(("doc_id_pk", Seq("doc_id"))))),
 
     // k-anonymity release screen (graft.ops.Privacy.report): how much
     // of the table sits in quasi-identifier groups smaller than k=5
