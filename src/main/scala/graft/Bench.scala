@@ -35,18 +35,8 @@ object Bench {
       })
     val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     // wait (outside the timed section) for the async listener bus to
-    // go quiet: stable across one 25 ms window, capped at 500 ms
-    def settledJobs(): Int = {
-      var last = jobCounter.get()
-      val deadline = System.nanoTime() + 500L * 1000 * 1000
-      while (System.nanoTime() < deadline) {
-        Thread.sleep(25)
-        val cur = jobCounter.get()
-        if (cur == last) return cur
-        last = cur
-      }
-      last
-    }
+    // go quiet before reading the counter — see graft.ListenerSettle
+    def settledJobs(): Int = ListenerSettle.settled(jobCounter)
     // noop sink executes the FULL physical plan (count() would let
     // Catalyst prune every projected expression away)
     def runIn(name: String, dir: String): Double = {

@@ -42,14 +42,8 @@ object Tune {
         val t0 = System.nanoTime()
         val n = f.count()
         val t = (System.nanoTime() - t0) / 1e9
-        // listener delivery is async — settle before reading (see Bench)
-        var last = jobs.get(); var tries = 0
-        while (tries < 20) {
-          Thread.sleep(25)
-          val cur = jobs.get()
-          if (cur == last) tries = 20 else { last = cur; tries += 1 }
-        }
-        (t, last - j0, n)
+        // listener delivery is async — settle before reading
+        (t, ListenerSettle.settled(jobs) - j0, n)
       }
       val best = ts.minBy(_._1)
       println(f"[tune] $name%-28s ${best._1}%7.2f s  ${best._2}%3d jobs  ${best._3}%9d rows")

@@ -40,23 +40,25 @@ object Checks {
     require(names.nonEmpty, "Checks.report: no checks given")
     require(names.distinct.length == names.length,
       s"duplicate check names: ${names.diff(names.distinct).mkString(", ")}")
-    // one fused aggregate row: conditional counts for the predicates,
-    // count(*) − countDistinct for the key (sum over empty input is
-    // NULL → coalesce keeps an empty table all-pass instead of
-    // all-null)
-    val aggs = checks.map(c =>
-      coalesce(sum(when(c.violation, 1L).otherwise(0L)), lit(0L))
-        .as(c.name)) ++
+    // one fused aggregate row: conditional counts for the predicates
+    // (count skips NULL/false and is 0 — not NULL — on an empty
+    // table), count(*) − countDistinct for the key. Internally the
+    // report row uses positional aliases and carries the caller's
+    // names only as literals, so a name may contain ANY character
+    // (quotes, backticks, dots) without breaking column resolution.
+    val safe = names.indices.map(i => s"__check_$i")
+    val aggs = (checks.map(c => count(when(c.violation, lit(true)))) ++
       primaryKey.map { case (nm, cols) =>
         require(cols.nonEmpty, s"primary-key check $nm: no key columns")
-        (count(lit(1)) - countDistinct(col(cols.head),
-          cols.tail.map(col): _*)).as(nm)
-      }
+        count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*)
+      }).zip(safe).map { case (c, s) => c.as(s) }
     val row = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single report row to (check_name, n_violations)
-    val pairs = names.map(n => s"'$n', `$n`").mkString(", ")
-    row.selectExpr(
-        s"stack(${names.length}, $pairs) AS (check_name, n_violations)")
+    val kv = names.zip(safe).map { case (n, s) =>
+      struct(lit(n).as("check_name"), col(s).as("n_violations")) }
+    row.select(explode(array(kv: _*)).as("kv"))
+      .select(col("kv.check_name").as("check_name"),
+        col("kv.n_violations").as("n_violations"))
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy("check_name")
   }

@@ -157,11 +157,11 @@ object TemporalJoins {
     * per (keys, time), null right times dropped, null left times
     * match nothing, null keys group together.
     *
-    * `maxRightRows` bounds the driver collect — a cheap row COUNT of
-    * the capped plan runs first (columns prune to nothing, so only a
-    * count crosses the wire), and the call fails before any wide
-    * payload row is collected if the dimension exceeds the cap: a
-    * too-big broadcast should be an explicit decision, not an OOM.
+    * `maxRightRows` bounds the driver collect: one take(cap+1) pulls
+    * at most one projected row past the broadcast payload the call
+    * was about to build, then fails fast — a too-big broadcast should
+    * be an explicit decision, not an OOM, and the default cap is
+    * sized so the bounded overshoot is harmless.
     * NOTE: the default cap was tightened from 10M to 1M rows — a
     * dimension in the 1M–10M band that previously broadcast by
     * default now needs an explicit `maxRightRows` (or asofJoinNative,
@@ -211,29 +211,21 @@ object TemporalJoins {
         s"$rightTime is ${timeUnit(right, rightTime)}")
     require(maxRightRows > 0 && maxRightRows < Int.MaxValue,
       s"maxRightRows out of range: $maxRightRows")
-    // cap check BEFORE the payload collect: limit(cap+1).count() moves
-    // only a count to the driver (Catalyst prunes every column), so an
-    // oversized dimension fails fast instead of OOMing the driver with
-    // up to cap+1 wide rows mid-collect. The post-collect require is
-    // belt-and-braces against the source growing between the two
-    // actions. The dimension plan is persisted across the two actions:
-    // without it an uncached computed dimension (a join/aggregate, or
-    // every micro-batch of enrichAsOfStream) would be evaluated twice
-    // per call — "only a count crosses the wire" is true of driver
-    // transfer, not of cluster compute.
-    val rBase = right.filter(col(rightTime).isNotNull)
+    // ONE bounded action enforces the cap: take(cap+1) fetches
+    // partitions incrementally and stops at cap+1 projected rows, so
+    // the driver never holds more than one row past the broadcast
+    // payload it was about to build anyway (the cap default is sized
+    // for that). A separate pre-count would either evaluate an
+    // uncached computed dimension twice per call — every micro-batch,
+    // via enrichAsOfStream — or, persisted, unroll full wide
+    // partitions into the cache just to fail the oversized case.
+    val rRows = right.filter(col(rightTime).isNotNull)
       .withColumn("__t_us", timeKey(right, rightTime))
       .select(((keys :+ "__t_us") ++ rightCols).map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rRows = try {
-      require(rBase.limit(maxRightRows.toInt + 1).count() <= maxRightRows,
-        s"right side exceeds maxRightRows=$maxRightRows — " +
-          "use asofJoinNative (shuffle merge) for a large right side")
-      rBase.take(maxRightRows.toInt + 1)
-    } finally rBase.unpersist(false)
+      .take(maxRightRows.toInt + 1)
     require(rRows.length <= maxRightRows,
-      s"right side grew past maxRightRows=$maxRightRows between the " +
-        "cap check and the collect")
+      s"right side exceeds maxRightRows=$maxRightRows — " +
+        "use asofJoinNative (shuffle merge) for a large right side")
     val k = keys.length
     // per key: time-sorted parallel arrays (times, payload rows)
     val index: Map[Seq[Any], (Array[Long], Array[Seq[Any]])] =
