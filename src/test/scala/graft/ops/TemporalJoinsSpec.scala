@@ -176,4 +176,48 @@ class TemporalJoinsSpec extends SparkTestBase {
     // inner path drops degenerates, the left path must not)
     assert(out === Set((10L, 1L), (10L, 2L), (20L, -1L), (30L, -1L)))
   }
+
+  test("randomized: window, native (codegen merge) and broadcast as-of agree") {
+    // seeded generator: small key space + coarse times force heavy
+    // ties, simultaneous left/right rows, empty groups, and ~10% null
+    // times on both sides; one nullable payload field exercises
+    // null-passthrough (never back-filled). The right side is deduped
+    // to one row per (key, time) — the documented uniqueness contract.
+    val rnd = new scala.util.Random(20260814L)
+    def nt(): java.lang.Long =
+      if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(40).toLong)
+    val left = (1 to 300).map { i =>
+      (i.toLong, s"k${rnd.nextInt(8)}", nt())
+    }.toDF("lid", "k", "lt")
+    val right = (1 to 300).map { i =>
+      (s"k${rnd.nextInt(8)}", nt(), i.toLong,
+        if (rnd.nextInt(4) == 0) null else s"v$i")
+    }.toDF("k", "rt", "rid", "tag")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("k", "rt").orderBy("rid")))
+      .filter(col("__rn") === 1).drop("__rn")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("lid"), col("k"), col("lt"), col("rid"), col("tag"))
+        .collect().map(_.toString).sorted.toSeq
+    val win = canon(TemporalJoins.asofJoin(
+      left, right, Seq("k"), "lt", "rt", Seq("rid", "tag")))
+    val nat = canon(TemporalJoins.asofJoinNative(
+      left, right, Seq("k"), "lt", "rt", Seq("rid", "tag")))
+    val bro = canon(TemporalJoins.asofJoinBroadcast(
+      left, right, Seq("k"), "lt", "rt", Seq("rid", "tag")))
+    assert(nat === win, "native backward diverges from window reference")
+    assert(bro === win, "broadcast diverges from window reference")
+    // forward = backward on the negated time axis: the window
+    // reference on negated copies is the independent spec
+    val fwd = canon(TemporalJoins.asofJoinNative(
+      left, right, Seq("k"), "lt", "rt", Seq("rid", "tag"),
+      direction = "forward"))
+    val fwdRef = canon(TemporalJoins.asofJoin(
+        left.withColumn("lt", -col("lt")),
+        right.withColumn("rt", -col("rt")),
+        Seq("k"), "lt", "rt", Seq("rid", "tag"))
+      .withColumn("lt", -col("lt")))
+    assert(fwd === fwdRef, "native forward diverges from negated-axis reference")
+  }
 }
