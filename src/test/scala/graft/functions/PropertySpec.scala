@@ -137,4 +137,97 @@ class PropertySpec extends AnyFunSuite {
       assert(arr === reference(w, h, px), s"w=$w h=$h")
     }
   }
+
+  // ---- the dedup sketch kernels vs independent references ----
+
+  private val wsChars = Array(' ', '\t', '\n', '\r', '\u000B')
+  private val tokenPool = Array("spark", "agg", "join", "kéy", "中文",
+    "a", "bb", "x1", "ß", "end.", "a-b", "", "Z")
+  private def randText(): String = {
+    val n = rnd.nextInt(12)
+    val sb = new StringBuilder
+    if (rnd.nextBoolean()) sb.append(wsChars(rnd.nextInt(wsChars.length)))
+    (0 until n).foreach { _ =>
+      sb.append(tokenPool(rnd.nextInt(tokenPool.length)))
+      (0 to rnd.nextInt(2)).foreach(_ =>
+        sb.append(wsChars(rnd.nextInt(wsChars.length))))
+    }
+    sb.toString
+  }
+  private def unsignedLt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < math.min(x.length, y.length)) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  test("word_shingles: random texts match a sliding/distinct/byte-sort reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    for (_ <- 1 to trials; n <- Seq(1, 2, 3, 7)) {
+      val t = randText()
+      val tr = t.trim
+      val toks = if (tr.isEmpty) Array("") else tr.split("\\s+")
+      val expect =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+          .sortWith(unsignedLt)
+      val got = WordShingles.shingle(t, n)
+      val gotSeq = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+      assert(gotSeq === expect, s"text=${t.map(_.toInt)} n=$n")
+      // round-trip through UTF8String (the codegen path's input type)
+      val _ = UTF8String.fromString(t) // parity with production encoding
+    }
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("minhash_sig: equals per-seed min of hex md5 strings (hex order claim included)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 8
+    for (_ <- 1 to 200) {
+      val m = rnd.nextInt(10)
+      val shingles = (0 until m).map(_ => randStr(12)).distinct
+      val arr = new GenericArrayData(
+        shingles.map(s => UTF8String.fromString(s)).toArray[Any])
+      val got = SketchOps.minhashSig(arr, k)
+      val gotSeq = (0 until k).map(i =>
+        if (got.isNullAt(i)) null else got.getUTF8String(i).toString)
+      // reference: min as PLAIN STRING ordering over hex digests — if
+      // the kernel's digest-byte comparison were not hex-order-
+      // preserving this would diverge
+      val expect = (1 to k).map { s =>
+        if (shingles.isEmpty) null
+        else shingles.map(sh => md5hex(s + ":" + sh)).min
+      }
+      assert(gotSeq === expect, s"shingles=$shingles")
+    }
+  }
+
+  test("simhash_bits: equals the nibble-vote reference") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    for (_ <- 1 to 200) {
+      val m = rnd.nextInt(12)
+      val tokens = (0 until m).map(_ => randStr(8))
+      val arr = new GenericArrayData(
+        tokens.map(s => UTF8String.fromString(s)).toArray[Any])
+      val got = SketchOps.simhashBits(arr)
+      val gotBits = (0 until 16).map(got.getInt)
+      val expect = (0 until 16).map { dim =>
+        val votes = tokens.map { t =>
+          val nib = Integer.parseInt(md5hex(t).charAt(dim).toString, 16)
+          if (nib >= 8) 1 else -1
+        }.sum
+        if (votes > 0) 1 else 0
+      }
+      assert(gotBits === expect, s"tokens=$tokens")
+    }
+  }
 }
