@@ -166,12 +166,18 @@ object TemporalJoins {
     * dimension in the 1M–10M band that previously broadcast by
     * default now needs an explicit `maxRightRows` (or asofJoinNative,
     * which is the right plan at that size anyway).
+    *
+    * `direction`: "backward" (latest right at-or-before, the default)
+    * or "forward" (earliest right at-or-after) — same contract as
+    * [[asofJoinNative]]'s direction, exact-time ties inclusive both
+    * ways.
     */
   def asofJoinBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightCols: Seq[String],
-      maxRightRows: Long = 1000000L): DataFrame =
+      maxRightRows: Long = 1000000L,
+      direction: String = "backward"): DataFrame =
     asofJoinBroadcastHandle(left, right, keys, leftTime, rightTime,
-      rightCols, maxRightRows)._1
+      rightCols, maxRightRows, direction)._1
 
   /** [[asofJoinBroadcast]] exposing the broadcast it created, so
     * per-micro-batch callers (enrichAsOfStream) can `destroy()` it
@@ -181,9 +187,13 @@ object TemporalJoins {
   private[graft] def asofJoinBroadcastHandle(left: DataFrame,
       right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightCols: Seq[String],
-      maxRightRows: Long = 1000000L)
+      maxRightRows: Long = 1000000L,
+      direction: String = "backward")
       : (DataFrame, org.apache.spark.broadcast.Broadcast[_]) = {
     import org.apache.spark.sql.Row
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
       StructField, StructType, TimestampNTZType, TimestampType}
     val collisions = rightCols.toSet.intersect(left.columns.toSet)
@@ -257,8 +267,15 @@ object TemporalJoins {
             case Some((times, payloads)) =>
               val t = row.getLong(tIdx)
               val pos = java.util.Arrays.binarySearch(times, t)
-              val at = if (pos >= 0) pos else -(pos + 1) - 1
-              if (at < 0) Seq.fill(nOut)(null) else payloads(at)
+              // exact hit is tie-inclusive in both directions; a miss
+              // takes the floor (backward: latest <= t) or the
+              // insertion point (forward: earliest >= t)
+              val at =
+                if (pos >= 0) pos
+                else if (fwd) -(pos + 1)
+                else -(pos + 1) - 1
+              if (at < 0 || at >= times.length) Seq.fill(nOut)(null)
+              else payloads(at)
           }
         Row.fromSeq(Seq.tabulate(nLeft)(row.get) ++ payload)
       }

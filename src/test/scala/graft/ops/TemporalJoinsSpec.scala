@@ -219,5 +219,10 @@ class TemporalJoinsSpec extends SparkTestBase {
         Seq("k"), "lt", "rt", Seq("rid", "tag"))
       .withColumn("lt", -col("lt")))
     assert(fwd === fwdRef, "native forward diverges from negated-axis reference")
+    val broFwd = canon(TemporalJoins.asofJoinBroadcast(
+      left, right, Seq("k"), "lt", "rt", Seq("rid", "tag"),
+      direction = "forward"))
+    assert(broFwd === fwdRef,
+      "broadcast forward diverges from negated-axis reference")
   }
 }
