@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   *
   * Returns one row per check: (check_name, n_violations, pass),
   * ordered by check_name.
+  *
+  * Scale note: the PK check is EXACT (count distinct plans an Expand —
+  * roughly a second aggregate phase over the key column). That is the
+  * right default for an ingest gate, where "0 violations" must mean
+  * zero; a trillion-row advisory profile that only needs "roughly
+  * unique" can swap in approx_count_distinct as a row-predicate-free
+  * variant at a fraction of the cost.
   */
 object Checks {
 
