@@ -41,6 +41,25 @@ object Checks {
   /** A named row-level constraint; `violation` TRUE = the row fails. */
   final case class Check(name: String, violation: Column)
 
+  /** The gate form of [[report]]: run the suite and THROW (naming
+    * every failing check and its violation count) unless all checks
+    * pass. One scan either way. In a `foreachBatch` body this makes
+    * admission batch-atomic: a poisoned micro-batch fails the stream
+    * before any of its rows reach the sink, instead of half-writing —
+    * the streaming twin of the batch ingest gate (StreamingSpec pins
+    * the contract).
+    */
+  def requirePass(df: DataFrame, checks: Seq[Check],
+      primaryKey: Option[(String, Seq[String])] = None): Unit = {
+    val failing = report(df, checks, primaryKey)
+      .filter(!col("pass"))
+      .select(col("check_name"), col("n_violations"))
+      .collect()
+    if (failing.nonEmpty) throw new IllegalStateException(
+      "constraint suite failed: " + failing.map(r =>
+        s"${r.getString(0)} (${r.getLong(1)} violations)").mkString(", "))
+  }
+
   def report(df: DataFrame, checks: Seq[Check],
       primaryKey: Option[(String, Seq[String])] = None): DataFrame = {
     val names = checks.map(_.name) ++ primaryKey.map(_._1)

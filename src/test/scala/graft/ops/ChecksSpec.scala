@@ -68,4 +68,18 @@ class ChecksSpec extends SparkTestBase {
         Checks.Check("dup", lit(false)), Checks.Check("dup", lit(true))))
     }
   }
+
+  test("requirePass: silent when green, throws naming every failing check") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "")).toDF("id", "s")
+    Checks.requirePass(df, Seq(Checks.Check("never", lit(false))))
+    val e = intercept[IllegalStateException] {
+      Checks.requirePass(df, Seq(
+        Checks.Check("s_nonempty", length(col("s")) === 0),
+        Checks.Check("fine", lit(false))),
+        primaryKey = Some(("id_pk", Seq("id"))))
+    }
+    assert(e.getMessage.contains("s_nonempty (1 violations)"))
+    assert(e.getMessage.contains("id_pk (1 violations)"))
+    assert(!e.getMessage.contains("fine"))
+  }
 }

@@ -287,4 +287,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming ingest gate: a poisoned micro-batch fails the stream before its rows land") {
+    import spark.implicits._
+    import graft.ops.Checks
+    val tmp = java.nio.file.Files.createTempDirectory("gate_test").toString
+    val docsDir = s"$tmp/docs"
+    // file 1 is clean; file 2 carries a null id — with
+    // maxFilesPerTrigger=1 they arrive as separate micro-batches
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "s")
+      .coalesce(1).write.parquet(docsDir)
+    Seq[(java.lang.Long, String)]((3L, "gamma"), (null, "poisoned"))
+      .toDF("id", "s")
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    val landed = scala.collection.mutable.Set.empty[Long]
+    val q = spark.readStream.schema("id LONG, s STRING")
+      .option("maxFilesPerTrigger", "1").parquet(docsDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the gate runs BEFORE the sink: batch-atomic admission
+        Checks.requirePass(b, Seq(
+          Checks.Check("s_nonempty", coalesce(length(col("s")) === 0, lit(true)))),
+          primaryKey = Some(("id_pk", Seq("id"))))
+        landed.synchronized { landed ++= b.select("id").as[Long].collect() }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("id_pk (1 violations)")),
+      s"gate failure should name the failing check, got: ${e.getMessage}")
+    assert(landed.toSet === Set(1L, 2L),
+      "the clean batch lands; NO row of the poisoned batch does")
+  }
+
 }
