@@ -90,10 +90,16 @@ object Dedup {
     val spans = df
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
       .select(col(idCol), explode_outer(wins).as("__dig"))
-    val perDig = Window.partitionBy(col("__dig"))
+    // per-digest doc count via groupBy + join-back, NOT a window: the
+    // window form has no map-side combine, so one boilerplate digest
+    // shared by 10M docs funnels 10M rows into a single window
+    // partition — the exact skew this operator targets. The groupBy
+    // partially aggregates the hot digest map-side, the join reuses
+    // the same exchange, and AQE's skew-join covers the residue.
+    val digCounts = spans.filter(col("__dig").isNotNull)
+      .groupBy("__dig").agg(count(lit(1)).as("__docs"))
     spans
-      .withColumn("__docs", when(col("__dig").isNotNull,
-        count(lit(1)).over(perDig)).otherwise(lit(0L)))
+      .join(digCounts, Seq("__dig"), "left")
       .groupBy(idCol)
       .agg(count(col("__dig")).as("n_spans"),
         sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
@@ -115,8 +121,10 @@ object Dedup {
     * Scale shape: positions ride the shuffle as (id, offset) longs and
     * digests as 32-char strings — never the window text. Stages:
     * window digests (map-side) → digest stats groupBy (owner, doc
-    * count) → keyed join back → covered-position explode + distinct →
-    * per-doc position set → one keyed join onto the corpus. Cost is
+    * count) → keyed join back → covered-position explode → per-doc
+    * sorted position set (set-dedup inside the aggregate, binary-
+    * search membership in the token filter) → one keyed join onto the
+    * corpus. Cost is
     * O(total windows), independent of duplicate-cluster size; no
     * self-join, no quadratic anywhere.
     *
@@ -146,18 +154,26 @@ object Dedup {
     val covered = wins.join(stats, "__dig")
       .where(col("__docs") >= 2 && col(idCol) =!= col("__owner"))
       // window at 0-based offset o covers 1-based token positions
-      // o+1 .. o+w; overlapping windows dedupe via distinct
+      // o+1 .. o+w; overlapping windows dedupe inside collect_set (a
+      // pre-aggregation distinct() would be a second shuffle of the
+      // operator's largest intermediate for a dedup the set already
+      // performs, partially map-side). The set is SORTED so the final
+      // membership filter can binary-search: a dup-heavy 100k-token
+      // doc has a covered set as long as itself, and a linear
+      // array_contains scan per token is O(n·m) inside one row —
+      // quadratic exactly on the docs this operator exists for.
       .select(col(idCol),
         explode(sequence(col("__off") + 1, col("__off") + w)).as("__p"))
-      .distinct()
       .groupBy(idCol)
-      .agg(collect_set(col("__p")).as("__cov"))
+      .agg(sort_array(collect_set(col("__p"))).as("__cov"))
+    val covContains = graft.functions.SketchExpressions
+      .sortedContainsInt(col("__cov"), _: Column)
     base.join(covered, Seq(idCol), "left")
       .select(col(idCol),
         size(toks).cast("long").as("n_tokens"),
         coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
         md5(concat_ws(" ", filter(toks, (_, i) =>
-          !coalesce(array_contains(col("__cov"), i + 1), lit(false)))))
+          !coalesce(covContains(i + 1), lit(false)))))
           .as("clean_md5"))
   }
 
@@ -261,7 +277,15 @@ object Dedup {
     */
   def minhashIndexView(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8): MinhashIndex = {
+    // sub-n-token docs are excluded from the index entirely: an empty
+    // shingle set sketches to an all-null signature whose band keys
+    // all collapse to md5('') — every short doc would share every
+    // bucket with every other short doc (m²/2 spurious candidates on
+    // crawl-shaped corpora) and the verify's 0/0 Jaccard is NaN,
+    // which Spark and DuckDB both order ABOVE any threshold. A doc
+    // with no shingles has no near-dup by this metric, by definition.
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
     val b = sh.withColumn("sig", minhashSignature(col("sh"), k))
       .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
         .as(Seq("band", "bucket")))
@@ -272,8 +296,13 @@ object Dedup {
     * already holds the sketches (e.g. CorpusStreams.admitBatch, which
     * also probes and stages them) pair without re-sketching.
     */
-  def minhashPairsFromIndex(index: MinhashIndex,
-      threshold: Double): DataFrame = {
+  /** Every bucket-collision candidate pair with its exact Jaccard —
+    * the shared candidate+verify stage behind [[minhashPairsFromIndex]]
+    * (threshold filter) and [[minhashEval]] (precision aggregate), so
+    * a fix to the pipeline cannot silently apply to one and not the
+    * other.
+    */
+  private def scoredCandidates(index: MinhashIndex): DataFrame = {
     val candidates = index.buckets
       .select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(index.buckets.select(col("band"), col("bucket"),
@@ -288,8 +317,11 @@ object Dedup {
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
+
+  def minhashPairsFromIndex(index: MinhashIndex,
+      threshold: Double): DataFrame =
+    scoredCandidates(index).filter(col("jaccard") >= threshold)
 
   /** [[incrementalMinhashPairs]] with the delta's sketches pre-built —
     * the no-resketch probe for callers that need the delta index for
@@ -347,31 +379,21 @@ object Dedup {
     */
   def minhashEval(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8,
-      threshold: Double = 0.1): DataFrame = {
-    // one-shot pipeline → no persist, same reasoning as minhashPairs
-    val shDf = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-    val buckets = shDf
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
-        .as(Seq("band", "bucket")))
-    val candidates = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    candidates
-      .join(shDf.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shDf.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      threshold: Double = 0.1): DataFrame =
+    // one-shot pipeline → the unpersisted view + the SAME candidate/
+    // verify stage the pair operator runs (scoredCandidates) with the
+    // aggregate in place of the threshold filter. Zero-candidate
+    // corpora report (0, 0, 0) — sum over an empty aggregate is NULL,
+    // and the unguarded precision division would NaN→ANSI-error on
+    // the cast.
+    scoredCandidates(minhashIndexView(df, idCol, textCol, n, k, bands))
       .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("jaccard") >= threshold, 1).otherwise(0)).cast("long")
-          .as("n_verified"))
+        coalesce(sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)),
+          lit(0L)).as("n_verified"))
       .select(col("n_candidates"), col("n_verified"),
-        floor(col("n_verified") * 10000.0 / col("n_candidates") + 0.5)
-          .cast("long").as("precision_bp"))
-  }
+        when(col("n_candidates") === 0, 0L).otherwise(
+          floor(col("n_verified") * 10000.0 / col("n_candidates") + 0.5)
+            .cast("long")).as("precision_bp"))
 
   /** 16-bit SimHash from per-token md5 nibble MSBs: dimension i gets
     * +1 when nibble i of md5(token) is >= 8, else -1; bit i of the
@@ -383,6 +405,16 @@ object Dedup {
   /** SimHash near-duplicate pairs: block on the two 8-bit half-sketches
     * (a pair must agree on at least one half to be a candidate — the
     * band trick again), verify Hamming distance <= maxHamming.
+    *
+    * Recall contract: two bands GUARANTEE a candidate only for pairs
+    * with Hamming distance <= 1 (pigeonhole — d differing bits can
+    * touch at most d bands); a qualifying pair at d in 2..maxHamming
+    * is found only when its differing bits happen to fall in one
+    * half. That probabilistic recall above d=1 is the standard LSH
+    * trade (guaranteed d=3 recall needs 4 bands of 4 bits, at ~4x
+    * the candidate volume from much weaker bands); callers needing
+    * exhaustive d<=3 recall should use [[ngramJaccardPairs]] or widen
+    * the sketch.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -657,10 +689,16 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], n: Int = 2, threshold: Double = 0.2): DataFrame = {
-    require(threshold > 0,
-      "ngramJaccardPairs counts shared shingles; threshold must be > 0")
+  /** Distinct-shingle intersection counts for every within-block pair
+    * sharing at least one shingle: (id_a, id_b, sz_a, sz_b, inter) by
+    * inverted index (explode → (block, shingle) equi-join → count) —
+    * the shared scaffold of [[ngramJaccardPairs]] and
+    * [[containmentPairs]], which differ only in how they score
+    * (inter, sz_a, sz_b). One implementation means the skew caveats
+    * and any blocking fix apply to both.
+    */
+  private def blockIntersections(df: DataFrame, idCol: String,
+      textCol: String, blockCols: Seq[String], n: Int): DataFrame = {
     val inv = df.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
         shingles(col(textCol), n).as("sh")): _*)
@@ -676,6 +714,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 2, threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0,
+      "ngramJaccardPairs counts shared shingles; threshold must be > 0")
+    blockIntersections(df, idCol, textCol, blockCols, n)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
@@ -698,21 +743,7 @@ object Dedup {
       minContPpm: Long = 500000L): DataFrame = {
     require(minContPpm > 0,
       "containmentPairs counts shared shingles; minContPpm must be > 0")
-    val inv = df.select(
-      (blockCols.map(col) :+ col(idCol).as("id") :+
-        shingles(col(textCol), n).as("sh")): _*)
-      .select((blockCols.map(col) :+ col("id") :+ size(col("sh")).as("sz") :+
-        explode(col("sh")).as("tok")): _*)
-    val a = inv.select(
-      (blockCols.map(col) :+ col("tok") :+
-        col("id").as("id_a") :+ col("sz").as("sz_a")): _*)
-    val b = inv.select(
-      (blockCols.map(col) :+ col("tok") :+
-        col("id").as("id_b") :+ col("sz").as("sz_b")): _*)
-    a.join(b, blockCols :+ "tok")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
+    blockIntersections(df, idCol, textCol, blockCols, n)
       .withColumn("cont_a_ppm",
         expr("CAST((1000000 * inter) DIV sz_a AS BIGINT)"))
       .withColumn("cont_b_ppm",

@@ -147,6 +147,24 @@ object SketchOps {
   /** Intersection size of two SORTED distinct string arrays (single
     * merge walk — array_intersect builds a hash set per call).
     */
+  /** Binary-search membership in a SORTED ascending int array —
+    * O(log m) where array_contains is O(m), which matters when the
+    * array is a per-document covered-position set that can be as long
+    * as the document itself (ExactSubstr apply on dup-heavy docs).
+    */
+  def sortedContainsInt(arr: ArrayData, v: Int): Boolean = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val m = arr.getInt(mid)
+      if (m == v) return true
+      else if (m < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
     var i = 0
     var j = 0
@@ -161,6 +179,29 @@ object SketchOps {
     }
     n
   }
+}
+
+case class SortedContainsInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_contains_int"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<int>, int), got (${l.simpleString}, ${r.simpleString})")
+    }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SketchOps.sortedContainsInt(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[java.lang.Integer].intValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SketchOps.sortedContainsInt($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
@@ -229,6 +270,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 }
 
 object SketchExpressions {
+  def sortedContainsInt(arr: Column, v: Column): Column =
+    GraftShim.column(SortedContainsInt(
+      GraftShim.expression(arr), GraftShim.expression(v)))
   def minhashSig(shingles: Column, k: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(shingles), k))
   def simhashBits(tokens: Column): Column =

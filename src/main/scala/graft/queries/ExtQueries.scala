@@ -84,6 +84,14 @@ object ExtQueries {
     * buckets) shared by the pairs oracle and q_dedup_eval.
     */
   private[queries] val minhashBucketCtes =
+    // len(sh) > 0 mirrors minhashIndexView's sub-n-token guard: an
+    // empty shingle set has an all-null signature whose band keys all
+    // collapse to md5('') — every short doc would bucket with every
+    // other short doc and the 0/0 Jaccard (NaN, which both engines
+    // rank above any threshold) would pass the verify. The guard sits
+    // on the SIGNATURE stage, not base: admission CTEs read base for
+    // the full batch (a shingle-less doc is admissible, just never a
+    // near-dup candidate).
     s"""base AS (
           SELECT doc_id AS id, $shinglesSql AS sh
           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -92,7 +100,7 @@ object ExtQueries {
           SELECT id, sh,
             list_transform(range(1, 17), s ->
               list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
-          FROM base),
+          FROM base WHERE len(sh) > 0),
         banded AS (
           SELECT id, sh,
             list_transform(range(0, 8), b ->

@@ -789,10 +789,11 @@ object ScaleQueries {
                 FROM buckets a JOIN buckets b
                   ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
               SELECT CAST(count(*) AS BIGINT) AS n_candidates,
-                CAST(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END)
+                CAST(coalesce(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END), 0)
                   AS BIGINT) AS n_verified,
-                CAST(floor(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END)
-                    * 10000.0 / count(*) + 0.5) AS BIGINT) AS precision_bp
+                CAST(CASE WHEN count(*) = 0 THEN 0
+                  ELSE floor(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END)
+                    * 10000.0 / count(*) + 0.5) END AS BIGINT) AS precision_bp
               FROM cand"""),
       (s, d) => graft.dedup.Dedup.minhashEval(
         documents(s, d), "doc_id", "text", 2, 16, 8, 0.1)),

@@ -31,22 +31,49 @@ object Ann {
   /** L2 norm (same fold). */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
+  /** Cosine similarity — the textbook formula, which is 0/0 (NaN, or
+    * an ANSI divide-by-zero error in interpreted eval) on zero-norm
+    * inputs. Search/pair operators all route through the internal
+    * zero-guarded [[cosineSim]] instead; use this only where inputs
+    * are known non-zero.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** dp/(na·nb) guarded to NULL when either norm is zero: a zero
+    * embedding (dead/padding row) has no cosine direction, and the
+    * unguarded 0/0 is NaN — which Spark and DuckDB both order ABOVE
+    * every real similarity, so one zero vector would become the
+    * rank-1 "nearest neighbor" of every query and pair with every row
+    * under any threshold. NULL instead sorts LAST under desc ordering
+    * and fails every >= threshold filter. (No-op on well-formed
+    * corpora; every search/pair entry point routes through this.)
+    */
+  private def cosineSim(dp: Column, na: Column, nb: Column): Column =
+    when(na =!= 0.0 && nb =!= 0.0, dp / (na * nb))
+
+  /** Self-pair exclusion shared by every search entry point. All of
+    * them expose `excludeSelf` (default true — the corpus-is-queries
+    * convention of the registered queries); pass false when the query
+    * table's vec_id space is independent of the corpus's, where a
+    * coincidental id collision would silently drop a legitimate
+    * neighbor (the hazard quantizedTopK's doc describes).
+    */
+  private def dropSelf(df: DataFrame, exclude: Boolean): DataFrame =
+    if (exclude) df.filter(col("qid") =!= col("nid")) else df
 
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows (self excluded). Query set should be small: it is broadcast.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     // norms precomputed per ROW, not per pair (same IEEE value — the
     // per-pair oracle formulation produces identical bits)
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       col("embedding").as("qvec"), norm(col("embedding")).as("qnrm")))
     val c = corpus.select(col("vec_id").as("nid"),
       col("embedding").as("nvec"), norm(col("embedding")).as("nnrm"))
-    val scored = q.crossJoin(c)
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
+    val scored = dropSelf(q.crossJoin(c), excludeSelf)
+      .withColumn("sim", cosineSim(dot(col("qvec"), col("nvec")), col("qnrm"), col("nnrm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -75,7 +102,7 @@ object Ann {
       col("embedding").as("nvec"), norm(col("embedding")).as("nnrm"))
     val scored = q.crossJoin(c)
       .filter(col("qlabel") =!= col("nlabel"))
-      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
+      .withColumn("sim", cosineSim(dot(col("qvec"), col("nvec")), col("qnrm"), col("nnrm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -106,15 +133,14 @@ object Ann {
     * it never touches embeddings again.
     */
   def rrfTopK(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60, excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       col("embedding").as("qvec"), norm(col("embedding")).as("qnrm")))
     val c = corpus.select(col("vec_id").as("nid"),
       col("embedding").as("nvec"), norm(col("embedding")).as("nnrm"))
-    val scored = q.crossJoin(c)
-      .filter(col("qid") =!= col("nid"))
+    val scored = dropSelf(q.crossJoin(c), excludeSelf)
       .withColumn("dp", dot(col("qvec"), col("nvec")))
-      .withColumn("sim", col("dp") / (col("qnrm") * col("nnrm")))
+      .withColumn("sim", cosineSim(col("dp"), col("qnrm"), col("nnrm")))
     val wCos = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     val wDot = Window.partitionBy("qid").orderBy(col("dp").desc, col("nid").asc)
     val wFuse = Window.partitionBy("qid").orderBy(col("rrf").desc, col("nid").asc)
@@ -167,8 +193,14 @@ object Ann {
 
   private def pivotSims(pivotData: Array[(Long, Array[Float], Double)]) = {
     val nrm = norm(col("embedding"))
+    // zero-norm guard: under ANSI a zero-norm row (or pivot) would
+    // DIVIDE_BY_ZERO the whole assignment scan; sim -2 sits below any
+    // real cosine, so a dead row just lands in the tie-break cell and
+    // a dead pivot's cell attracts nothing
     array(pivotData.map { case (pid, pv, pn) =>
-      struct((dot(col("embedding"), typedlit(pv)) / (nrm * lit(pn))).as("sim"),
+      struct(when(nrm =!= 0.0 && lit(pn) =!= 0.0,
+          dot(col("embedding"), typedlit(pv)) / (nrm * lit(pn)))
+          .otherwise(lit(-2.0)).as("sim"),
         lit(-pid).as("npid"))
     }.toIndexedSeq: _*)
   }
@@ -231,7 +263,8 @@ object Ann {
     * of `trainIters` extra corpus scans at index-build time.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPivots: Int,
-      nprobe: Int = 1, trainIters: Int = 0): DataFrame = {
+      nprobe: Int = 1, trainIters: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
     val piv =
       if (trainIters > 0) trainedPivotData(corpus, nPivots, trainIters)
       else collectPivots(pivots(corpus, nPivots))
@@ -239,21 +272,20 @@ object Ann {
     val qcells =
       if (nprobe <= 1) assignInlined(queries, piv)
       else probeInlined(queries, piv, nprobe)
-    searchCells(qcells, cells, k)
+    searchCells(qcells, cells, k, excludeSelf)
   }
 
   /** Probe the prepared cell table with cell-assigned queries: the
     * shared search tail of every IVF variant.
     */
   private def searchCells(qcells: DataFrame, cells: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(qcells.select(col("vec_id").as("qid"),
       col("embedding").as("qvec"), norm(col("embedding")).as("qnrm"), col("cell")))
-    val scored = q.join(cells.select(col("vec_id").as("nid"),
+    val scored = dropSelf(q.join(cells.select(col("vec_id").as("nid"),
         col("embedding").as("nvec"), norm(col("embedding")).as("nnrm"), col("cell")),
-        Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
+        Seq("cell")), excludeSelf)
+      .withColumn("sim", cosineSim(dot(col("qvec"), col("nvec")), col("qnrm"), col("nnrm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -271,11 +303,12 @@ object Ann {
     * (Pivot drift is a re-TRAIN decision, made on its own cadence.)
     */
   def ivfTopKIncremental(queries: DataFrame, corpus: DataFrame,
-      delta: DataFrame, k: Int, nPivots: Int): DataFrame = {
+      delta: DataFrame, k: Int, nPivots: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val piv = collectPivots(pivots(corpus, nPivots))
     val cells = graft.ops.StageCache.persisted(assignInlined(corpus, piv))
       .unionByName(assignInlined(delta, piv))
-    searchCells(assignInlined(queries, piv), cells, k)
+    searchCells(assignInlined(queries, piv), cells, k, excludeSelf)
   }
 
   /** The candidate (qid, nid) pairs an IVF probe would score — the
@@ -310,7 +343,8 @@ object Ann {
     * the fine search joins on the bucket key.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nBits: Int = 8, nprobe: Int = 1): DataFrame = {
+      nBits: Int = 8, nprobe: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
     val normals: Seq[Array[Float]] = corpus.orderBy("vec_id").limit(nBits)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray).toSeq
@@ -348,9 +382,8 @@ object Ann {
           (1 until nprobe).map(j => bucketFrom(col("__dots"),
             element_at(flipOrder(col("__dots")), j).getField("i")))): _*))
           .as("bucket")))
-    val scored = q.join(c, Seq("bucket"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
+    val scored = dropSelf(q.join(c, Seq("bucket")), excludeSelf)
+      .withColumn("sim", cosineSim(dot(col("qvec"), col("nvec")), col("qnrm"), col("nnrm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -385,7 +418,7 @@ object Ann {
       col("nrm").as("nrm_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("sim", cosineSim(dot(col("v_a"), col("v_b")), col("nrm_a"), col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -422,7 +455,7 @@ object Ann {
     val paired = q.crossJoin(c)
     val coarse = (if (excludeSelf) paired.filter(col("qid") =!= col("nid"))
                   else paired)
-      .withColumn("qsim", dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+      .withColumn("qsim", cosineSim(dot(col("qv"), col("nv")), col("qnrm"), col("nnrm")))
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= rerank)
       .select("qid", "nid")
@@ -434,7 +467,7 @@ object Ann {
       .join(corpus.select(col("vec_id").as("nid"),
         col("embedding").as("nvec"), norm(col("embedding")).as("nfn")), Seq("nid"))
       .join(qf, Seq("qid"))
-      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qfn") * col("nfn")))
+      .withColumn("sim", cosineSim(dot(col("qvec"), col("nvec")), col("qfn"), col("nfn")))
       .withColumn("rank", row_number().over(wf))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
@@ -475,7 +508,7 @@ object Ann {
         col("v").as("v_b"), col("nrm").as("nrm_b")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim",
-        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+        cosineSim(dot(col("v_a"), col("v_b")), col("nrm_a"), col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
     cells.join(dropped, Seq("vec_id"), "left_anti")

@@ -34,7 +34,10 @@ object CorpusStreams {
     * Ids must be unique within the batch and disjoint from every
     * previously ADMITTED id (standard for snapshot ingestion; a
     * replayed id is treated as its own near-dup and rejected, which is
-    * the re-delivery safety property).
+    * the re-delivery safety property). Caveat: a doc with fewer than
+    * `n` tokens has no shingles, is never indexed, and therefore has
+    * NO re-delivery protection — replaying it admits it again. Filter
+    * sub-n-token docs upstream if the source can re-deliver.
     */
   def admitBatch(batch: DataFrame, indexDir: String, idCol: String,
       textCol: String, n: Int = 2, k: Int = 16, bands: Int = 8,

@@ -318,4 +318,28 @@ class DedupSpec extends SparkTestBase {
       .as[(String, String, Long)].collect().toSeq
     assert(m === Seq(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
   }
+
+  test("sub-n-token docs never pair: no all-null-signature bucket collisions") {
+    import spark.implicits._
+    // 'apple' and 'banana' have ZERO 2-shingles: their signatures
+    // would be all-null, every band key md5(''), and the 0/0 Jaccard
+    // NaN — which Spark orders above any threshold. The index guard
+    // must keep them out entirely while real pairs still form.
+    val docs = Seq(
+      (1L, "apple"), (2L, "banana"), (3L, ""),
+      (10L, "the quick brown fox jumps"),
+      (11L, "the quick brown fox jumped")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 2, k = 16, bands = 8, threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 11L)),
+      "short docs must not pair with each other or anything else")
+    assert(!pairs.exists(p => p._1 <= 3 || p._2 <= 3))
+    // the eval path shares the guard AND reports zeros (not NULL /
+    // divide-by-zero) when no candidates form at all
+    val eval = Dedup.minhashEval(
+      Seq((1L, "solo"), (2L, "word")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert((eval.getLong(0), eval.getLong(1), eval.getLong(2)) === ((0L, 0L, 0L)))
+  }
 }

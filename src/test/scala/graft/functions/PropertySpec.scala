@@ -183,6 +183,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_contains_int: binary search agrees with linear membership") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    (1 to trials).foreach { _ =>
+      val xs = (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(60)).distinct.sorted
+      val arr = new GenericArrayData(xs.map(Int.box).toArray[Any])
+      (-2 to 62).foreach { v =>
+        assert(SketchOps.sortedContainsInt(arr, v) === xs.contains(v),
+          s"xs=$xs v=$v")
+      }
+    }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

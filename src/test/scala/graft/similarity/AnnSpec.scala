@@ -244,4 +244,38 @@ class AnnSpec extends SparkTestBase {
     assert(out.keySet === Set(1L, 2L))
     assert(out(1L) === 1.0 / 61 && out(2L) === 1.0 / 61)
   }
+
+  test("a zero-norm embedding never outranks a real neighbor (NaN guard)") {
+    // unguarded, 0/0 cosine is NaN and Spark ranks NaN ABOVE every
+    // real similarity: the dead row would be everyone's rank-1 hit
+    // and semanticDedup's lowest-id zero vector would delete its cell
+    val rows = Seq(
+      (0L, Array(0.0f, 0.0f)),          // dead/padding row
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(rows.filter(col("vec_id") === 1), rows, 2)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(top === Seq(2L, 3L), s"zero vector ranked: $top")
+    val kept = Ann.semanticDedup(rows, nPivots = 1, threshold = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    graft.ops.StageCache.releaseAll()
+    assert(kept.contains(3L) && kept.contains(0L),
+      "the zero vector must not near-dup anything (and nothing dups it)")
+  }
+
+  test("excludeSelf=false keeps a corpus row sharing the query's id") {
+    // independent id spaces: corpus row 1 is a legitimate neighbor of
+    // query 1, not a self-pair
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val query = Seq((1L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val withSelf = Ann.bruteForceTopK(query, corpus, 1, excludeSelf = false)
+      .select("nid").as[Long].collect().toSeq
+    assert(withSelf === Seq(1L))
+    val without = Ann.bruteForceTopK(query, corpus, 1)
+      .select("nid").as[Long].collect().toSeq
+    assert(without === Seq(2L), "default drops the id-colliding row")
+  }
 }
