@@ -161,7 +161,9 @@ object ExtQueries {
                       THEN '<mask>' ELSE toks[CAST(i AS INT)] END) AS mt
                 FROM t)
               SELECT doc_id, array_to_string(mt, ' ') AS masked,
-                CAST(len(list_filter(mt, x -> x = '<mask>')) AS BIGINT)
+                CAST(len(list_filter(range(1, len(mt) + 1), i ->
+                    substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(i AS VARCHAR)), 1, 2) < '26')) AS BIGINT)
                   AS n_masked
               FROM m ORDER BY doc_id"""),
       (s, d) => documents(s, d)

@@ -47,7 +47,41 @@ object CorpusStreams {
     val bkPath = s"$indexDir/buckets"
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
-    val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(shPath))
+    // the two staging appends below are separate jobs, NOT atomic: a
+    // crash between them leaves one table ahead of the other. Fail
+    // FAST on that state instead of limping — with only the shingles
+    // side present, a replayed batch reads a missing buckets path (or,
+    // later, re-admits docs whose candidates can't form), silently
+    // breaking the re-delivery property. (Production-scale streams
+    // should stage through a transactional table format; this parquet
+    // layout is the single-cluster shape.)
+    val hasSh = fs.exists(new org.apache.hadoop.fs.Path(shPath))
+    val hasBk = fs.exists(new org.apache.hadoop.fs.Path(bkPath))
+    require(hasSh == hasBk,
+      s"staged index at $indexDir is inconsistent (shingles=$hasSh, " +
+        "buckets=" + hasBk + ") — a crash between the two staging " +
+        "appends; repair or remove the index directory before resuming")
+    val hasIndex = hasSh && hasBk
+    // sketch parameters are part of the index's identity: probing a
+    // k=16/bands=8 index with bands=4 band keys simply never collides,
+    // so EVERY near-dup would be silently admitted. Persist them at
+    // bootstrap and fail fast on mismatch ever after.
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$indexDir/_index_params")
+    val expectedParams = s"n=$n,k=$k,bands=$bands"
+    if (hasIndex && fs.exists(paramsPath)) {
+      val in = fs.open(paramsPath)
+      val actual = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(actual == expectedParams,
+        s"staged index at $indexDir was built with ($actual) but this " +
+          s"batch probes with ($expectedParams) — band keys from " +
+          "different parameters never collide, so every near-dup would " +
+          "be silently admitted")
+    } else {
+      val out = fs.create(paramsPath, true)
+      try out.write((expectedParams + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     // the batch is sketched exactly ONCE: this index feeds the
     // within-batch pairing, the vs-corpus probe, AND the staging append
     val batchIdx = Dedup.minhashIndex(batch, idCol, textCol, n, k, bands)

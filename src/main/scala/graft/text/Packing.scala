@@ -44,6 +44,9 @@ object Packing {
         "partition (greedy packing is a sequential scan). Pass group " +
         "columns, use packBinsSharded for a manufactured shard key, or " +
         "opt in explicitly with allowGlobal = true on a small frame.")
+    require(!df.columns.contains("bin"),
+      "packBins appends a 'bin' column; input already has one (schema.add " +
+        "would silently produce a duplicate-name struct)")
     val outSchema = df.schema.add(StructField("bin", IntegerType, nullable = false))
     val wIdx = df.schema.fieldIndex(weightCol)
     val gIdx = groupCols.map(df.schema.fieldIndex)
@@ -128,10 +131,14 @@ object Packing {
     val sorted = waste(Seq(col(weightCol).desc, col(idCol)), "sorted")
     val arrival = waste(Seq(col(idCol)), "arrival")
     sorted.join(arrival, groupCols)
+      // zero-slot groups (all weights 0) report 0 ppm: the unguarded
+      // DIV is an ANSI DIVIDE_BY_ZERO that would fail the whole report
       .withColumn("pad_sorted_ppm",
-        expr("CAST((1000000 * pad_sorted) DIV slots_sorted AS BIGINT)"))
+        expr("CAST(CASE WHEN slots_sorted = 0 THEN 0 ELSE " +
+          "(1000000 * pad_sorted) DIV slots_sorted END AS BIGINT)"))
       .withColumn("pad_arrival_ppm",
-        expr("CAST((1000000 * pad_arrival) DIV slots_arrival AS BIGINT)"))
+        expr("CAST(CASE WHEN slots_arrival = 0 THEN 0 ELSE " +
+          "(1000000 * pad_arrival) DIV slots_arrival END AS BIGINT)"))
       .select((g :+ col("pad_sorted_ppm") :+ col("pad_arrival_ppm")): _*)
   }
 }

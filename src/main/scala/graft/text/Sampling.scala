@@ -37,7 +37,11 @@ object Sampling {
     * expression.
     */
   def rateGate(id: Column, rate: Column): Column = {
-    val t = floor(rate * 256 + 0.5).cast("int")
+    // clamp BELOW at 0: hex() of a negative int renders the 64-bit
+    // two's complement and lpad TRUNCATES to 2 chars — "ff" — so an
+    // unguarded negative rate (a data-dependent formula gone wrong)
+    // would keep ~255/256 of rows instead of none
+    val t = greatest(floor(rate * 256 + 0.5).cast("int"), lit(0))
     (t >= 256) ||
       (substring(md5(id.cast("string")), 1, 2) < lpad(lower(hex(t)), 2, "0"))
   }
@@ -74,9 +78,14 @@ object Sampling {
     val rates = df.groupBy(srcCol)
       .agg(least(lit(1.0),
         lit(scale) / sqrt(count(lit(1)).cast("double"))).as("__rate"))
-    df.join(broadcast(rates), Seq(srcCol))
+    // null-SAFE join: groupBy emits a rate row for the null-source
+    // group, but a plain equi-join would never match it — every
+    // null-source document would silently vanish from the mixture
+    // (neither kept nor gated), miscalibrating the volume
+    df.join(broadcast(rates.withColumnRenamed(srcCol, "__rate_src")),
+        col(srcCol) <=> col("__rate_src"))
       .filter(rateGate(col(idCol), col("__rate")))
-      .drop("__rate")
+      .drop("__rate", "__rate_src")
   }
 
   /** Token-budget sampling — the corpus-mixing primitive that fraction
@@ -126,6 +135,9 @@ object Sampling {
     require(strataCols.nonEmpty,
       "systematicSample windows per stratum; an ungrouped global cumsum " +
         "would funnel the corpus through one partition")
+    Seq("n_picks", "__cum", "__prev").foreach(c =>
+      require(!df.columns.contains(c),
+        s"systematicSample appends a '$c' column; input already has one"))
     val w = Window.partitionBy(strataCols.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val anchor = step / 2
@@ -160,9 +172,22 @@ object Sampling {
     require(subgroups >= 1, s"subgroups=$subgroups must be >= 1")
     require(!df.columns.contains("shard"),
       "balancedShards appends a 'shard' column; input already has one")
+    // subgroup key: numeric ids keep the engine-portable `id mod
+    // subgroups` (the oracled path); anything else subgroups on a hex
+    // digit of md5(id) — an unguarded cast of a string id would throw
+    // CAST_INVALID_INPUT under ANSI (or, ANSI off, null-collapse every
+    // magnitude into ONE window partition, silently un-bounding the
+    // partition size this operator exists to bound)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val subgroup = df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        pmod(col(idCol).cast("long"), lit(subgroups))
+      case _ => pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
+        16, 10).cast("long"), lit(subgroups))
+    }
     val win = Window
       .partitionBy(length(col(weightCol).cast("long").cast("string")),
-        pmod(col(idCol).cast("long"), lit(subgroups)))
+        subgroup)
       .orderBy(col(weightCol).desc, col(idCol))
     val k = (row_number().over(win) - 1) % (2 * shards)
     df.withColumn("shard",

@@ -17,6 +17,16 @@ object TextAnalysis {
     * `\s+` oracle diverges on VT-bearing text — the test fixtures
     * contain none (verified), and [[gptPattern]] spells the class out
     * explicitly where exact cross-engine token identity is the point.
+    *
+    * DELIBERATE regex-split convention: empty/whitespace-only text
+    * tokenizes to ONE empty token (`split("", ..) == [""]`), so
+    * tokenCount("") is 1, not 0. Every oracle spells the same
+    * `string_split_regex(trim(..))` and shares the convention —
+    * "fixing" one side would be an invisible parity break on blank
+    * docs across every token-consuming query. Filter blank docs
+    * upstream (`length(trim(text)) > 0`) where 0 is the count you
+    * want; [[subwordCount]] (0 for blank) and [[gptPattern]] counts
+    * (0 matches) intentionally differ.
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -76,15 +86,23 @@ object TextAnalysis {
     // empty-array guard: sequence(1, 0) counts DOWN to [1, 0] and
     // zip_with pads toks with null, which would mask up to 2 phantom
     // tokens — same trap Dedup.duplicateSpans and bigramsT branch on
+    def gateAt(i: Column): Column =
+      substring(md5(concat(id.cast("string"), lit(":"), i.cast("string"))), 1, 2)
+        .lt(gateHex)
     val masked = when(size(toks) >= 1,
       zip_with(toks, sequence(lit(1), size(toks)),
-        (tok, i) => when(
-          substring(md5(concat(id.cast("string"), lit(":"), i.cast("string"))), 1, 2)
-            < gateHex, lit(maskTok)).otherwise(tok)))
+        (tok, i) => when(gateAt(i), lit(maskTok)).otherwise(tok)))
       .otherwise(array().cast("array<string>"))
+    // n_masked counts the GATE, not output tokens equal to maskTok: a
+    // document whose text already contains the literal mask token
+    // (scraped model docs, prior denoising output) must not inflate
+    // the reported replacement count
+    val nMasked = when(size(toks) >= 1,
+      size(filter(sequence(lit(1), size(toks)), i => gateAt(i))))
+      .otherwise(lit(0))
     struct(
       concat_ws(" ", masked).as("masked"),
-      size(filter(masked, t => t === maskTok)).cast("long").as("n_masked"))
+      nMasked.cast("long").as("n_masked"))
   }
 
   /** Overlapping character chunks (retrieval/context-window prep):

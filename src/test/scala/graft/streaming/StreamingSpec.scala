@@ -251,6 +251,26 @@ class StreamingSpec extends SparkTestBase {
     val replay = CorpusStreams.admitBatch(b2.toDF("doc_id", "text"),
       s"$tmp/stream_idx", "doc_id", "text")
     assert(replay.count() === 0L)
+
+    // sketch-parameter drift fails fast: probing a k=16/bands=8 index
+    // with bands=4 band keys would never collide — every near-dup
+    // silently admitted
+    val pe = intercept[IllegalArgumentException] {
+      CorpusStreams.admitBatch(b2.toDF("doc_id", "text"),
+        s"$tmp/stream_idx", "doc_id", "text", bands = 4)
+    }
+    assert(pe.getMessage.contains("bands=4") && pe.getMessage.contains("bands=8"))
+
+    // a half-written index (crash between the two staging appends)
+    // fails fast instead of breaking replay safety
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/stream_idx/buckets"), true)
+    val ie = intercept[IllegalArgumentException] {
+      CorpusStreams.admitBatch(b2.toDF("doc_id", "text"),
+        s"$tmp/stream_idx", "doc_id", "text")
+    }
+    assert(ie.getMessage.contains("inconsistent"))
   }
 
   test("streaming as-of enrichment matches the batch as-of join") {

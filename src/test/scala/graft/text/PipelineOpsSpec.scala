@@ -290,4 +290,34 @@ class PipelineOpsSpec extends SparkTestBase {
       .orderBy("id").collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("rateGate: negative rate keeps NOTHING (hex truncation would invert it)") {
+    // hex() of a negative int renders 16 F's; lpad truncates to "ff",
+    // which would admit ~255/256 of rows — the clamp must keep zero
+    val df = (1L to 200L).toDF("id")
+      .withColumn("r", lit(-0.25))
+    assert(df.filter(Sampling.rateGate(col("id"), col("r"))).count() === 0L)
+    // and rate >= 1.0 keeps everything
+    assert(df.filter(Sampling.rateGate(col("id"), lit(1.0))).count() === 200L)
+  }
+
+  test("sqrtTemperatureMixture: null-source docs are gated, not silently dropped") {
+    val df = ((1L to 30L).map(i => (i, "a")) ++
+      (31L to 40L).map(i => (i, null: String))).toDF("id", "src")
+    // scale large enough that every source keeps everything: all 40
+    // rows must survive, INCLUDING the null-source group
+    val kept = Sampling.sqrtTemperatureMixture(df, "id", "src", scale = 100.0)
+    assert(kept.count() === 40L)
+    assert(kept.filter(col("src").isNull).count() === 10L,
+      "null-source rows must ride the null-safe rate join")
+  }
+
+  test("balancedShards: string ids shard without a numeric cast (ANSI-safe)") {
+    val df = (1 to 40).map(i => (s"doc-$i", (i % 7 + 1) * 10L))
+      .toDF("id", "w")
+    val out = Sampling.balancedShards(df, "id", "w", shards = 3)
+    val byShard = out.groupBy("shard").agg(sum("w").as("tw"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet.subsetOf(Set(0, 1, 2)) && byShard.nonEmpty)
+  }
 }
