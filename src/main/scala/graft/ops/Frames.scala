@@ -89,26 +89,6 @@ object Frames {
       col("min_date"), col("max_date"))
   }
 
-  /** Order-independent whole-table fingerprint — the anti-entropy
-    * primitive for comparing a table across clusters / replication
-    * paths / reruns WITHOUT moving the data: ship three BIGINTs, not
-    * 100 TB. Per row: poly_hash(md5(concat_ws('|', cols))) — md5
-    * narrows any row to a fixed 32-char surface, the polynomial fold
-    * maps it into [0, 1e9+7). Aggregated two ways, both commutative
-    * and so partitioning/order-proof: a bit_xor (catches value flips)
-    * and a modular sum over decimal(38,0) (catches row
-    * duplication/omission that xor's self-cancellation misses —
-    * a row appearing twice xors to zero but sums twice). Engine-
-    * portable: both engines spell md5, the char fold, bit_xor and a
-    * HUGEINT/decimal modular sum exactly (see q_table_checksum's
-    * oracle).
-    *
-    * Pass only columns with engine-stable string forms (strings,
-    * integers, dates — NOT raw doubles; cast money to integer cents
-    * first). Nulls: concat_ws skips them, so (NULL,'x') == ('x',NULL)
-    * — include a not-null key column first if that distinction
-    * matters.
-    */
   /** SCD2 history collapse (gaps-and-islands): turn per-version
     * snapshot rows `(keys…, attrs…, version)` into effective-dated
     * history `(keys…, attrs…, valid_from, valid_to, is_current)` —
@@ -133,6 +113,9 @@ object Frames {
       versionCol: String): DataFrame = {
     require(keyCols.nonEmpty && attrCols.nonEmpty,
       "scd2 needs at least one key column and one attr column")
+    Seq("__chg", "__run", "valid_from", "valid_to", "is_current").foreach(c =>
+      require(!df.columns.contains(c),
+        s"scd2 appends a '$c' column; input already has one"))
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
     val attrs = struct(attrCols.map(col): _*)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -151,6 +134,26 @@ object Frames {
         col("valid_to") :+ col("is_current")): _*)
   }
 
+  /** Order-independent whole-table fingerprint — the anti-entropy
+    * primitive for comparing a table across clusters / replication
+    * paths / reruns WITHOUT moving the data: ship three BIGINTs, not
+    * 100 TB. Per row: poly_hash(md5(concat_ws('|', cols))) — md5
+    * narrows any row to a fixed 32-char surface, the polynomial fold
+    * maps it into [0, 1e9+7). Aggregated two ways, both commutative
+    * and so partitioning/order-proof: a bit_xor (catches value flips)
+    * and a modular sum over decimal(38,0) (catches row
+    * duplication/omission that xor's self-cancellation misses —
+    * a row appearing twice xors to zero but sums twice). Engine-
+    * portable: both engines spell md5, the char fold, bit_xor and a
+    * HUGEINT/decimal modular sum exactly (see q_table_checksum's
+    * oracle).
+    *
+    * Pass only columns with engine-stable string forms (strings,
+    * integers, dates — NOT raw doubles; cast money to integer cents
+    * first). Nulls: concat_ws skips them, so (NULL,'x') == ('x',NULL)
+    * — include a not-null key column first if that distinction
+    * matters.
+    */
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame =
     groupedChecksum(df, Seq.empty, cols)
 
@@ -163,6 +166,8 @@ object Frames {
   def groupedChecksum(df: DataFrame, groupCols: Seq[String],
       cols: Seq[String], extraAggs: Seq[Column] = Seq.empty): DataFrame = {
     require(cols.nonEmpty, "groupedChecksum needs at least one column")
+    require(!df.columns.contains("__fp"),
+      "groupedChecksum uses a temp __fp column; input already has one")
     val rowFp = graft.functions.PolyHash(
       md5(concat_ws("|", cols.map(col): _*)))
     val base = df.withColumn("__fp", rowFp)

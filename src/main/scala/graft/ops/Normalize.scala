@@ -18,10 +18,16 @@ object Normalize {
 
   /** zero-pad to `n` chars (reference `unreg_presc.py:47` zfill).
     * Unlike bare `lpad`, does NOT truncate values already longer than
-    * `n` — Polars zfill semantics.
+    * `n`, and a leading +/- sign stays in front of the inserted zeros
+    * ("-5" -> "-005", not "00-5") — Polars/Python zfill semantics.
     */
-  def zfill(c: Column, n: Int): Column =
-    when(length(c) >= n, c).otherwise(lpad(c, n, "0"))
+  def zfill(c: Column, n: Int): Column = {
+    val sign = substring(c, 1, 1)
+    val signed = sign.isin("-", "+")
+    when(length(c) >= n, c)
+      .when(signed, concat(sign, lpad(substring(c, 2, n), n - 1, "0")))
+      .otherwise(lpad(c, n, "0"))
+  }
 
   /** strip one trailing suffix from a fixed list, longest-first
     * (reference `mm1.py:35-56` iterated strip_suffix over degree list).

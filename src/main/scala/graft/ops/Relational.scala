@@ -36,6 +36,13 @@ object Relational {
     * + one keyed window, so at scale it costs a single hash shuffle on
     * the key — the same shape a MERGE INTO without a transactional
     * table format compiles to.
+    *
+    * Determinism contract: each frame must be unique per
+    * (keys, versionCol) — two SAME-frame rows with equal key AND
+    * version are indistinguishable to the window (the keys are its
+    * partition columns, so key columns cannot tie-break), and the
+    * winner would flip with partitioning. Pre-dedupe (keepFirst with
+    * a real tiebreaker) if the source can produce such rows.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
       versionCol: String): DataFrame = {
@@ -45,7 +52,7 @@ object Relational {
       base.withColumn("__src", lit(0))
         .unionByName(updates.withColumn("__src", lit(1))),
       keys,
-      Seq(col(versionCol).desc, col("__src").desc) ++ keys.map(col(_).asc))
+      Seq(col(versionCol).desc, col("__src").desc))
       .drop("__src")
   }
 
@@ -70,6 +77,9 @@ object Relational {
     * one partition to compute the same scalar.
     */
   def argmaxCount(df: DataFrame, keys: Seq[String]): DataFrame = {
+    Seq("count", "__max").foreach(c => require(!keys.contains(c),
+      s"argmaxCount appends a '$c' column; '$c' as a grouping key " +
+        "would produce an ambiguous duplicate-name frame"))
     val counted = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("count"))
     val mx = counted.agg(max(col("count")).as("__max"))
     counted.join(broadcast(mx), col("count") === col("__max")).drop("__max")
@@ -83,7 +93,16 @@ object Relational {
     df.join(broadcast(lookup.select(col(lookupCol).as(keyCol)).distinct()),
       Seq(keyCol), "left_semi")
 
-  /** Negated membership (`is_in(...).not_()`) as an anti join. */
+  /** Negated membership (`is_in(...).not_()`) as an anti join.
+    * Null-key note: the anti join KEEPS rows whose key is null (no
+    * match exists for them), where Polars' `is_in().not_()` evaluates
+    * to null and the filter DROPS them. The fixtures carry no null
+    * keys; a caller porting a null-bearing reference pipeline should
+    * add `.filter(col(keyCol).isNotNull)` for Polars parity — the
+    * divergence is documented rather than papered over because the
+    * SQL convention (null is "unknown", not "absent") is the one the
+    * rest of this engine follows.
+    */
   def antiByKey(df: DataFrame, keyCol: String, lookup: DataFrame, lookupCol: String): DataFrame =
     df.join(broadcast(lookup.select(col(lookupCol).as(keyCol)).distinct()),
       Seq(keyCol), "left_anti")
@@ -125,6 +144,8 @@ object Relational {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, s"salts=$salts must be >= 1 (pmod by 0 is an " +
+      "ANSI divide-by-zero deep inside the executor)")
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left only (got $joinType): unmatched dim " +
         "rows would be duplicated once per salt replica")
@@ -175,6 +196,8 @@ object Relational {
     * more than one partition's worth of nothing.
     */
   def requireEmpty(df: DataFrame, msg: String, sample: Int = 20): Unit = {
+    require(sample >= 1,
+      s"sample=$sample would take(0) and silently DISABLE the gate")
     val rows = df.take(sample)
     if (rows.nonEmpty) {
       val preview = rows.map(_.toString).mkString("\n  ")

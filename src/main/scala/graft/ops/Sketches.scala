@@ -27,12 +27,25 @@ object Sketches {
     */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int,
       eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
-    val cms = df.stat.countMinSketch(col(keyCol), eps, confidence, seed = 42)
+    // eager contract checks BEFORE the corpus-wide sketch pass: the
+    // probe expression (CmsEstimate) is StringType-only, and a null
+    // key would probe to null — both would otherwise surface as a
+    // confusing failure AFTER the expensive build (bloomSemiJoin sets
+    // the validate-eagerly pattern)
+    require(df.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"heavyHitters probes a string-keyed CMS; cast $keyCol " +
+        s"(${df.schema(keyCol).dataType.simpleString}) to string first")
+    // null keys are excluded end-to-end: CmsEstimate is nullIntolerant
+    // (a null key row would carry cms_ge_exact = null, breaking the
+    // "TRUE for every row by construction" invariant the oracle asserts)
+    val dfNn = df.filter(col(keyCol).isNotNull)
+    val cms = dfNn.stat.countMinSketch(col(keyCol), eps, confidence, seed = 42)
     val bos = new java.io.ByteArrayOutputStream()
     cms.writeTo(bos)
     val est = GraftShim.column(graft.functions.CmsEstimate(
       GraftShim.expression(col(keyCol)), bos.toByteArray))
-    df.groupBy(keyCol)
+    dfNn.groupBy(keyCol)
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col(keyCol).asc)
       .limit(k)
@@ -67,8 +80,15 @@ object Sketches {
     require(k >= 2 && k <= 128, s"k must be in [2, 128], got $k (128 " +
       "keeps (k-1)*2^56 inside BIGINT)")
     import org.apache.spark.sql.expressions.Window
-    // distinct (group, content-hash): the one corpus-wide pass
+    // distinct (group, content-hash): the one corpus-wide pass. Null
+    // values are excluded UP FRONT: md5(null) is null, which sorts
+    // first ascending and would occupy sketch slot rn=1 — a phantom
+    // element inflating n_sk and shifting vk — while the exact
+    // verification self-join (null-rejecting equality on h) can never
+    // see it, so est and exact would silently diverge on any corpus
+    // with null text.
     val d = StageCache.persisted(df
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("src"), md5(col(valueCol)).as("h"))
       .distinct())
     val w = Window.partitionBy("src").orderBy("h")

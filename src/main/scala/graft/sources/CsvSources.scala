@@ -78,6 +78,11 @@ object CsvSources {
   def scanCsvSkipRows(spark: SparkSession, path: String, skipRows: Int,
       sep: String = ","): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // the header line is split with sep.head while the body parse gets
+    // the full string — a multi-char sep would garble the schema
+    // silently (and "" would throw a bare NoSuchElementException)
+    require(sep.length == 1,
+      s"scanCsvSkipRows supports single-character separators, got '$sep'")
     val raw = spark.read.text(path)
     // The banner offset is per-file: a glob or directory would take the
     // header from whichever file head() reads first and keep every other

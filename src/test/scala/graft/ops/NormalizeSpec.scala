@@ -23,6 +23,13 @@ class NormalizeSpec extends SparkTestBase {
       Seq("000007", "123456", "1234567"))
   }
 
+  test("zfill keeps a leading sign in front of the zeros (Python semantics)") {
+    val df = Seq("-5", "+5", "-", "-123456").toDF("s")
+      .withColumn("z", Normalize.zfill(col("s"), 4))
+    assert(df.as[(String, String)].collect().map(_._2).toSeq ===
+      Seq("-005", "+005", "-000", "-123456"))
+  }
+
   test("stripSuffixes removes one trailing suffix, longest-first") {
     val df = Seq("SMITH MD", "JONES DO", "NODEG", "TRAP MDMD").toDF("s")
       .withColumn("r", Normalize.stripSuffixes(col("s"), Seq(" MD", " DO", "MD")))
