@@ -24,6 +24,10 @@ object Privacy {
     * subset). One shuffle: window count over the quasi-id partition.
     */
   def suppress(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    require(quasiIds.nonEmpty,
+      "suppress with no quasi-identifier columns degenerates to ONE " +
+        "global group — a privacy screen that passes everything; a " +
+        "misconfigured column list must fail loudly")
     require(k >= 1, s"k=$k must be >= 1")
     require(!df.columns.contains("__n"),
       "suppress uses a temp __n count column; input already has one")
@@ -38,6 +42,9 @@ object Privacy {
     * (integer — engine-portable, no float summing).
     */
   def report(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    require(quasiIds.nonEmpty,
+      "report with no quasi-identifier columns checks nothing — " +
+        "one global group always reports safe; fail loudly instead")
     require(k >= 1, s"k=$k must be >= 1")
     df.groupBy(quasiIds.map(col): _*)
       .agg(count(lit(1)).as("__n"))

@@ -68,13 +68,23 @@ object Profiler {
     val expMap = typedLit(benfordPpm)
     // drop non-positive amounts BEFORE the digit cast: ANSI mode
     // throws casting a leading '-', and 0 has no Benford digit
-    df.filter(amount > 0)
+    val counts = df.filter(amount > 0)
       .select(substring(amount.cast("string"), 1, 1).cast("int").as("digit"))
       .filter(col("digit").between(1, 9))
       .groupBy("digit")
       .agg(count(lit(1)).as("n"))
+    // join against a full 1-9 digit spine: a digit with ZERO
+    // observations is exactly the strongest fabricated-data signal
+    // (its dev_ppm is the largest deviation in the table), and a
+    // groupBy alone would silently omit that row — a downstream
+    // abs(dev_ppm) screen would see nothing wrong
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    spine.join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("__total", sum(col("n")).over(Window.partitionBy()))
-      .withColumn("obs_ppm", expr("n * 1000000L DIV __total"))
+      .withColumn("obs_ppm",
+        expr("CASE WHEN __total = 0 THEN 0L ELSE n * 1000000L DIV __total END"))
       .withColumn("exp_ppm", element_at(expMap, col("digit")))
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
       .drop("__total")

@@ -135,8 +135,12 @@ object AuditQueries {
       Some("""WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100
                            + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
                          FROM orders),
-              g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+              g0 AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
                     FROM c WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+              g AS (SELECT CAST(r.range AS INT) AS digit,
+                           coalesce(g0.n, 0) AS n
+                    FROM range(1, 10) r LEFT JOIN g0
+                      ON CAST(r.range AS INT) = g0.digit),
               t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
               SELECT digit, n,
                 CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,

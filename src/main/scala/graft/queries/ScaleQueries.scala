@@ -892,7 +892,8 @@ object ScaleQueries {
       Some("""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
                          FROM documents),
               uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
-                FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+                FROM (SELECT unnest(toks) AS w FROM t)
+                WHERE length(w) > 0 GROUP BY w),
               n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
               b AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM (
                   SELECT unnest(CASE WHEN len(toks) >= 2 THEN
@@ -1035,9 +1036,10 @@ object ScaleQueries {
     // sibling with the same unlogged odds-idf bit-exactness recipe;
     // ranking equals textbook tf-idf because log is monotone
     QueryDef("q_tfidf",
-      Some("""WITH t AS (SELECT doc_id,
-                     unnest(string_split_regex(trim(text), '\s+')) AS term
-                   FROM documents),
+      Some("""WITH t AS (SELECT doc_id, term FROM (
+                     SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS term
+                     FROM documents) WHERE length(term) > 0),
               tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
               dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
               n AS (SELECT count(*) AS n_docs FROM documents),

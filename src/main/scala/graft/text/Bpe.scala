@@ -33,6 +33,7 @@ object Bpe {
     */
   def mergeStepReport(documents: DataFrame, textCol: String,
       k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
     val spark = documents.sparkSession
     // vocabulary: distinct words + corpus frequency (the corpus-wide
     // pass; everything below is vocab-sized)
@@ -44,10 +45,15 @@ object Bpe {
     val wW = Window.partitionBy("w").orderBy("pos")
     val stream = graft.ops.StageCache.persisted(words
       .select(col("w"), col("freq"),
-        posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
-      // Java-regex split on "" can emit a trailing empty element; drop
-      // it BEFORE the lead window or the last real symbol would see
-      // nxt = "" instead of null
+        // split AFTER each code point ((?<=.) — Java regex '.' is one
+        // code point), not on "": the empty-pattern split cuts at
+        // UTF-16 unit boundaries, tearing non-BMP characters (emoji,
+        // CJK extensions) into lone surrogate halves that pollute the
+        // pair table — and diverging from the oracle's per-CHARACTER
+        // substr. The zero-width match at end-of-string still emits
+        // one trailing ""; drop it BEFORE the lead window or the last
+        // real symbol would see nxt = "" instead of null
+        posexplode(split(col("w"), "(?<=.)")).as(Seq("pos", "sym")))
       .filter(col("sym") =!= "")
       .withColumn("nxt", lead("sym", 1).over(wW)))
     val links = stream.filter(col("nxt").isNotNull)
@@ -59,9 +65,15 @@ object Bpe {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cnt").desc, col("a").asc,
           col("b").asc)))
-    // winning pair = model parameter: one collected row
-    val Row(a0: String, b0: String) = top.filter(col("rank") === 1)
-      .select("a", "b").head()
+    // winning pair = model parameter: one collected row. An empty
+    // pair table (empty corpus, or every word a single symbol) is a
+    // VALID degenerate state: report zero rows instead of throwing
+    // NoSuchElementException out of head()
+    val winner = top.filter(col("rank") === 1).select("a", "b").take(1)
+    if (winner.isEmpty)
+      return top.select(col("rank"), col("a"), col("b"), col("cnt"),
+        lit(0L).as("total_syms_before"), lit(0L).as("total_syms_after"))
+    val Row(a0: String, b0: String) = winner(0)
     // greedy merge sites for (a0, b0): independent when a0 != b0;
     // for a doubled symbol, the odd-ranked links of each island of
     // consecutive (a0, a0) links (= floor(run/2) merges per run)

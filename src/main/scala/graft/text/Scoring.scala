@@ -7,7 +7,12 @@ import org.apache.spark.sql.functions._
   * ("odds") idf — `(N - df + 0.5) / (df + 0.5)` instead of its log —
   * so the whole score is +,-,*,/ on doubles and therefore bit-identical
   * across engines (IEEE 754 arithmetic is exactly specified; `ln` is
-  * not). Rankings are unchanged: log is monotone.
+  * not). NOTE: dropping the log preserves the PER-TERM ranking
+  * (monotone), but a multi-term sum of odds is NOT a monotone
+  * image of the summed-log form — rare terms weigh more here than
+  * in textbook BM25. The odds form is this engine's deterministic
+  * contract (the oracle spells the same arithmetic), not a claim
+  * of rank-equivalence to the log form on multi-term queries.
   *
   * Scale shape: per-document term frequencies are map-side HOF counts
   * over the token array (no explode, no shuffle); the corpus statistics
@@ -52,7 +57,11 @@ object Scoring {
   /** Per-document top-`k` terms by tf-idf, with the same rational
     * ("odds") idf as [[bm25]] — `(N - df + 0.5) / (df + 0.5)` unlogged,
     * so the score is pure +,-,*,/ on doubles (bit-identical across
-    * engines; log is monotone, so the RANKING equals textbook tf-idf).
+    * engines; for a SINGLE term the ranking matches textbook tf-idf
+    * — log is monotone — but tf × odds is not a monotone image of
+    * tf × log-odds, so which terms make a document's top-k can
+    * differ from the log form: rare terms weigh more here. The
+    * odds form is the deterministic engine contract).
     * Returns (idCol, term, rk, score), rk in 1..k, ties broken by term.
     *
     * Scale shape: tf is one (id, term) aggregation of the exploded
@@ -66,8 +75,11 @@ object Scoring {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // blank docs tokenize to [""]: the empty string must not surface
+    // as a document's "top term" or accrue a df like a real term
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
     // persisted: tf feeds BOTH the df reduction and the join's probe
     // side — without it Spark duplicates the explode+aggregate subtree
     // on each (at cluster scale: a checkpoint/staging table). Routed
@@ -112,10 +124,7 @@ object Scoring {
     // pads the shorter side with null; the final slice drops that
     // (t_n, null) tail pair.
     val t = col("__toks")
-    val bgs = when(size(t) >= 2,
-      slice(zip_with(t, slice(t, lit(2), size(t) - 1),
-        (a, b) => concat_ws(" ", a, b)), lit(1), size(t) - 1))
-      .otherwise(array().cast("array<string>"))
+    val bgs = TextAnalysis.bigramsT(t)
     // the exploded pairs feed the frequency build AND the probe join —
     // persisted so neither consumer recomputes the explode (StageCache:
     // caller releases after consuming the lazy result)
@@ -164,13 +173,15 @@ object Scoring {
     require(minCount > delta,
       s"minCount=$minCount must exceed delta=$delta (score must stay positive)")
     val t = col("__toks")
-    val bgs = when(size(t) >= 2,
-      slice(zip_with(t, slice(t, lit(2), size(t) - 1),
-        (a, b) => concat_ws(" ", a, b)), lit(1), size(t) - 1))
-      .otherwise(array().cast("array<string>"))
+    val bgs = TextAnalysis.bigramsT(t)
     val toksDf = graft.ops.StageCache.persisted(
       df.select(TextAnalysis.tokens(col(textCol)).as("__toks")))
+    // blank docs tokenize to [""] (the documented convention): the
+    // phantom empty token must not enter the unigram vocab or
+    // n_tokens, or every pair's score_ppm deflates with blank-doc
+    // volume (n_tokens rides the numerator)
     val uni = toksDf.select(explode(t).as("w"))
+      .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
     val bg = toksDf.select(explode(bgs).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_ab"))

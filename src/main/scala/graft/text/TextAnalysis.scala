@@ -220,11 +220,19 @@ object TextAnalysis {
   /** Adjacent word bigrams of a token array, space-joined, in document
     * order WITH repeats (repetition signals need the multiset, unlike
     * the dedup shingle SETS).
+    *
+    * Implementation: zip the array with its shifted self rather than
+    * indexing element_at(t, i) per position — each element_at
+    * re-evaluates the array subtree, turning tokenization O(len) into
+    * O(len²) per doc (measured ~6× slower at sf0.1 in bigramFluency,
+    * which this is the shared helper for). zip_with pads the shorter
+    * side with null; the final slice drops that (t_n, null) tail pair
+    * before it can surface.
     */
   def bigramsT(toks: Column): Column =
     when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      slice(zip_with(toks, slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)), lit(1), size(toks) - 1))
       .otherwise(array().cast("array<string>"))
 
   /** Fraction of elements that are repeats of an earlier element:

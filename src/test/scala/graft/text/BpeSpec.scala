@@ -35,4 +35,27 @@ class BpeSpec extends SparkTestBase {
     assert(r.getLong(4) === 10L)
     assert(r.getLong(5) === 5L)
   }
+
+  test("non-BMP characters are one symbol, not two surrogate halves") {
+    import spark.implicits._
+    // U+1F600 is a surrogate PAIR in UTF-16: a unit-boundary split
+    // would tear it into two invalid half-characters and count 4
+    // symbols for "ok😀" (total 8 at freq 2); the code-point split
+    // counts 3 (total 6) and no pair side is a surrogate fragment
+    val docs = Seq("ok😀 ok😀").toDF("text")
+    val r = Bpe.mergeStepReport(docs, "text", 2).collect()
+    assert(r.head.getLong(4) === 6L,
+      "total_syms_before must be 3 symbols x freq 2")
+    r.foreach { row =>
+      assert(!row.getString(1).exists(Character.isSurrogate) ||
+        row.getString(1).codePointCount(0, row.getString(1).length) == 1,
+        s"pair side '${row.getString(1)}' is a torn surrogate half")
+    }
+  }
+
+  test("empty pair table (single-symbol words) reports zero rows, not a crash") {
+    import spark.implicits._
+    val docs = Seq("a b c", "a b").toDF("text")
+    assert(Bpe.mergeStepReport(docs, "text", 3).count() === 0L)
+  }
 }
