@@ -58,8 +58,14 @@ object DateFormats {
         }
       } else {
         val c = fmt.charAt(i)
-        // quote letters so JDK doesn't interpret them as pattern chars
-        if (c.isLetter) sb.append('\'').append(c).append('\'')
+        // quote everything JDK could interpret: letters (pattern
+        // chars), [ ] (optional sections), # { } (reserved). A literal
+        // apostrophe is the JDK escape itself — emit the doubled ''
+        // form, never wrapped in quotes (wrapping would unbalance the
+        // quote run: "o'clock" must become "'o''clock'"-safe output)
+        if (c == '\'') sb.append("''")
+        else if (c.isLetter || "[]#{}".contains(c))
+          sb.append('\'').append(c).append('\'')
         else sb.append(c)
         i += 1
       }

@@ -29,10 +29,16 @@ object Quantize {
     val withRange = df
       .withColumn("mn", array_min(col(embCol)).cast("double"))
       .withColumn("mx", array_max(col(embCol)).cast("double"))
+    // NaN guard: one NaN component makes array_max NaN (Spark orders
+    // NaN greatest), scale NaN, and every code floor(NaN) — the whole
+    // vector would silently corrupt (ANSI: the cast errors; non-ANSI:
+    // all codes collapse to -127). A non-finite vector quantizes to
+    // NULL instead: visible downstream, never wrong-but-plausible.
     withRange.withColumn("q",
-      transform(col(embCol), x =>
-        floor((x.cast("double") - col("mn")) * scale(col("mn"), col("mx")) + 0.5)
-          .cast("long") - 127))
+      when(!isnan(col("mn")) && !isnan(col("mx")),
+        transform(col(embCol), x =>
+          floor((x.cast("double") - col("mn")) * scale(col("mn"), col("mx")) + 0.5)
+            .cast("long") - 127)))
   }
 
   /** Reconstruct approximate doubles from int8 codes + range (a

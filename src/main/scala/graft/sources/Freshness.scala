@@ -32,13 +32,18 @@ object Freshness {
     val mtime =
       if (!status.isDirectory) status.getModificationTime
       else {
+        // newest FILE beneath the directory, never the directory's own
+        // mtime: deleting/renaming a stray temp file bumps the dir
+        // mtime, which would make 10-day-old data look fresh — the
+        // exact failure this guard exists to catch. An EMPTY directory
+        // is maximally stale (age = now), not fresh.
         val it = fs.listFiles(p, true)
-        var newest = status.getModificationTime
+        var newest = Long.MinValue
         while (it.hasNext) {
           val f = it.next()
           if (f.getModificationTime > newest) newest = f.getModificationTime
         }
-        newest
+        if (newest == Long.MinValue) 0L else newest
       }
     val age = math.max(0L, nowMillis - mtime)
     FileAge(path, age, stale = age > maxAgeMillis)

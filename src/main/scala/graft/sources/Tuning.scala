@@ -20,8 +20,11 @@ object Tuning {
       targetPartitionBytes: Long = 128L << 20): Int = {
     require(shuffleBytes >= 0 && minParallelism > 0 && targetPartitionBytes > 0,
       s"bad inputs: $shuffleBytes / $minParallelism / $targetPartitionBytes")
-    math.max(minParallelism,
-      ((shuffleBytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt)
+    // min with MaxValue BEFORE the Int cast: exa-scale byte counts
+    // would otherwise wrap negative and return minParallelism
+    math.max(minParallelism.toLong,
+      math.min(Int.MaxValue.toLong,
+        (shuffleBytes + targetPartitionBytes - 1) / targetPartitionBytes)).toInt
   }
 
   /** maxPartitionBytes so a scan of `inputBytes` yields at least
@@ -43,8 +46,12 @@ object Tuning {
   def bucketCount(tableBytes: Long, targetBucketBytes: Long = 256L << 20): Int = {
     require(tableBytes >= 0 && targetBucketBytes > 0, "bad inputs")
     val raw = math.max(1L, (tableBytes + targetBucketBytes - 1) / targetBucketBytes)
-    var p = 1
-    while (p < raw) p <<= 1
-    p
+    // Long accumulator, capped at 2^30: an Int shift past 2^30
+    // overflows to MinValue then 0 and the loop would spin forever on
+    // exa-scale inputs; 2^30 buckets is already beyond any practical
+    // layout (callers should raise targetBucketBytes instead)
+    var p = 1L
+    while (p < raw && p < (1L << 30)) p <<= 1
+    p.toInt
   }
 }

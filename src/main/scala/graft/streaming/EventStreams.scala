@@ -28,7 +28,14 @@ object EventStreams {
     // the fixture has shipped ts as TIMESTAMP(NANOS) (→ long via the
     // legacy conf) and TIMESTAMP(MICROS, NTZ) across testdata
     // generations — branch on the resolved batch schema, same as
-    // Tables.eventsRaw (UTC session makes the NTZ cast lossless)
+    // Tables.eventsRaw (UTC session makes the NTZ cast lossless).
+    // SESSION-WIDE side effect, deliberately not restored: the conf
+    // must hold when the lazy stream actually reads its files, not
+    // just while this builder runs, and the harness sessions
+    // (Bench/Verify/tests) already pin it at build time. A caller
+    // embedding this in a session that batch-reads OTHER nano-
+    // timestamp parquet afterward should be aware those columns will
+    // surface as LongType too.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema: StructType = spark.read
       .parquet(s"$sfDir/events.parquet").schema
@@ -117,7 +124,18 @@ object EventStreams {
 
   /** Gap-based sessionization (30-minute inactivity closes a session)
     * via flatMapGroupsWithState. Emits closed sessions; the final
-    * open session per user flushes on timeout / end of stream.
+    * open session per user closes at the END OF EACH INVOCATION (the
+    * whole input in batch mode; the micro-batch's slice of the key in
+    * a real stream). That per-invocation close is what makes the
+    * batch run equal the window-function twin (event-time timeouts
+    * never fire under batch execution, so state parked across
+    * invocations would never flush there) — but it means a
+    * multi-micro-batch STREAM splits a session at every batch
+    * boundary and restarts session_seq per batch. Drive streams with
+    * Trigger.AvailableNow over complete inputs (the spec's shape); a
+    * production incremental sessionizer wants EventTimeTimeout +
+    * watermark flushing instead, at the price of diverging from the
+    * batch twin.
     */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30): DataFrame = {
@@ -218,13 +236,24 @@ object EventStreams {
   def applyCdcBatch(b: DataFrame, snapshotDir: String, keys: Seq[String],
       versionCol: String): Unit = {
     val spark = b.sparkSession
-    val ordered = Seq(col(versionCol).desc) ++ keys.map(col(_).asc)
-    val batchLatest = graft.ops.Relational.keepFirst(b, keys, ordered)
+    // version desc only: the keys are the window's PARTITION columns,
+    // so appending them as tiebreakers is a no-op — two same-batch
+    // rows with equal (keys, version) are indistinguishable and the
+    // winner is partitioning-dependent. The contract is therefore the
+    // same as upsert's: a batch must be unique per (keys, version)
+    // (true CDC feeds are; pre-dedupe otherwise), or replay is not
+    // idempotent.
+    val batchLatest = graft.ops.Relational.keepFirst(b, keys,
+      Seq(col(versionCol).desc))
     val conf = spark.sparkContext.hadoopConfiguration
+    // derive tmp/old as SIBLINGS via Path (which normalizes trailing
+    // slashes): raw string concat on "/data/snap/" would create
+    // _tmp/_old as CHILDREN of the live dir, and the swap rename of a
+    // directory into its own descendant fails on every batch
     val path = new org.apache.hadoop.fs.Path(snapshotDir)
     val fs = path.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "_tmp")
-    val old = new org.apache.hadoop.fs.Path(snapshotDir + "_old")
+    val tmp = new org.apache.hadoop.fs.Path(path.getParent, path.getName + "_tmp")
+    val old = new org.apache.hadoop.fs.Path(path.getParent, path.getName + "_old")
     // CRASH RECOVERY before anything reads the snapshot: a crash
     // between the two swap renames leaves live missing while _old
     // holds the complete prior snapshot — restore it, or this merge

@@ -39,10 +39,7 @@ object Importance {
   private def bigramBuckets(docs: DataFrame, idCol: String,
       textCol: String, targetPred: Column, buckets: Int): DataFrame = {
     val t = col("__toks")
-    val bgs = when(size(t) >= 2,
-      slice(zip_with(t, slice(t, lit(2), size(t) - 1),
-        (a, b) => concat_ws(" ", a, b)), lit(1), size(t) - 1))
-      .otherwise(array().cast("array<string>"))
+    val bgs = TextAnalysis.bigramsT(t)
     docs
       .select(col(idCol), targetPred.as("__tgt"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
@@ -66,9 +63,20 @@ object Importance {
     val stats = bs.groupBy("bucket").agg(
       count(lit(1)).as("cnt_r"),
       sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("cnt_t"))
+    // in-plan guard (raise_error, same pattern as guardedLeftJoin): a
+    // target predicate that matches NOTHING makes every bucket score
+    // the same degenerate smoothing constant — selection by garbage
+    // ranks, with long-overflow risk in the per-doc sum at corpus
+    // scale. Fail loudly; an all-raw run is a configuration error.
     val tot = broadcast(stats.agg(
-      sum("cnt_r").cast("long").as("r_tot"),
-      sum("cnt_t").cast("long").as("t_tot")))
+        sum("cnt_r").cast("long").as("r_tot"),
+        sum("cnt_t").cast("long").as("t_tot"))
+      .withColumn("t_tot",
+        when(col("t_tot") <= 0, raise_error(lit(
+          "importanceScores: targetPred matched no bigram occurrence — " +
+            "an empty target subset scores nothing meaningfully (check " +
+            "the predicate/column)")).cast("long"))
+          .otherwise(col("t_tot"))))
     val dec = "decimal(38,0)"
     val scores = stats.crossJoin(tot)
       .withColumn("__num",
