@@ -77,6 +77,31 @@ object CsvQueries {
           .orderBy("doc_id")
       }),
 
+    // extension: ORC round-trip (columnar interchange beyond parquet —
+    // Spark's NATIVE orc datasource, zero extra deps). Write orders
+    // typed to ORC, re-read, filter + project: the re-read filter must
+    // reach the ORC scan as a pushed predicate (PlanSpec pins
+    // PushedFilters on the orc relation — at 100 TB the format hop is
+    // only acceptable if stripe-level pruning still works on the far
+    // side), and long/string/double/timestamp must all survive the
+    // format change exactly or the hash fails.
+    QueryDef("q_orc_roundtrip",
+      Some("""SELECT o_orderkey AS okey, o_orderstatus AS status,
+                     o_totalprice AS price,
+                     CAST(o_orderdate AS VARCHAR) AS odate
+              FROM orders WHERE o_totalprice > 400000 ORDER BY okey"""),
+      (s, d) => {
+        val dir = s"/tmp/graft_orc/orders_${d.replaceAll("[^0-9.]", "")}"
+        orders(s, d).write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey").as("okey"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price"),
+            col("o_orderdate").cast("string").as("odate"))
+          .orderBy("okey")
+      }),
+
     // S2: pipe-separated extract round-trip (reference scorecard.py:32)
     QueryDef("q_csv_pipe",
       Some("""SELECT s_suppkey AS skey, s_name AS sname,

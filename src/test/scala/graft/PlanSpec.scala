@@ -366,6 +366,17 @@ class PlanSpec extends SparkTestBase {
       "only the final report sort may exchange")
   }
 
+  test("q_orc_roundtrip pushes the re-read filter into the ORC scan") {
+    // the builder writes the ORC copy eagerly, so the returned plan is
+    // the RE-READ side only: one orc scan, whose stripe pruning must
+    // still see the price predicate after the format hop
+    val p = plan("q_orc_roundtrip")
+    assert(p.linesIterator.exists(_.contains("Scan orc")),
+      "no ORC scan in the plan")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "filter did not reach the ORC scan")
+  }
+
   test("q_kmv_overlap pair merges join against a broadcast pair dim") {
     val p = plan("q_kmv_overlap")
     assert(p.contains("BroadcastHashJoin"),
