@@ -40,13 +40,24 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   private lazy val leftIsDouble = elem(left).contains(DoubleType)
   private lazy val rightIsDouble = elem(right).contains(DoubleType)
 
+  // a null ELEMENT nulls the whole fold in the zip_with reference
+  // (null product -> null sum); dataType must reflect that the result
+  // can be null even for non-null array inputs
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(l: Any, r: Any): Any =
     VecDot.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
       leftIsDouble, rightIsDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecDot.dot($a, $b, $leftIsDouble, $rightIsDouble)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}Box =
+         |  graft.functions.VecDot.dot($a, $b, $leftIsDouble, $rightIsDouble);
+         |if (${ev.value}Box == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Box.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -57,12 +68,18 @@ object VecDot {
   /** Sequential double fold; length = min(|a|,|b|) matching zip_with
     * over equal-length fixtures (zip_with pads with null and the HOF
     * fold would null out on ragged inputs — keep vectors equal-length).
+    * A null ELEMENT returns null (boxed), matching the reference fold:
+    * `double(null) * y` is null and the `+` fold swallows the whole
+    * sum — silently reading the slot as 0/garbage bits would rank a
+    * corrupt embedding instead of flagging it.
     */
-  def dot(a: ArrayData, b: ArrayData, aDouble: Boolean, bDouble: Boolean): Double = {
+  def dot(a: ArrayData, b: ArrayData, aDouble: Boolean,
+      bDouble: Boolean): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
       val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
       acc += x * y

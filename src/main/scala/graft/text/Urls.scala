@@ -42,9 +42,13 @@ object Urls {
   def path(url: Column): Column =
     regexp_extract(url, "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
 
-  /** Raw query string (after `?`, before `#`), empty if absent. */
+  /** Raw query string (after `?`, before `#`), empty if absent. The
+    * leading `[^#?]*` anchor stops the match from ever starting inside
+    * the fragment — `http://a/b#frag?x=1` has NO query (the `?` there
+    * belongs to the fragment), which a bare `\?([^#]*)` would miss.
+    */
   def query(url: Column): Column =
-    regexp_extract(url, "\\?([^#]*)", 1)
+    regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
 
   /** Query with tracking params removed, original param order kept.
     * Array-filter over `&`-split params — no lookahead needed, so the

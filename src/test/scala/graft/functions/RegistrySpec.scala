@@ -18,4 +18,20 @@ class RegistrySpec extends SparkTestBase {
     assert(row.getAs[Double]("dp") === 11.0)
     assert(row.getAs[Int]("n") === 2)
   }
+
+  test("vec_dot: a null ELEMENT nulls the fold, matching the zip_with reference") {
+    // double(null) * y is null and the + fold swallows the sum — the
+    // native expression must agree with the composable form, not read
+    // the slot's raw bits as a number
+    val row = spark.sql(
+      """SELECT vec_dot(array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+                        array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS d,
+                aggregate(zip_with(
+                    array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+                    array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE)),
+                    (x, y) -> x * y),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS ref
+      """).collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
 }

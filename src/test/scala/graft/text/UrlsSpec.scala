@@ -49,6 +49,21 @@ class UrlsSpec extends SparkTestBase {
     assert(got === Seq("a.example.com/p", "a.example.com/p", "example.com"))
   }
 
+  test("query: a '?' inside the fragment is NOT a query") {
+    val got = Seq(
+      "https://a.example.com/b#frag?x=1", // ? belongs to the fragment
+      "https://a.example.com/b?x=1#frag", // real query before fragment
+      "https://a.example.com/b")
+      .toDF("u").select(Urls.query(col("u")).as("q"))
+      .as[String].collect().toSeq
+    assert(got === Seq("", "x=1", ""))
+    // canonical key consequence: the fragment-? page folds to the bare
+    // path, not to a phantom "?x=1" variant
+    val canon = Seq("https://a.example.com/b#frag?x=1").toDF("u")
+      .select(Urls.canonicalize(col("u")).as("c")).as[String].collect().head
+    assert(canon === "a.example.com/b")
+  }
+
   test("registrableDomain: last two labels; bare two-label host unchanged") {
     val got = Seq(
       "https://deep.cdn.static.example.com/x",
