@@ -177,6 +177,42 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(out === Set((10L, 1L), (10L, 2L), (20L, -1L), (30L, -1L)))
   }
 
+  test("randomized: rangeJoinBinned equals the naive containment join at every bin width") {
+    // seeded intervals/points over a tight time window so bins are
+    // heavily shared; ~1/6 inverted or empty intervals and ~10% null
+    // fields must simply vanish (no fanout, no null matches). The
+    // expected set is computed directly from the generated data —
+    // point in [s, e), half-open — independent of the binned pipeline.
+    val rnd = new scala.util.Random(20260815L)
+    def t(sec: Int): java.sql.Timestamp =
+      ts(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    def nsec(): Option[Int] =
+      if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(900))
+    val ivRaw: Seq[(Long, Option[Int], Option[Int])] = (1 to 120).map { i =>
+      val s = nsec()
+      val e =
+        if (s.isEmpty || rnd.nextInt(6) == 0) nsec()
+        else s.map(_ + rnd.nextInt(120) - 20) // some inverted/empty
+      (i.toLong, s, e)
+    }
+    val ptRaw: Seq[(Long, Option[Int])] = (1 to 200).map(i => (i.toLong, nsec()))
+    val expected = (for {
+      (ivid, Some(s), Some(e)) <- ivRaw if s < e
+      (pid, Some(p)) <- ptRaw if p >= s && p < e
+    } yield (ivid, pid)).toSet
+    val iv = ivRaw.map { case (id, s, e) =>
+      (id, s.map(t).orNull, e.map(t).orNull)
+    }.toDF("ivid", "s", "e")
+    val pts = ptRaw.map { case (id, p) =>
+      (id, p.map(t).orNull)
+    }.toDF("pid", "pt")
+    for (bin <- Seq(1L, 7L, 60L, 3600L)) {
+      val got = TemporalJoins.rangeJoinBinned(iv, "s", "e", pts, "pt", bin)
+        .select("ivid", "pid").as[(Long, Long)].collect().toSet
+      assert(got === expected, s"binSeconds=$bin diverges from naive join")
+    }
+  }
+
   test("randomized: window, native (codegen merge) and broadcast as-of agree") {
     // seeded generator: small key space + coarse times force heavy
     // ties, simultaneous left/right rows, empty groups, and ~10% null
