@@ -117,6 +117,9 @@ object Bench {
     val sf1Queries = Seq("q_dedup_minhash", "q_ngram_prefix",
       "q_ngram_jaccard", "q_dedup_eval", "q_dedup_simhash", "q_substr_dedup",
       "q_incremental_minhash", "q_substr_apply", "q_containment",
+      // fuzzy decontamination reads only documents; its LSH probe
+      // should scale like the other banded pipelines
+      "q_fuzzy_decontaminate",
       // events-backed iterative/graph ops: the 10x tier shifts user and
       // event ids per copy, so user partitions stay disjoint (10x
       // transition rows over the same page-node set — iteration count
