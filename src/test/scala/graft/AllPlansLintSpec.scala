@@ -14,28 +14,11 @@ class AllPlansLintSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Documented exemptions — every entry carries its justification.
-    * The linter already auto-exempts the safe shapes (scalar re-inject
-    * cross joins, histogram-input global windows), so what lands here
-    * is a deliberate algorithmic choice, not noise.
+  /** The documented exemptions live with the CLI gate (graft.Lint.allow,
+    * one source of truth, every entry justified there); this spec
+    * asserts the same contract from the suite.
     */
-  private val allow: Map[String, Set[String]] = Map(
-    // exact brute-force cosine baseline: the broadcast side is the
-    // LIMIT-k query frame (model-sized by construction, Ann.scala) —
-    // the documented exact path the bucketed variants are judged
-    // against
-    "q_ann_brute" -> Set("cross_product"),
-    "q_ann_recall" -> Set("cross_product"),
-    "q_mrl_recall" -> Set("cross_product"),
-    "q_quantized_topk" -> Set("cross_product"),
-    "q_rrf" -> Set("cross_product"),
-    // pair-predicate (label-inequality) join against the broadcast
-    // query frame — same bounded broadcast side as the brute baseline
-    "q_hard_negatives" -> Set("cross_product"),
-    // KMV sketch-row pair merges: both sides are one-row-per-source
-    // sketch tables (|sources|^2 pairs, sources is a handful), joined
-    // on a non-equi pair predicate by design
-    "q_kmv_overlap" -> Set("cross_product"))
+  private val allow: Map[String, Set[String]] = Lint.allow
 
   test("every registered query plans clean under the scale linter") {
     val bad = scala.collection.mutable.ListBuffer.empty[String]
