@@ -54,6 +54,38 @@ class CohortsSpec extends SparkTestBase {
     assert(out === Seq((1L, 3L, 1625000L), (2L, 2L, 1000000L)))
   }
 
+  test("randomized: retention equals a single-threaded reference") {
+    // seeded activity over 30 users x 14 months; the expected triangle
+    // is computed directly from (user -> month list) maps, independent
+    // of the two-shuffle pipeline
+    val rnd = new scala.util.Random(20260818L)
+    val rows = (1 to 600).map { _ =>
+      val u = rnd.nextInt(30).toLong + 1
+      val m = rnd.nextInt(14) // months since 2023-11
+      val mon = 2023 * 12 + 10 + m // 0-based month index
+      (u, ts(f"${mon / 12}%04d-${mon % 12 + 1}%02d-${rnd.nextInt(28) + 1}%02d 12:00:00"))
+    }
+    val maxOffset = 5
+    val byUser = rows.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map { case (_, t) =>
+        val d = t.toLocalDateTime.toLocalDate
+        d.getYear * 12 + d.getMonthValue - 1
+      }
+    }
+    val expected = byUser.toSeq.flatMap { case (u, months) =>
+      val cohort = months.min
+      months.map(m => (cohort, m - cohort, u))
+    }.filter(_._2 <= maxOffset).distinct
+      .groupBy { case (c, o, _) => (c, o) }
+      .map { case ((c, o), xs) =>
+        (f"${c / 12}%04d-${c % 12 + 1}%02d", o, xs.size.toLong)
+      }.toSet
+    val got = Cohorts.retention(rows.toDF("user_id", "ts"), "user_id", "ts",
+        maxOffset)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("decayScore is partitioning-invariant (exact integer weights)") {
     val events = (1L to 200L)
       .map(i => (i % 7, ts(f"2024-01-${(i % 30 + 1)}%02d 12:00:00")))

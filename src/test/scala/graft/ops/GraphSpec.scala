@@ -69,6 +69,57 @@ class GraphSpec extends SparkTestBase {
     assert(got === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
   }
 
+  test("randomized: triangleCounts equals brute-force triple enumeration") {
+    // seeded multigraph with duplicates, reversals, and self-loops —
+    // all must canonicalize away; the expected counts come from a
+    // direct check of every (a < b < c) triple against the undirected
+    // edge set, independent of the wedge-join pipeline
+    val rnd = new scala.util.Random(20260816L)
+    val raw = (1 to 250).map { _ =>
+      (rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1)
+    }
+    val und = raw.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val expected = (for {
+      (a, i) <- nodes.zipWithIndex
+      (b, j) <- nodes.zipWithIndex.drop(i + 1)
+      c <- nodes.drop(j + 1)
+      if und((a, b)) && und((b, c)) && und((a, c))
+      n <- Seq(a, b, c)
+    } yield n).groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val got = Graph.triangleCounts(raw.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("randomized: pageRank equals a single-threaded integer reference") {
+    // the same truncating-integer recurrence implemented directly over
+    // in-memory maps — an independent spec of every DIV placement
+    val rnd = new scala.util.Random(20260817L)
+    val edges = (1 to 150).map { _ =>
+      (rnd.nextInt(25).toLong + 1, rnd.nextInt(25).toLong + 1,
+        rnd.nextInt(9).toLong + 1)
+    }
+    val scale = 1000000000L
+    val nodes = edges.flatMap { case (s, d, _) => Seq(s, d) }.distinct.sorted
+    val n = nodes.size.toLong
+    val base = (scale * 15L) / (100L * n)
+    val ow = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var pr = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .map { case (s, d, w) => d -> (pr(s) * w) / ow(s) }
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      pr = nodes.map(x => x -> (base + (85L * contrib.getOrElse(x, 0L)) / 100L)).toMap
+    }
+    val got = Graph.pageRank(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === pr)
+  }
+
   test("pageRank: result independent of input partitioning") {
     val edges = (1L to 200L)
       .map(i => (i, (i * 7) % 50 + 1, (i % 5) + 1))
