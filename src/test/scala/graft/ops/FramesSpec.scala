@@ -72,6 +72,37 @@ class FramesSpec extends SparkTestBase {
       (2L, Some("X"), 2003, 2003, true)))
   }
 
+  test("randomized: scd2 equals a single-threaded run-collapse reference") {
+    // seeded snapshots: 12 keys, unique versions per key, attrs drawn
+    // from a 3-value domain INCLUDING null so the null-safe compare
+    // and reopen paths are exercised constantly; the expected history
+    // is a direct per-key fold over the sorted snapshot list
+    val rnd = new scala.util.Random(20260819L)
+    val snaps = (1 to 12).flatMap { k =>
+      val versions = rnd.shuffle((1 to 40).toList).take(5 + rnd.nextInt(15)).sorted
+      versions.map(v => (k.toLong, v,
+        rnd.nextInt(3) match {
+          case 0 => Some("A"); case 1 => Some("B"); case _ => None
+        }))
+    }
+    val expected = snaps.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val runs = sorted.foldLeft(List.empty[(Option[String], Int, Int)]) {
+        case (acc, (_, v, a)) => acc match {
+          case (pa, from, _) :: tail if pa == a => (pa, from, v) :: tail
+          case _ => (a, v, v) :: acc
+        }
+      }.reverse
+      runs.zipWithIndex.map { case ((a, from, to), i) =>
+        (k, a, from, to, i == runs.size - 1)
+      }
+    }.toSet
+    val got = Frames.scd2(snaps.toDF("k", "ver", "attr"),
+        Seq("k"), Seq("attr"), "ver")
+      .as[(Long, Option[String], Int, Int, Boolean)].collect().toSet
+    assert(got === expected)
+  }
+
   test("scd2 multi-attr: change in ANY attr opens a new interval") {
     val snaps = Seq(
       (1L, 1, "a", 10), (1L, 2, "a", 10), (1L, 3, "a", 20))
