@@ -26,6 +26,31 @@ class RelationalSpec extends SparkTestBase {
     assert(out === Set(("a", "primaryA"), ("b", "fallbackB")))
   }
 
+  test("randomized: fallbackMatch equals its set-comprehension reference") {
+    // small key domains force plenty of primary hits, fallback-only
+    // hits, multi-matches on both stages, and full misses; the
+    // expected pair set is the two-stage definition written directly:
+    // primary equi pairs, plus fallback equi pairs for left rows with
+    // NO primary match anywhere in right
+    val rnd = new scala.util.Random(20260820L)
+    def k(n: Int): String = s"k${rnd.nextInt(n)}"
+    val leftRows = (1 to 80).map(i => (i.toLong, k(12), k(8)))
+    val rightRows = (1 to 60).map(j => (k(12), k(8), j.toLong))
+    val primaryKeys = rightRows.map(_._1).toSet
+    val expected = (for {
+      (lid, pk, fk) <- leftRows
+      (rpk, rfk, rid) <- rightRows
+      if (pk == rpk) || (!primaryKeys.contains(pk) && fk == rfk)
+    } yield (lid, rid)).toSet
+    val got = Relational.fallbackMatch(
+        leftRows.toDF("lid", "pk", "fk"),
+        rightRows.toDF("rpk", "rfk", "rid"),
+        ("pk", "rpk"), ("fk", "rfk"))
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "duplicate match pairs emitted")
+    assert(got.toSet === expected)
+  }
+
   test("valueCounts sorts by count desc then value") {
     val df = Seq("x", "y", "y", "z", "z").toDF("v")
     val out = Relational.valueCounts(df, "v").as[(String, Long)].collect().toSeq
