@@ -112,6 +112,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bins.count() === 0L)
   }
 
+  test("randomized: packBins equals a per-group sequential greedy reference") {
+    // seeded weights around the capacity (some oversize) across 4
+    // groups; expected bin ids come from the greedy recurrence written
+    // directly as a per-group fold in id order
+    val rnd = new scala.util.Random(20260821L)
+    val rows = (1L to 300L).map(i =>
+      (i, s"g${rnd.nextInt(4)}", rnd.nextInt(140).toLong + 1))
+    val capacity = 100
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      var bin = 0; var filled = 0L; var first = true
+      rs.sortBy(_._1).map { case (id, _, w) =>
+        if (first) { filled = w; first = false }
+        else if (filled + w > capacity) { bin += 1; filled = w }
+        else filled += w
+        id -> bin
+      }
+    }.toMap
+    val got = Packing.packBins(rows.toDF("id", "g", "w"),
+        Seq("g"), "id", "w", capacity)
+      .select("id", "bin").as[(Long, Int)].collect()
+      .map { case (id, b) => id -> b }.toMap
+    assert(got === expected)
+  }
+
   test("packBins: ungrouped path requires explicit opt-in (scale trap)") {
     val df = Seq((1L, 10L)).toDF("id", "w")
     val e = intercept[IllegalArgumentException] {
