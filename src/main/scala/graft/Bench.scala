@@ -141,7 +141,7 @@ object Bench {
       (0 until 10).map { k =>
         docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
           .withColumn("text", concat_ws(" ",
-            transform(split(trim(col("text")), "\\s+"),
+            transform(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
               t => concat(lit("c" + k), t))))
       }.reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")

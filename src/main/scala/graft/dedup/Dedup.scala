@@ -88,7 +88,7 @@ object Dedup {
         i => unhex(md5(concat_ws(" ", slice(toks, i, lit(w))))))))
       .otherwise(array().cast("array<binary>"))
     val spans = df
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol), split(trim(col(textCol)), "[ \\t\\n\\r\\f]+").as("__toks"))
       .select(col(idCol), explode_outer(wins).as("__dig"))
     // per-digest doc count via groupBy + join-back, NOT a window: the
     // window form has no map-side combine, so one boilerplate digest
@@ -137,7 +137,7 @@ object Dedup {
     require(w >= 1, s"window w=$w must be >= 1")
     val toks = col("__toks")
     val base = df.select(col(idCol),
-      split(trim(col(textCol)), "\\s+").as("__toks"))
+      split(trim(col(textCol)), "[ \\t\\n\\r\\f]+").as("__toks"))
     // one row per (doc, window offset); posexplode of an empty array
     // emits nothing, so sub-w docs simply never produce windows (they
     // rejoin via the final left join with zero removals)

@@ -11,11 +11,19 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Distinct, sorted word n-shingles of a text column in ONE native
   * pass. Exactly the semantics of the composable chain
   * `sort_array(array_distinct(transform(sequence(...), concat_ws(" ",
-  * slice(split(trim(text), "\s+"), ...)))))` that the DuckDB oracle
-  * evaluates — including the quirk that an empty/whitespace-only text
+  * slice(split(trim(text), ..), ...)))))` that the DuckDB oracle
+  * evaluates — including the quirk that an empty/space-only text
   * tokenizes to a single empty token (regex-split behavior), which
   * yields no shingles for n >= 2. Sorting is unsigned-byte order
   * (UTF8String), matching sort_array.
+  *
+  * Tokenization is pinned to the SQL sides exactly: trim strips
+  * SPACES only (JVM `String.trim` strips every char <= U+0020 —
+  * leading tabs would silently vanish here but not in the oracle),
+  * the separator class is `[ \t\n\r\f]` (RE2's `\s`; Java's `\s`
+  * additionally eats U+000B), and the split keeps leading AND
+  * trailing empty tokens (limit −1) as Spark `split` and DuckDB
+  * `string_split_regex` both do.
   */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -36,11 +44,21 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
 object WordShingles {
 
+  /** SQL-trim (spaces only), not JVM trim (all controls <= U+0020). */
+  private def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
   def shingle(text: String, n: Int): GenericArrayData = {
-    val trimmed = text.trim
-    // regex-split semantics: splitting "" by \s+ yields [""]
+    val trimmed = trimSpaces(text)
+    // regex-split semantics: splitting "" yields [""]; limit -1 keeps
+    // trailing empties like Spark split / DuckDB string_split_regex
     val tokens: Array[String] =
-      if (trimmed.isEmpty) Array("") else trimmed.split("\\s+")
+      if (trimmed.isEmpty) Array("") else trimmed.split("[ \t\n\r\f]+", -1)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
     val set = new java.util.TreeSet[UTF8String]()
     val sb = new java.lang.StringBuilder

@@ -41,7 +41,7 @@ object Normalize {
 
   /** collapse internal whitespace runs to single spaces + trim. */
   def cleanWhitespace(c: Column): Column =
-    trim(regexp_replace(c, "\\s+", " "))
+    trim(regexp_replace(c, "[ \\t\\n\\r\\f]+", " "))
 
   /** empty-string-or-null predicate — the reference checks both states
     * explicitly ('' is not falsey in Polars; SURVEY.md §7 trap (a)).

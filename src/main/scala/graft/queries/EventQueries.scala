@@ -392,7 +392,7 @@ object EventQueries {
     // slice; the batched decode stub is rows-only + unit-tested)
     QueryDef("q_media_summary",
       Some("""SELECT doc_id, 'text/plain' AS mime,
-                     octet_length(CAST(text AS BLOB)) AS n_bytes,
+                     octet_length(encode(text)) AS n_bytes,
                      md5(text) AS payload_md5, lang AS tag
               FROM documents ORDER BY doc_id"""),
       (s, d) => Multimodal.mediaSummary(documents(s, d)).orderBy("doc_id")),
@@ -401,8 +401,8 @@ object EventQueries {
     // (64-byte frames, stride 4) — byte ranges and md5s must agree
     // with the oracle's substring slicing exactly
     QueryDef("q_frame_sample",
-      Some("""WITH m AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
-                       octet_length(CAST(text AS BLOB)) AS n_bytes
+      Some("""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS n_bytes
                          FROM documents),
               f AS (SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes,
                       list_transform(

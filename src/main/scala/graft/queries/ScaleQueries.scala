@@ -760,8 +760,8 @@ object ScaleQueries {
     // content sniff that flags mistyped/corrupt blobs at ingest
     // (Multimodal.highNibbles; map-side, one tiny 16-row agg)
     QueryDef("q_byte_hist",
-      Some("""WITH m AS (SELECT hex(CAST(text AS BLOB)) AS hx,
-                       CAST(least(32, octet_length(CAST(text AS BLOB)))
+      Some("""WITH m AS (SELECT hex(encode(text)) AS hx,
+                       CAST(least(32, octet_length(encode(text)))
                          AS INT) AS nb
                      FROM documents),
               n AS (SELECT unnest(list_transform(range(1, nb + 1),

@@ -78,16 +78,24 @@ object StringArrayQueries {
     // hits from page text) — here all s-words per document, as an
     // array column reduced to count + joined string
     QueryDef("q_extract_all",
+      // the word gate is an explicit delimiter class, NOT \b: Java's
+      // \b is Unicode-aware (ß counts as a word char) while RE2's is
+      // ASCII, so `\bs[a-z]+\b` extracts 'stra' from 'straße' in
+      // DuckDB and nothing in Spark — the adversarial-fixture gate
+      // caught it. `(?:^|[^A-Za-z0-9_])` + greedy [a-z]+ has one
+      // reading in both engines on every input.
       Some("""SELECT doc_id,
                 CAST(len(m) AS BIGINT) AS n_matches,
                 COALESCE(array_to_string(m, ','), '') AS all_matches
               FROM (SELECT doc_id,
-                      regexp_extract_all(text, '\bs[a-z]+\b') AS m
+                      regexp_extract_all(text,
+                        '(?:^|[^A-Za-z0-9_])(s[a-z]+)', 1) AS m
                     FROM documents)
               ORDER BY doc_id"""),
       (s, d) => documents(s, d)
         .select(col("doc_id"),
-          regexp_extract_all(col("text"), lit("\\bs[a-z]+\\b"), lit(0)).as("m"))
+          regexp_extract_all(col("text"),
+            lit("(?:^|[^A-Za-z0-9_])(s[a-z]+)"), lit(1)).as("m"))
         .select(col("doc_id"), size(col("m")).cast("long").as("n_matches"),
           array_join(col("m"), ",").as("all_matches"))
         .orderBy("doc_id")),

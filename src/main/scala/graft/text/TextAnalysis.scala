@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of trimmed text. Engine boundary: Java `\s`
-    * includes U+000B (vertical tab) where RE2's does not, so a DuckDB
-    * `\s+` oracle diverges on VT-bearing text — the test fixtures
-    * contain none (verified), and [[gptPattern]] spells the class out
-    * explicitly where exact cross-engine token identity is the point.
+  /** Whitespace tokens of trimmed text. The separator is the EXPLICIT
+    * class `[ \t\n\r\f]` — exactly RE2's `\s` — rather than Java's
+    * `\s` (which additionally matches U+000B vertical tab), so the
+    * engine and a DuckDB `\s+` oracle tokenize identically on EVERY
+    * input, VT-bearing text included (the adversarial-fixture gate
+    * exposed the old divergence poisoning corpus-wide stats like
+    * BM25's avgdl through one hostile doc). Spark `split` and DuckDB
+    * `string_split_regex` also agree on the edges: both keep leading
+    * AND trailing empty tokens, and both `trim` strip spaces only.
     *
     * DELIBERATE regex-split convention: empty/whitespace-only text
     * tokenizes to ONE empty token (`split("", ..) == [""]`), so
@@ -28,7 +32,7 @@ object TextAnalysis {
     * want; [[subwordCount]] (0 for blank) and [[gptPattern]] counts
     * (0 matches) intentionally differ.
     */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(trim(text), "[ \\t\\n\\r\\f]+")
 
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -188,7 +192,7 @@ object TextAnalysis {
     * is engine-portable (no 64-bit overflow semantics involved).
     */
   def fingerprint(text: Column): Column = {
-    val norm = lower(trim(regexp_replace(text, "\\s+", " ")))
+    val norm = lower(trim(regexp_replace(text, "[ \\t\\n\\r\\f]+", " ")))
     // native codegen'd rolling hash — O(n) single pass; the equivalent
     // higher-order-function form (per-index substr) is O(n²) interpreted
     graft.functions.PolyHash(norm)

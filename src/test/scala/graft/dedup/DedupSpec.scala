@@ -200,7 +200,7 @@ class DedupSpec extends SparkTestBase {
     }
     val expected = {
       val toks = docs.map { case (id, t) =>
-        id -> t.trim.split("\\s+").toVector }.toMap
+        id -> t.trim.split("[ \t\n\r\f]+").toVector }.toMap
       val wins: Seq[(Long, Int, String)] = docs.flatMap { case (id, _) =>
         val tk = toks(id)
         (0 to tk.length - w).map(i =>

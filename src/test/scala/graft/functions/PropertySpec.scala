@@ -140,7 +140,7 @@ class PropertySpec extends AnyFunSuite {
 
   // ---- the dedup sketch kernels vs independent references ----
 
-  private val wsChars = Array(' ', '\t', '\n', '\r', '\u000B')
+  private val wsChars = Array(' ', '\t', '\n', '\r', '\u000B', '\f')
   private val tokenPool = Array("spark", "agg", "join", "kéy", "中文",
     "a", "bb", "x1", "ß", "end.", "a-b", "", "Z")
   private def randText(): String = {
@@ -169,8 +169,12 @@ class PropertySpec extends AnyFunSuite {
     import org.apache.spark.unsafe.types.UTF8String
     for (_ <- 1 to trials; n <- Seq(1, 2, 3, 7)) {
       val t = randText()
-      val tr = t.trim
-      val toks = if (tr.isEmpty) Array("") else tr.split("\\s+")
+      // the reference mirrors the PINNED cross-engine convention:
+      // SQL trim (spaces only — not JVM trim's <= U+0020 sweep), the
+      // RE2 `\s` class (U+000B is NOT a separator), and limit -1
+      // (leading AND trailing empty tokens kept)
+      val tr = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = if (tr.isEmpty) Array("") else tr.split("[ \t\n\r\f]+", -1)
       val expect =
         if (toks.length < n) Seq.empty
         else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Build the ADVERSARIAL fixture: sf0.001 with hostile documents rows.
+
+The clean fixtures can't exercise the engine-vs-oracle boundary cases
+(empty/whitespace-only text, vertical tab + formfeed, NBSP, CJK,
+surrogate-pair emoji, trailing backslashes, CR/LF variants, a 9000-char
+token, exact/near dups across sources). This writes /tmp/advfix9/sf9 —
+every non-documents table copied verbatim, documents extended with the
+hostile rows — and the normal gate runs against it:
+
+    python3 tools/make_advfix.py
+    SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /tmp/advfix9/sf9 /tmp/verify_adv"
+    python3 tools/check_oracle.py /tmp/advfix9/sf9 /tmp/verify_adv
+
+Round-9 findings from this gate (all fixed): Java `\\s` (includes VT)
+vs RE2 `\\s` (doesn't) diverged every token count and, through corpus
+stats like BM25's avgdl, every score; DuckDB `CAST(text AS BLOB)`
+interprets \\xNN escapes so backslash-bearing text crashed three
+oracles (encode() is the raw-bytes form); Java `\\b` is Unicode-aware
+while RE2's is ASCII, so `\\bs[a-z]+\\b` disagreed on 'straße'.
+"""
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = '/root/testdata/sf0.001'
+DST = '/tmp/advfix9/sf9'
+
+
+def adversarial_rows():
+    return [
+        ('', 'en', 'webz'),                                 # empty text
+        ('   ', 'en', 'webz'),                              # spaces only
+        ('\t\n\r  \t', 'de', 'webz'),                       # mixed ws only
+        ('word', 'en', 'webz'),                             # single token
+        ('the the the the the the the the', 'en', 'webz'),  # repetition
+        ('a,b,"c" \'d\' `e` |f| \\g\\', 'en', 'webz'),      # quotes/seps
+        ('line1\nline2\r\nline3\rline4', 'en', 'webz'),     # CR/LF forms
+        ('tok' * 3000 + ' end', 'en', 'webz'),              # 9000-char token
+        ('café naïve über straße', 'de', 'webz'),
+        ('日本語 テキスト 中文',
+         'ja', 'webz'),                                     # CJK
+        ('emoji \U0001F600 \U0001F680 mix', 'en', 'webz'),  # surrogates
+        ('vertical\x0btab and formfeed\x0chere', 'en', 'webz'),  # VT + FF
+        ('nbsp separated words', 'en', 'webz'),   # NBSP
+        ('Tab\tsep\tcols', 'en', 'webz'),                   # inner tabs
+        ('UPPER lower MiXeD 123 456', 'en', 'webz'),        # case/digits
+        ('the quick brown fox jumps over the lazy dog', 'en', 'webz'),
+        ('the quick brown fox jumps over the lazy dog', 'en', 'webx'),
+        ('the quick brown fox leaps over the lazy dog', 'en', 'webz'),
+    ]
+
+
+def main():
+    os.makedirs(DST, exist_ok=True)
+    for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
+              'lineitem', 'events', 'embeddings']:
+        shutil.copy(f'{SRC}/{t}.parquet', f'{DST}/{t}.parquet')
+    tbl = pq.read_table(f'{SRC}/documents.parquet')
+    df = tbl.to_pandas()
+    maxid = int(df.doc_id.max())
+    adv = adversarial_rows()
+    rows = pd.DataFrame({
+        'doc_id': [maxid + 1 + i for i in range(len(adv))],
+        'text': [a[0] for a in adv],
+        'lang': [a[1] for a in adv],
+        'source': [a[2] for a in adv],
+        'n_chars': [len(a[0]) for a in adv],
+    })
+    out = pd.concat([df, rows], ignore_index=True)
+    t2 = pa.Table.from_pandas(out, schema=tbl.schema, preserve_index=False)
+    pq.write_table(t2, f'{DST}/documents.parquet')
+    print(f'wrote {len(out)} docs to {DST}')
+
+
+if __name__ == '__main__':
+    main()
