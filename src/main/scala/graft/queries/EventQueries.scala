@@ -79,7 +79,8 @@ object EventQueries {
     // three chained CTEs and the hash must agree bit-for-bit
     QueryDef("q_pagerank",
       Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
-                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+                  TRY_CAST(json_extract_string(TRY_CAST(props AS JSON),
+                    '$.k') AS BIGINT) AS page
                 FROM events),
               tr AS (SELECT page AS src,
                   lead(page) OVER (PARTITION BY user_id
@@ -128,7 +129,8 @@ object EventQueries {
           .orderBy(unix_micros(col("ts")), col("event_id"))
         val ev = events(s, d).select(col("user_id"), col("event_id"),
           col("ts"),
-          get_json_object(col("props"), "$.k").cast("long").as("page"))
+          expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)")
+            .as("page"))
         val edges = ev.select(col("page").as("src"),
             lead(col("page"), 1).over(w).as("dst"))
           .where(col("dst").isNotNull)
@@ -144,7 +146,8 @@ object EventQueries {
     // exactly once from its smallest vertex; exact integer counts
     QueryDef("q_triangles",
       Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
-                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+                  TRY_CAST(json_extract_string(TRY_CAST(props AS JSON),
+                    '$.k') AS BIGINT) AS page
                 FROM events),
               tr AS (SELECT page AS src,
                   lead(page) OVER (PARTITION BY user_id
@@ -166,7 +169,8 @@ object EventQueries {
           .orderBy(unix_micros(col("ts")), col("event_id"))
         val tr = events(s, d)
           .select(col("user_id"), col("event_id"), col("ts"),
-            get_json_object(col("props"), "$.k").cast("long").as("page"))
+            expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)")
+            .as("page"))
           .select(col("page").as("src"),
             lead(col("page"), 1).over(w).as("dst"))
           .where(col("dst").isNotNull)
@@ -303,14 +307,16 @@ object EventQueries {
     // standard for event pipelines): extract + filter on a JSON field
     QueryDef("q_json_extract",
       Some("""SELECT event_id,
-                     CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-                     json_extract_string(props, '$.missing') AS missing
+                     TRY_CAST(json_extract_string(TRY_CAST(props AS JSON),
+                       '$.k') AS INT) AS k_val,
+                     json_extract_string(TRY_CAST(props AS JSON), '$.missing') AS missing
               FROM events
-              WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+              WHERE TRY_CAST(json_extract_string(TRY_CAST(props AS JSON),
+                      '$.k') AS INT) >= 50
               ORDER BY event_id"""),
       (s, d) => events(s, d)
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+          expr("TRY_CAST(get_json_object(props, '$.k') AS INT)").as("k_val"),
           get_json_object(col("props"), "$.missing").as("missing"))
         .filter(col("k_val") >= 50)
         .orderBy("event_id")),
@@ -319,21 +325,25 @@ object EventQueries {
     // the binary VARIANT encoding, then typed path extraction — at
     // scale this replaces per-path get_json_object re-parses of the
     // same string (N paths = N parses) with one parse + cheap binary
-    // navigation. Missing paths come back null, not an error
+    // navigation. Missing paths come back null, not an error — and so
+    // do MALFORMED documents and non-castable values (try_parse_json /
+    // try_variant_get; the adversarial events fixture carries both): a
+    // corrupt props row must degrade to nulls, not kill a 100 TB scan
     QueryDef("q_variant",
       Some("""SELECT event_id,
-                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
-                     json_extract_string(props, '$.k') AS k_str,
-                     json_extract_string(props, '$.missing') AS missing
+                     TRY_CAST(json_extract_string(TRY_CAST(props AS JSON),
+                       '$.k') AS BIGINT) AS k_int,
+                     json_extract_string(TRY_CAST(props AS JSON), '$.k') AS k_str,
+                     json_extract_string(TRY_CAST(props AS JSON), '$.missing') AS missing
               FROM events ORDER BY event_id"""),
       (s, d) => {
-        val v = parse_json(col("props"))
+        val v = try_parse_json(col("props"))
         events(s, d)
           .withColumn("v", v)
           .select(col("event_id"),
-            variant_get(col("v"), "$.k", "bigint").as("k_int"),
-            variant_get(col("v"), "$.k", "string").as("k_str"),
-            variant_get(col("v"), "$.missing", "string").as("missing"))
+            try_variant_get(col("v"), "$.k", "bigint").as("k_int"),
+            try_variant_get(col("v"), "$.k", "string").as("k_str"),
+            try_variant_get(col("v"), "$.missing", "string").as("missing"))
           .orderBy("event_id")
       }),
 

@@ -59,6 +59,34 @@ def main():
     for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
               'lineitem', 'events', 'embeddings']:
         shutil.copy(f'{SRC}/{t}.parquet', f'{DST}/{t}.parquet')
+    # hostile EVENTS rows: unique ids past the fixture range; malformed/
+    # string-valued props, a brand-new event_type, boundary + duplicate
+    # timestamps, and extreme values. Null ts/user/value rows are NOT
+    # included: Spark windows order ASC NULLS FIRST where DuckDB orders
+    # NULLS LAST, so a null-ts event makes every session/lag oracle
+    # ambiguous BY DESIGN — the engine's null-time semantics are pinned
+    # in specs instead (as-of: null time matches nothing).
+    ev = pq.read_table(f'{DST}/events.parquet').to_pandas()
+    base_ts = pd.Timestamp('2024-01-15 00:00:00')
+    hostile = pd.DataFrame({
+        'event_id': [2001, 2002, 2003, 2004, 2005, 2006],
+        'ts': [base_ts, base_ts,                      # exact dup ts, same user
+               pd.Timestamp('2024-01-01 00:00:00'),   # window-bin edge
+               pd.Timestamp('2024-01-31 23:59:59.999999'),  # range end
+               base_ts + pd.Timedelta(microseconds=1),      # 1us apart
+               pd.Timestamp('2024-01-20 12:00:00')],
+        'user_id': [3, 3, 0, 14, 3, 7],
+        'event_type': ['view', 'purchase', 'weird type', 'view', 'view',
+                       'click'],
+        'value': [0.005, 999999.99, 0.0, 327.53, 1.0, 2.5],  # ties + tiny
+        'props': ['{}', 'not json', '', '{"k": "x"}', None, '{"k": -5}'],
+    })
+    out_ev = pd.concat([ev, hostile], ignore_index=True)
+    ev_tbl = pq.read_table(f'{SRC}/events.parquet')
+    pq.write_table(pa.Table.from_pandas(out_ev, schema=ev_tbl.schema,
+                                        preserve_index=False),
+                   f'{DST}/events.parquet')
+    print(f'wrote {len(out_ev)} events')
     tbl = pq.read_table(f'{SRC}/documents.parquet')
     df = tbl.to_pandas()
     maxid = int(df.doc_id.max())
