@@ -25,11 +25,24 @@ object CsvSources {
   /** All-string CSV scan (header row). Empty fields arrive as null —
     * use Normalize.isBlank for the ''-vs-null distinction the
     * reference cares about.
+    *
+    * `multiLine` is ON: the WRITER quotes embedded newlines
+    * (RFC 4180), but Spark's default reader splits records at raw
+    * newlines regardless of quoting, so a `Line\nBreak LLC` name came
+    * back as two broken records (adversarial-fixture find — the cast
+    * layer then exploded on the quoted tail). The scale cost is real
+    * and documented: multiLine parses each FILE as one unsplittable
+    * stream (parallelism across files, not within them), which is the
+    * price of newline-bearing fields in this format — corpora that
+    * need within-file splits should use the parquet/JSONL paths, or
+    * guarantee newline-free fields and read with multiLine off.
     */
-  def scanCsv(spark: SparkSession, path: String, sep: String = ","): DataFrame =
+  def scanCsv(spark: SparkSession, path: String, sep: String = ",",
+      multiLine: Boolean = true): DataFrame =
     spark.read
       .option("header", "true")
       .option("sep", sep)
+      .option("multiLine", multiLine.toString)
       .csv(path)
 
   /** RFC-4180 split of ONE line (driver-side, used on the header only):
@@ -115,6 +128,11 @@ object CsvSources {
     out.write.mode("overwrite")
       .option("header", "true")
       .option("sep", sep)
+      // the WRITER defaults these to true (the reader defaults them to
+      // false) — a '  padded  ' value would be silently trimmed on the
+      // way out and the round-trip would no longer reproduce the table
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
   }
 }

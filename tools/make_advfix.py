@@ -87,6 +87,38 @@ def main():
                                         preserve_index=False),
                    f'{DST}/events.parquet')
     print(f'wrote {len(out_ev)} events')
+    # hostile RELATIONAL rows. Customer/supplier names carry the CSV
+    # round-trip kill set (embedded comma, double-quote, newline, CR,
+    # the pipe separator itself, leading/trailing spaces) plus a
+    # dangling FK (nationkey 99) and a null name for join/string edges.
+    def extend(table, rows):
+        t = pq.read_table(f'{SRC}/{table}.parquet')
+        df2 = t.to_pandas()
+        add_df = pd.DataFrame(rows)
+        out2 = pd.concat([df2, add_df], ignore_index=True)
+        pq.write_table(pa.Table.from_pandas(out2, schema=t.schema,
+                                            preserve_index=False),
+                       f'{DST}/{table}.parquet')
+        print(f'wrote {len(out2)} {table}')
+
+    extend('customer', {
+        'c_custkey': [901, 902, 903, 904, 905, 906],
+        'c_name': ['Comma, Inc.', 'Quote "Q" Corp', 'Line\nBreak LLC',
+                   '  padded name  ', None, 'Pipe|Name & Co'],
+        'c_nationkey': [0, 1, 2, 99, 3, None],
+        'c_acctbal': [-999.99, 0.0, 0.01, 9999.99, 1.0, 2.0],
+        'c_mktsegment': ['BUILDING', 'AUTOMOBILE', 'BUILDING',
+                         # MACHINERY not ODDBALL: the strict remap's
+                         # abort-on-unmapped contract is spec-pinned;
+                         # the gate exercises mapped + null segments
+                         'MACHINERY', 'BUILDING', None],
+    })
+    extend('supplier', {
+        's_suppkey': [901, 902, 903],
+        's_name': ['Pipe|Supplier', 'CR\rReturn Co', 'Tab\tSupply'],
+        's_nationkey': [0, 99, None],
+        's_acctbal': [-1.0, 0.0, 123.45],
+    })
     tbl = pq.read_table(f'{SRC}/documents.parquet')
     df = tbl.to_pandas()
     maxid = int(df.doc_id.max())
