@@ -101,7 +101,12 @@ object Frames {
     * null attr value is a value, matching SQL IS DISTINCT FROM), so
     * nullable attrs are handled. (key, version) pairs must be unique;
     * versions need not be contiguous — ordering is by version rank,
-    * so an absent snapshot simply doesn't advance history.
+    * so an absent snapshot simply doesn't advance history. Rows with a
+    * NULL version are DROPPED: an effective-dating without a date is
+    * meaningless, and letting it through would also make the history
+    * engine-dependent (Spark windows order ASC NULLS FIRST, other
+    * engines NULLS LAST — the adversarial gate caught exactly that
+    * divergence through a null order date).
     *
     * Scale shape: one key-partitioned window pass over the snapshots
     * (change flag + running island id, SAME window spec so one
@@ -120,6 +125,7 @@ object Frames {
     val attrs = struct(attrCols.map(col): _*)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val collapsed = df
+      .filter(col(versionCol).isNotNull)
       .withColumn("__chg",
         when(lag(attrs, 1).over(w) <=> attrs, lit(0)).otherwise(lit(1)))
       .withColumn("__run", sum(col("__chg")).over(wRun))

@@ -611,22 +611,29 @@ object AdvancedQueries {
     // corr without the accumulation-order float trap of built-in
     // corr() aggregates
     QueryDef("q_corr",
+      // NULLIF guard on the denominator: a single-row or
+      // constant-valued group has zero variance — corr is undefined
+      // and must come back NULL in both engines (the moments are exact
+      // integers riding doubles, so "zero" is exact and the guard
+      // fires identically; unguarded, ANSI Spark raises DIVIDE_BY_ZERO
+      // on a degenerate group — adversarial-fixture find)
       Some("""SELECT rflag, CAST(n AS BIGINT) AS n_rows,
                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-                (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                NULLIF(
+                 sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
                  sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0)
                   AS corr_qty_price
               FROM (
                 SELECT rflag, count(*) AS n, sum(qty) AS sx, sum(cents) AS sy,
                        sum(qty * cents) AS sxy, sum(qty * qty) AS sxx,
                        sum(cents * cents) AS syy
                 FROM (SELECT l_returnflag AS rflag,
-                        CAST(l_quantity AS BIGINT) AS qty,
-                        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-                          AS cents
+                        CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS qty,
+                        CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+                          AS BIGINT) AS HUGEINT) AS cents
                       FROM lineitem)
                 GROUP BY rflag)
               ORDER BY rflag"""),
@@ -646,10 +653,12 @@ object AdvancedQueries {
           .select(col("rflag"), col("n").as("n_rows"),
             ((col("n").cast("double") * col("sxy").cast("double")
               - col("sx").cast("double") * col("sy").cast("double")) /
-             (sqrt(col("n").cast("double") * col("sxx").cast("double")
-                - col("sx").cast("double") * col("sx").cast("double")) *
-              sqrt(col("n").cast("double") * col("syy").cast("double")
-                - col("sy").cast("double") * col("sy").cast("double"))))
+             nullif(
+               sqrt(col("n").cast("double") * col("sxx").cast("double")
+                 - col("sx").cast("double") * col("sx").cast("double")) *
+               sqrt(col("n").cast("double") * col("syy").cast("double")
+                 - col("sy").cast("double") * col("sy").cast("double")),
+               lit(0.0)))
               .as("corr_qty_price"))
           .orderBy("rflag")
       })

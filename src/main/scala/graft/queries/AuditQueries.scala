@@ -278,7 +278,7 @@ object AuditQueries {
     QueryDef("q_scd2",
       Some("""WITH s AS (SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS ver,
                   max(o_orderpriority) AS prio
-                FROM orders GROUP BY 1, 2),
+                FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
               c AS (SELECT o_custkey, ver, prio,
                   CASE WHEN lag(prio) OVER (PARTITION BY o_custkey ORDER BY ver)
                     IS DISTINCT FROM prio THEN 1 ELSE 0 END AS chg
@@ -312,7 +312,7 @@ object AuditQueries {
     QueryDef("q_scd2_lookup",
       Some("""WITH s AS (SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS ver,
                   max(o_orderpriority) AS prio
-                FROM orders GROUP BY 1, 2),
+                FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
               c AS (SELECT o_custkey, ver, prio,
                   CASE WHEN lag(prio) OVER (PARTITION BY o_custkey ORDER BY ver)
                     IS DISTINCT FROM prio THEN 1 ELSE 0 END AS chg

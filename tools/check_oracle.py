@@ -29,7 +29,12 @@ def canon(df):
     # normalize dtypes for compare: dates->str, categories->str
     for c in df.columns:
         if df[c].dtype == "object" or str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype(str)
+            # normalize null spellings: pandas renders a null datetime as
+            # 'NaT' but a null object as 'None' — same SQL NULL, and the
+            # spark/duck frames can land on different dtypes for the
+            # same nullable date column
+            df[c] = df[c].astype(str).replace(
+                {"NaT": "None", "nan": "None", "<NA>": "None"})
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main():

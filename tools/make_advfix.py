@@ -119,6 +119,29 @@ def main():
         's_nationkey': [0, 99, None],
         's_acctbal': [-1.0, 0.0, 123.45],
     })
+    extend('orders', {
+        'o_orderkey': [9001, 9002],
+        'o_custkey': [901, 999],            # hostile cust + dangling FK
+        'o_orderstatus': ['F', 'Z'],        # novel status
+        'o_totalprice': [0.0, 499999.99],
+        'o_orderdate': [None, pd.Timestamp('2024-12-31 23:59:59')],
+        'o_orderpriority': ['1-URGENT', None],
+    })
+    extend('lineitem', {
+        'l_orderkey': [9001, 9002],
+        'l_partkey': [0, 1],
+        'l_suppkey': [901, 0],
+        'l_linenumber': [1, 1],
+        'l_quantity': [1000000.0, 1.0],     # extreme + tiny qty
+        # (non-positive qty would trip q_quality_gate's by-design
+        # ingest abort — that contract is spec-pinned instead)
+        'l_extendedprice': [0.01, 1e9],
+        'l_discount': [0.0, 1.0],
+        'l_tax': [0.0, 0.0],
+        'l_returnflag': ['X', None],        # novel flag + null
+        'l_linestatus': ['O', 'F'],
+        'l_shipdate': [None, pd.Timestamp('2024-12-31 00:00:00')],
+    })
     tbl = pq.read_table(f'{SRC}/documents.parquet')
     df = tbl.to_pandas()
     maxid = int(df.doc_id.max())
