@@ -142,6 +142,26 @@ def main():
         'l_linestatus': ['O', 'F'],
         'l_shipdate': [None, pd.Timestamp('2024-12-31 00:00:00')],
     })
+    # hostile EMBEDDINGS rows: the all-zero vector (cosine undefined —
+    # the zero-norm guard must keep it out of every ranking in both
+    # engines), an exact duplicate of an existing vector (tie handling
+    # in top-k: deterministic id tiebreaks), and a constant vector.
+    # Deliberately NOT included: ragged dims (vec_dot's min-length fold
+    # vs zip_with's null-padding is a documented keep-equal-length
+    # contract) and NaN components (NaN ordering is engine-ambiguous).
+    emb = pq.read_table(f'{SRC}/embeddings.parquet')
+    edf = emb.to_pandas()
+    dup = list(edf.loc[edf.vec_id == 7, 'embedding'].iloc[0])
+    hostile_emb = pd.DataFrame({
+        'vec_id': [801, 802, 803],
+        'embedding': [[0.0] * 64, dup, [0.5] * 64],
+        'label': [0, 3, None],
+    })
+    out_emb = pd.concat([edf, hostile_emb], ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(out_emb, schema=emb.schema,
+                                        preserve_index=False),
+                   f'{DST}/embeddings.parquet')
+    print(f'wrote {len(out_emb)} embeddings')
     tbl = pq.read_table(f'{SRC}/documents.parquet')
     df = tbl.to_pandas()
     maxid = int(df.doc_id.max())
