@@ -100,6 +100,51 @@ object Tune {
             .filter(col("hamming") <= 3)
         }
       }
+      // minhash one-shot: exchange-reuse-dependent view (r8 shape) vs
+      // persisting ONLY the small (id, band, bucket) frame — the verify
+      // sides stay unpersisted map passes either way. The persisted
+      // shape's cost is one columnar cache build of ~24-byte rows; the
+      // view shape recomputes the k-MD5-per-shingle kernel on BOTH
+      // self-join sides whenever ReusedExchange fails to materialize.
+      for (_ <- 1 to 2) {
+        time("minhash buckets persisted") {
+          val idx = Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8)
+          Dedup.minhashPairsFromIndex(
+            Dedup.MinhashIndex(idx.shingles,
+              graft.ops.StageCache.persisted(idx.buckets)), 0.1)
+        }
+        time("minhash unpersisted view") {
+          Dedup.minhashPairsFromIndex(
+            Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8), 0.1)
+        }
+      }
+      // duplicateSpans: the spans frame feeds two subtrees that differ
+      // below their exchanges (digest groupBy vs the probe join), so
+      // exchange reuse CANNOT share the window-digest map pass — it
+      // runs twice by construction. A/B: recompute (current) vs
+      // persisting the compact (id, 16-byte digest) span stream.
+      for (_ <- 1 to 2) {
+        time("substr spans persisted") {
+          val toks = col("__toks")
+          val w = 8
+          val wins = when(size(toks) >= w,
+            array_distinct(transform(sequence(lit(1), size(toks) - w + 1),
+              i => unhex(md5(concat_ws(" ", slice(toks, i, lit(w))))))))
+            .otherwise(array().cast("array<binary>"))
+          val spans = graft.ops.StageCache.persisted(docs
+            .select(col("doc_id"), split(trim(col("text")), "[ \\t\\n\\r\\f]+").as("__toks"))
+            .select(col("doc_id"), explode_outer(wins).as("__dig")))
+          val digCounts = spans.filter(col("__dig").isNotNull)
+            .groupBy("__dig").agg(count(lit(1)).as("__docs"))
+          spans.join(digCounts, Seq("__dig"), "left")
+            .groupBy("doc_id")
+            .agg(count(col("__dig")).as("n_spans"),
+              sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        }
+        time("substr spans recompute") {
+          Dedup.duplicateSpans(docs, "doc_id", "text", 8)
+        }
+      }
       val events = spark.read.parquet(s"$sfDir/events.parquet")
       def edges = events.selectExpr("user_id AS src",
           "event_id % 150 AS dst", "1 + user_id % 7 AS w")

@@ -94,8 +94,14 @@ object Dedup {
     // window form has no map-side combine, so one boilerplate digest
     // shared by 10M docs funnels 10M rows into a single window
     // partition — the exact skew this operator targets. The groupBy
-    // partially aggregates the hot digest map-side, the join reuses
-    // the same exchange, and AQE's skew-join covers the residue.
+    // partially aggregates the hot digest map-side, and AQE's
+    // skew-join covers the residue. The span map pass runs twice (the
+    // two consumers' subtrees differ below their exchanges, so
+    // exchange reuse cannot fire) — that is a DETERMINISTIC 2× of one
+    // cheap single-MD5-per-window pass, not a reuse cliff, and
+    // persisting the span stream instead measured SLOWER (1.4 s vs
+    // 1.3 s min-of-2 at the 10× tier, Tune ab: the cache build is a
+    // full columnar pass over the operator's largest intermediate).
     val digCounts = spans.filter(col("__dig").isNotNull)
       .groupBy("__dig").agg(count(lit(1)).as("__docs"))
     spans
@@ -223,16 +229,34 @@ object Dedup {
   // is tiny; on a cluster these become shuffled hash joins keyed by id).
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8, threshold: Double = 0.3): DataFrame =
-    // one-shot pipeline → unpersisted view: the bucket self-join sides
-    // canonicalize to the same plan and SHARE one shuffle (exchange
-    // reuse), and the two verify-side shingle recomputes are plain map
-    // passes — cheaper than building a columnar cache of string arrays
-    // nobody reads again (measured: 7.6 s → 6.9 s, 11 → 6 jobs at the
-    // 10× bench tier; see minhashIndexView). Callers that DO reuse the
-    // index (streaming admission, daily incremental) go through
-    // minhashIndex/parquet staging instead.
-    minhashPairsFromIndex(minhashIndexView(df, idCol, textCol, n, k, bands),
+    // buckets persisted, shingles not: the bucket table is the ONLY
+    // multi-consumer stage (both self-join sides), and it carries the
+    // k-MD5-per-shingle sketch kernel — the pipeline's dominant CPU.
+    // The r8 shape left it unpersisted and leaned on exchange reuse to
+    // share the sketch pass between the join sides; when reuse fails
+    // to materialize (AQE replanning makes it best-effort, and the
+    // driver's r9 run showed the 2× recompute bill at the 10× tier)
+    // the kernel runs once PER SIDE. Persisting trades that cliff for
+    // one columnar cache build of ~24-byte (id, band, bucket) rows —
+    // measured FASTER even when reuse fires (4.3 s vs 5.5 s min-of-2
+    // at the 10× tier, Tune ab) because the cache build also replaces
+    // the double shuffle write. The verify-side shingle recomputes
+    // stay unpersisted map passes (string-array caches cost more than
+    // they save — Tune ab, r8). MinhashPlanSpec pins the single-
+    // sketch-subtree shape so a regression fails CI instead of
+    // doubling the 100 TB sketch bill.
+    minhashPairsFromIndex(oneShotIndex(df, idCol, textCol, n, k, bands),
       threshold)
+
+  /** [[minhashIndexView]] with ONLY the bucket table persisted — the
+    * one-shot pipeline shape (see [[minhashPairs]]). StageCache-
+    * registered: Verify/Bench release it between queries.
+    */
+  private def oneShotIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int): MinhashIndex = {
+    val idx = minhashIndexView(df, idCol, textCol, n, k, bands)
+    MinhashIndex(idx.shingles, graft.ops.StageCache.persisted(idx.buckets))
+  }
 
   /** The staged MinHash index of a corpus: the banded bucket table
     * (id, band, bucket) and the shingle-set table (id, sh) — the two
@@ -380,13 +404,13 @@ object Dedup {
   def minhashEval(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8,
       threshold: Double = 0.1): DataFrame =
-    // one-shot pipeline → the unpersisted view + the SAME candidate/
-    // verify stage the pair operator runs (scoredCandidates) with the
-    // aggregate in place of the threshold filter. Zero-candidate
-    // corpora report (0, 0, 0) — sum over an empty aggregate is NULL,
-    // and the unguarded precision division would NaN→ANSI-error on
-    // the cast.
-    scoredCandidates(minhashIndexView(df, idCol, textCol, n, k, bands))
+    // one-shot pipeline → the bucket-persisted index (same rationale
+    // as minhashPairs) + the SAME candidate/verify stage the pair
+    // operator runs (scoredCandidates) with the aggregate in place of
+    // the threshold filter. Zero-candidate corpora report (0, 0, 0) —
+    // sum over an empty aggregate is NULL, and the unguarded precision
+    // division would NaN→ANSI-error on the cast.
+    scoredCandidates(oneShotIndex(df, idCol, textCol, n, k, bands))
       .agg(count(lit(1)).as("n_candidates"),
         coalesce(sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)),
           lit(0L)).as("n_verified"))

@@ -382,4 +382,58 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       "sketch-row joins should broadcast the tiny pair dim")
   }
+
+  // The one-shot sketch pipelines' cost model says the per-document
+  // sketch kernel runs ONCE, not once per self-join side. The r8 shape
+  // relied on exchange reuse for that — which AQE makes best-effort,
+  // and the driver's r9 sf1 run showed the 2× recompute bill when it
+  // silently failed to materialize. The r10 shape persists the bucket
+  // table instead; these pins turn a regression back to the fragile
+  // shape into a test failure rather than a doubled 100 TB sketch bill.
+  private def physicalNodes(
+      p: org.apache.spark.sql.execution.SparkPlan
+  ): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      physicalNodes(a.executedPlan)
+    case _ => p +: p.children.flatMap(physicalNodes)
+  }
+
+  private def sketchSitesOutsideCache(name: String,
+      isKernel: org.apache.spark.sql.catalyst.expressions.Expression => Boolean)
+      : (Int, Seq[AnyRef]) = {
+    val nodes = physicalNodes(
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+    val kernelSites = nodes.map(n =>
+      n.expressions.map(_.collect { case e if isKernel(e) => e }.size).sum).sum
+    val caches = nodes.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cacheBuilder
+    }
+    (kernelSites, caches)
+  }
+
+  test("minhash one-shot pipelines sketch exactly once (cached buckets)") {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_eval")) {
+      val (sites, caches) = sketchSitesOutsideCache(q,
+        _.isInstanceOf[graft.functions.MinHashSig])
+      assert(sites == 0,
+        s"$q computes the k-MD5 minhash kernel outside the cache ($sites sites)")
+      assert(caches.size >= 2,
+        s"$q bucket self-join sides do not both read a cache (${caches.size})")
+      assert(caches.map(System.identityHashCode).distinct.size == 1,
+        s"$q join sides read SEPARATE caches — the sketch still runs twice")
+      graft.ops.StageCache.releaseAll()
+    }
+  }
+
+  test("simhash pipeline sketches exactly once (cached buckets)") {
+    val (sites, caches) = sketchSitesOutsideCache("q_dedup_simhash",
+      _.isInstanceOf[graft.functions.SimHashBits])
+    assert(sites == 0,
+      s"q_dedup_simhash computes the per-token kernel outside the cache ($sites sites)")
+    assert(caches.size >= 2 &&
+      caches.map(System.identityHashCode).distinct.size == 1,
+      "q_dedup_simhash join sides do not share one cached bucket build")
+    graft.ops.StageCache.releaseAll()
+  }
 }
