@@ -114,7 +114,8 @@ object Bench {
     // density (and so the true answer) scales linearly, and an
     // exponent near 1.0 means the pipeline's cost does too. Enabled on
     // the driver's sf0.1 full runs; override with SPARK_GRAFT_SF1=0/1.
-    val sf1Queries = Seq("q_dedup_minhash", "q_ngram_prefix",
+    val sf1Queries = Seq("q_dedup_minhash", "q_dedup_minhash_fast",
+      "q_ngram_prefix",
       "q_ngram_jaccard", "q_dedup_eval", "q_dedup_simhash", "q_substr_dedup",
       "q_incremental_minhash", "q_substr_apply", "q_containment",
       // fuzzy decontamination reads only documents; its LSH probe

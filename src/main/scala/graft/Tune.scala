@@ -118,6 +118,18 @@ object Tune {
             Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8), 0.1)
         }
       }
+      // sketch-stage-only cost of the two minhash kernels: the bucket
+      // build (shingle -> signature -> bands) with no join/verify —
+      // the number the fast kernel exists to cut
+      for (_ <- 1 to 2) {
+        time("sketch stage k-md5 kernel") {
+          Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8).buckets
+        }
+        time("sketch stage fast kernel") {
+          Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8,
+            fastKernel = true).buckets
+        }
+      }
       // duplicateSpans: the spans frame feeds two subtrees that differ
       // below their exchanges (digest groupBy vs the probe join), so
       // exchange reuse CANNOT share the window-digest map pass — it

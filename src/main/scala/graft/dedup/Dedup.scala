@@ -201,6 +201,19 @@ object Dedup {
   def minhashSignature(shingleSet: Column, k: Int): Column =
     graft.functions.SketchExpressions.minhashSig(shingleSet, k)
 
+  /** Production MinHash signature: one md5 per shingle + k affine
+    * permutations — ≈k× fewer digests than [[minhashSignature]], the
+    * dominant CPU line of a 100 TB sketch pass. Opt-in via
+    * `fastKernel = true` on the pipeline operators; the banding and
+    * verify stages are kernel-agnostic (signature values ride as their
+    * decimal string forms). Arithmetic and constants documented at
+    * [[graft.functions.SketchOps.minhashSigFast]]; the
+    * q_dedup_minhash_fast oracle replays them verbatim in DuckDB.
+    */
+  def minhashSignatureFast(shingleSet: Column, k: Int): Column =
+    graft.functions.SketchExpressions.minhashSigFast(shingleSet, k)
+      .cast("array<string>")
+
   /** LSH band keys: split the k-length signature into `bands` bands of
     * k/bands rows each; band key = md5 of the concatenated band slice.
     */
@@ -228,7 +241,8 @@ object Dedup {
   // corpus is the BIG side at scale (AQE broadcasts it locally where it
   // is tiny; on a cluster these become shuffled hash joins keyed by id).
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, k: Int = 16, bands: Int = 8, threshold: Double = 0.3): DataFrame =
+      n: Int = 2, k: Int = 16, bands: Int = 8, threshold: Double = 0.3,
+      fastKernel: Boolean = false): DataFrame =
     // buckets persisted, shingles not: the bucket table is the ONLY
     // multi-consumer stage (both self-join sides), and it carries the
     // k-MD5-per-shingle sketch kernel — the pipeline's dominant CPU.
@@ -245,16 +259,16 @@ object Dedup {
     // they save — Tune ab, r8). MinhashPlanSpec pins the single-
     // sketch-subtree shape so a regression fails CI instead of
     // doubling the 100 TB sketch bill.
-    minhashPairsFromIndex(oneShotIndex(df, idCol, textCol, n, k, bands),
-      threshold)
+    minhashPairsFromIndex(
+      oneShotIndex(df, idCol, textCol, n, k, bands, fastKernel), threshold)
 
   /** [[minhashIndexView]] with ONLY the bucket table persisted — the
     * one-shot pipeline shape (see [[minhashPairs]]). StageCache-
     * registered: Verify/Bench release it between queries.
     */
   private def oneShotIndex(df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int): MinhashIndex = {
-    val idx = minhashIndexView(df, idCol, textCol, n, k, bands)
+      n: Int, k: Int, bands: Int, fastKernel: Boolean = false): MinhashIndex = {
+    val idx = minhashIndexView(df, idCol, textCol, n, k, bands, fastKernel)
     MinhashIndex(idx.shingles, graft.ops.StageCache.persisted(idx.buckets))
   }
 
@@ -300,7 +314,8 @@ object Dedup {
     * staging tables in CorpusStreams) justify materializing.
     */
   def minhashIndexView(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, k: Int = 16, bands: Int = 8): MinhashIndex = {
+      n: Int = 2, k: Int = 16, bands: Int = 8,
+      fastKernel: Boolean = false): MinhashIndex = {
     // sub-n-token docs are excluded from the index entirely: an empty
     // shingle set sketches to an all-null signature whose band keys
     // all collapse to md5('') — every short doc would share every
@@ -310,7 +325,9 @@ object Dedup {
     // with no shingles has no near-dup by this metric, by definition.
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val b = sh.withColumn("sig", minhashSignature(col("sh"), k))
+    val sig = if (fastKernel) minhashSignatureFast(col("sh"), k)
+              else minhashSignature(col("sh"), k)
+    val b = sh.withColumn("sig", sig)
       .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
         .as(Seq("band", "bucket")))
     MinhashIndex(sh, b)

@@ -92,6 +92,55 @@ object SketchOps {
       if (b == null) null else UTF8String.fromBytes(hexify(b))))
   }
 
+  /** Production MinHash kernel: ONE md5 per shingle + k affine
+    * permutations, vs [[minhashSig]]'s k-md5s-per-shingle. The md5
+    * count is the dominant CPU line of a 100 TB sketch pass, so this
+    * is the kernel a production run opts into (`fastKernel = true` on
+    * the Dedup operators); the md5-lex-min kernel stays the default
+    * because its published oracles pin it.
+    *
+    * Arithmetic (all signed-64-bit safe, replayed verbatim by the
+    * DuckDB oracle):
+    *   h(x)   = first 4 bytes of md5(x) as a big-endian uint32
+    *            (= CAST('0x' || substr(md5(x),1,8) AS BIGINT))
+    *   sig[s] = min over shingles of (a_s * h + b_s) mod P,  s = 1..k
+    * with P = 4294967311 (smallest prime > 2^32) and a_s < 2^30, so
+    * a_s * h < 2^62 never overflows in either engine. (a_s, b_s) come
+    * from [[fastA]]/[[fastB]] — the oracle SQL embeds the same values
+    * via the same functions, so the constants cannot drift.
+    */
+  val fastP = 4294967311L
+  def fastA(s: Int): Long = ((s.toLong * 2654435761L) % 1073741789L) + 1L
+  def fastB(s: Int): Long = (s.toLong * 2246822519L) % fastP
+
+  def minhashSigFast(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val md = localMd.get()
+    val d = localBuf.get()
+    val a = new Array[Long](k)
+    val b = new Array[Long](k)
+    var s = 0
+    while (s < k) { a(s) = fastA(s + 1); b(s) = fastB(s + 1); s += 1 }
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(shingles.getUTF8String(i).getBytes)
+      md.digest(d, 0, 16)
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      s = 0
+      while (s < k) {
+        val g = (a(s) * h + b(s)) % fastP
+        if (g < mins(s)) mins(s) = g
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
     val n = math.min(a.length, b.length)
@@ -219,6 +268,21 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class MinHashSigFast(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig_fast"
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchOps.requireArrayOf(prettyName, StringType, child.dataType)
+  override protected def nullSafeEval(v: Any): Any =
+    SketchOps.minhashSigFast(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchOps.minhashSigFast($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHashBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -275,6 +339,8 @@ object SketchExpressions {
       GraftShim.expression(arr), GraftShim.expression(v)))
   def minhashSig(shingles: Column, k: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(shingles), k))
+  def minhashSigFast(shingles: Column, k: Int): Column =
+    GraftShim.column(MinHashSigFast(GraftShim.expression(shingles), k))
   def simhashBits(tokens: Column): Column =
     GraftShim.column(SimHashBits(GraftShim.expression(tokens)))
   def absDiffSum(a: Column, b: Column): Column =

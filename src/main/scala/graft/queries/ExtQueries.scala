@@ -111,6 +111,53 @@ object ExtQueries {
                  bandkeys[CAST(r.range + 1 AS INT)] AS bucket
           FROM banded, range(0, 8) AS r)"""
 
+  /** Fast-kernel twin of [[minhashPairsCtes]]: one md5 per shingle +
+    * k affine permutations (see SketchOps.minhashSigFast). The (a, b)
+    * constants are generated HERE from the same Scala functions the
+    * kernel evaluates, so oracle and engine cannot drift; DuckDB's
+    * `CAST('0x…' AS BIGINT)` parses the same first-4-digest-bytes h
+    * the kernel reads, and all products stay < 2^62 (a < 2^30,
+    * h < 2^32) — signed-64-safe in both engines.
+    */
+  private val minhashFastPairsCtes = {
+    import graft.functions.SketchOps.{fastA, fastB, fastP}
+    val aList = (1 to 16).map(fastA).mkString("[", ", ", "]")
+    val bList = (1 to 16).map(fastB).mkString("[", ", ", "]")
+    s"""base AS (
+          SELECT doc_id AS id, $shinglesSql AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents)),
+        hs AS (
+          SELECT id, sh,
+            list_transform(sh, x ->
+              CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hv
+          FROM base WHERE len(sh) > 0),
+        sigs AS (
+          SELECT id, sh,
+            list_transform(range(1, 17), s ->
+              list_min(list_transform(hv, h ->
+                (($aList)[CAST(s AS INT)] * h
+                  + ($bList)[CAST(s AS INT)]) % $fastP))) AS sig
+          FROM hs),
+        banded AS (
+          SELECT id, sh,
+            list_transform(range(0, 8), b ->
+              md5(array_to_string(sig[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)], '|'))) AS bandkeys
+          FROM sigs),
+        buckets AS (
+          SELECT id, sh, CAST(r.range AS INT) AS band,
+                 bandkeys[CAST(r.range + 1 AS INT)] AS bucket
+          FROM banded, range(0, 8) AS r),
+        mh_pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1)"""
+  }
+
   private val minhashPairsCtes =
     s"""$minhashBucketCtes,
         mh_pairs AS (
@@ -530,6 +577,21 @@ object ExtQueries {
               ORDER BY id_a, id_b"""),
       (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text",
         n = 2, k = 16, bands = 8, threshold = 0.1)
+        .orderBy("id_a", "id_b")),
+
+    // ---- dedup: MinHash+LSH with the PRODUCTION kernel — one md5 per
+    // shingle + 16 affine permutations instead of 16 md5s per shingle.
+    // The md5 count is the dominant CPU line of a 100 TB sketch pass;
+    // this is the opt-in a production run takes, while the md5-lex-min
+    // kernel above stays the default its published oracles pin. The
+    // banding/candidate/verify stages are shared code paths — only the
+    // signature expression differs ----
+    QueryDef("q_dedup_minhash_fast",
+      Some(s"""WITH $minhashFastPairsCtes
+              SELECT id_a, id_b, jaccard FROM mh_pairs
+              ORDER BY id_a, id_b"""),
+      (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text",
+        n = 2, k = 16, bands = 8, threshold = 0.1, fastKernel = true)
         .orderBy("id_a", "id_b")),
 
     // ---- dedup: INCREMENTAL MinHash — the daily-pipeline shape. The

@@ -413,9 +413,13 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("minhash one-shot pipelines sketch exactly once (cached buckets)") {
-    for (q <- Seq("q_dedup_minhash", "q_dedup_eval")) {
-      val (sites, caches) = sketchSitesOutsideCache(q,
-        _.isInstanceOf[graft.functions.MinHashSig])
+    val kernelOf: Map[String,
+        org.apache.spark.sql.catalyst.expressions.Expression => Boolean] = Map(
+      "q_dedup_minhash" -> (_.isInstanceOf[graft.functions.MinHashSig]),
+      "q_dedup_eval" -> (_.isInstanceOf[graft.functions.MinHashSig]),
+      "q_dedup_minhash_fast" -> (_.isInstanceOf[graft.functions.MinHashSigFast]))
+    for ((q, isKernel) <- kernelOf) {
+      val (sites, caches) = sketchSitesOutsideCache(q, isKernel)
       assert(sites == 0,
         s"$q computes the k-MD5 minhash kernel outside the cache ($sites sites)")
       assert(caches.size >= 2,

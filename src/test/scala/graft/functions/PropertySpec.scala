@@ -226,6 +226,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_sig_fast: equals the hex-parse + affine reference") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 16
+    for (_ <- 1 to 200) {
+      val m = 1 + rnd.nextInt(10)
+      val shingles = (0 until m).map(_ => randStr(12)).distinct
+      val arr = new GenericArrayData(
+        shingles.map(s => UTF8String.fromString(s)).toArray[Any])
+      val got = SketchOps.minhashSigFast(arr, k)
+      val gotSeq = (0 until k).map(got.getLong)
+      // reference replays the ORACLE formulation: h parsed from the
+      // first 8 HEX CHARS of the digest (what DuckDB's '0x' cast
+      // reads), then (a*h + b) mod P minima — if the kernel's
+      // byte-assembled h ever diverged from the hex parse, or the
+      // arithmetic overflowed, this would catch it
+      val expect = (1 to k).map { s =>
+        shingles.map { sh =>
+          val h = java.lang.Long.parseLong(md5hex(sh).substring(0, 8), 16)
+          (SketchOps.fastA(s) * h + SketchOps.fastB(s)) % SketchOps.fastP
+        }.min
+      }
+      assert(gotSeq === expect, s"shingles=$shingles")
+    }
+    // constants contract the signed-64 safety proof rests on
+    (1 to 64).foreach { s =>
+      assert(SketchOps.fastA(s) > 0 && SketchOps.fastA(s) < (1L << 30))
+      assert(SketchOps.fastB(s) >= 0 && SketchOps.fastB(s) < SketchOps.fastP)
+    }
+  }
+
   test("simhash_bits: equals the nibble-vote reference") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
