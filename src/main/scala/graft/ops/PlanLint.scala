@@ -112,7 +112,13 @@ object PlanLint {
     case a: HashAggregateExec => a.groupingExpressions.isEmpty
     case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
     case a: SortAggregateExec => a.groupingExpressions.isEmpty
-    case b if b.children.size == 2 => b.children.forall(isScalarSide)
+    // the binary case covers ONLY joins (two 1-row frames join to one
+    // 1-row frame — the J8 horizontal-concat shape). A Union of two
+    // scalar aggregates is 2 rows, not 1: bounded, but not the 1-row
+    // contract this exemption documents, so it stays flagged and goes
+    // through the caller's allowlist if legitimate.
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      isScalarSide(j.left) && isScalarSide(j.right)
     case u if u.children.size == 1 => isScalarSide(u.children.head)
     case _ => false
   }

@@ -261,7 +261,7 @@ object AdvancedQueries {
         val prior = s.conf.getOption(binKey)
         s.conf.set(binKey, "21600")
         try {
-          val view = s"g_range_ev_${d.replaceAll("[^0-9]", "")}"
+          val view = s"g_range_ev_${Tables.tmpKey(d)}"
           events(s, d).createOrReplaceTempView(view)
           val df = s.sql(
             s"""WITH iv AS (SELECT event_id AS iv_id, ts AS w_start,
@@ -430,7 +430,7 @@ object AdvancedQueries {
               FROM customer WHERE c_custkey <= 100 ORDER BY id"""),
       (s, d) => {
         graft.functions.Registry.registerAll(s)
-        val view = s"g_sql_cust_${d.replaceAll("[^0-9]", "")}"
+        val view = s"g_sql_cust_${Tables.tmpKey(d)}"
         customer(s, d).createOrReplaceTempView(view)
         s.sql(s"""SELECT c_custkey AS id,
             CAST(floor(jaro_winkler(c_name, 'Customer#000000001')

@@ -21,7 +21,7 @@ object CsvQueries {
                      c_nationkey AS nkey, c_acctbal AS bal
               FROM customer ORDER BY ckey"""),
       (s, d) => {
-        val dir = s"/tmp/graft_csv/roundtrip_${d.replaceAll("[^0-9.]", "")}"
+        val dir = s"/tmp/graft_csv/roundtrip_${Tables.tmpKey(d)}"
         CsvSources.writeCsv(customer(s, d), dir)
         CsvSources.scanCsv(s, dir).select(
           col("c_custkey").cast("bigint").as("ckey"),
@@ -53,7 +53,7 @@ object CsvQueries {
           rows.map(r => s"${r.get(0)},${quote(r.getString(1))},${quote(r.getString(2))}"))
           .mkString("\n")
         Files.createDirectories(Paths.get("/tmp/graft_csv"))
-        val f = s"/tmp/graft_csv/skiprows_${d.replaceAll("[^0-9.]", "")}.csv"
+        val f = s"/tmp/graft_csv/skiprows_${Tables.tmpKey(d)}.csv"
         Files.writeString(Paths.get(f), content)
         CsvSources.scanCsvSkipRows(s, f, skipRows = 2)
           .select(col("nkey").cast("int").as("nkey"),
@@ -69,7 +69,7 @@ object CsvQueries {
       Some("""SELECT doc_id, text, lang, source, n_chars
               FROM documents ORDER BY doc_id"""),
       (s, d) => {
-        val dir = s"/tmp/graft_jsonl/docs_${d.replaceAll("[^0-9.]", "")}"
+        val dir = s"/tmp/graft_jsonl/docs_${Tables.tmpKey(d)}"
         val docs = documents(s, d)
         graft.sources.JsonSources.writeJsonl(docs, dir)
         graft.sources.JsonSources.scanJsonl(s, dir, docs.schema)
@@ -91,7 +91,13 @@ object CsvQueries {
                      CAST(o_orderdate AS VARCHAR) AS odate
               FROM orders WHERE o_totalprice > 400000 ORDER BY okey"""),
       (s, d) => {
-        val dir = s"/tmp/graft_orc/orders_${d.replaceAll("[^0-9.]", "")}"
+        val dir = s"/tmp/graft_orc/orders_${Tables.tmpKey(d)}"
+        // the ORC write is EAGER — it runs at plan-build time, so any
+        // consumer of the builder (Bench's timed section, but also
+        // Lint/plan-only callers) pays a full ORC write of orders per
+        // build; the returned plan is the re-read side only. That is
+        // the point of the query (sink + scan round-trip), but callers
+        // that only want the plan should know the build is not free.
         orders(s, d).write.mode("overwrite").orc(dir)
         s.read.orc(dir)
           .filter(col("o_totalprice") > 400000)
@@ -108,7 +114,7 @@ object CsvQueries {
                      s_acctbal AS bal
               FROM supplier ORDER BY skey"""),
       (s, d) => {
-        val dir = s"/tmp/graft_csv/pipe_${d.replaceAll("[^0-9.]", "")}"
+        val dir = s"/tmp/graft_csv/pipe_${Tables.tmpKey(d)}"
         CsvSources.writeCsv(supplier(s, d), dir, sep = "|")
         CsvSources.scanCsv(s, dir, sep = "|").select(
           col("s_suppkey").cast("bigint").as("skey"),

@@ -78,10 +78,19 @@ object EventQueries {
     // iteration order- and engine-exact — the oracle replays it as
     // three chained CTEs and the hash must agree bit-for-bit
     QueryDef("q_pagerank",
-      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+      // page IS NOT NULL before the transition window in BOTH engines:
+      // TRY_CAST hardening turns corrupt/missing props into NULL pages,
+      // and an unfiltered NULL would survive as a graph NODE (null-src
+      // edges pass dst IS NOT NULL; nodes = src UNION dst keeps NULL)
+      // whose final-ORDER-BY tiebreak Spark (NULLS FIRST) and DuckDB
+      // (NULLS LAST) break oppositely — a latent hash divergence
+      // whenever the tie group reaches the LIMIT. Corrupt props must
+      // degrade to "no edge", not a NULL node.
+      Some("""WITH ev0 AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
                   TRY_CAST(json_extract_string(TRY_CAST(props AS JSON),
                     '$.k') AS BIGINT) AS page
                 FROM events),
+              ev AS (SELECT * FROM ev0 WHERE page IS NOT NULL),
               tr AS (SELECT page AS src,
                   lead(page) OVER (PARTITION BY user_id
                     ORDER BY tus, event_id) AS dst
@@ -131,6 +140,7 @@ object EventQueries {
           col("ts"),
           expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)")
             .as("page"))
+          .filter(col("page").isNotNull)
         val edges = ev.select(col("page").as("src"),
             lead(col("page"), 1).over(w).as("dst"))
           .where(col("dst").isNotNull)
@@ -388,7 +398,7 @@ object EventQueries {
               FROM events WHERE event_type IN ('click', 'view')
               GROUP BY 1 ORDER BY event_type"""),
       (s, d) => {
-        val dir = s"/tmp/graft_events_part/${d.replaceAll("[^0-9.]", "")}"
+        val dir = s"/tmp/graft_events_part/${Tables.tmpKey(d)}"
         events(s, d).withColumn("cents", floor(col("value") * 100 + 0.5))
           .write.mode("overwrite").partitionBy("event_type").parquet(dir)
         s.read.parquet(dir)

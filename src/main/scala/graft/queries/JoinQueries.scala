@@ -289,7 +289,7 @@ object JoinQueries {
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+
               graft.plans.BoundedLevenshteinRule
-        val view = s"g_sql_lev_cust_${d.replaceAll("[^0-9]", "")}"
+        val view = s"g_sql_lev_cust_${Tables.tmpKey(d)}"
         customer(s, d).createOrReplaceTempView(view)
         s.sql(s"""SELECT a.c_nationkey AS nkey,
             a.c_custkey AS key_a, b.c_custkey AS key_b,

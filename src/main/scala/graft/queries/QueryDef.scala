@@ -40,6 +40,20 @@ object Tables {
     }
   }
 
+  /** Collision-free key for per-dataset /tmp sink paths and SQL view
+    * names: the dir's digits for readability plus an md5 prefix of the
+    * FULL path. The previous digits-only key conflated distinct
+    * dataset dirs that share digits (any two `…/sf0.01` copies), so
+    * concurrent runs against different dirs raced on the same
+    * `mode("overwrite")` sink. Same-dir concurrent runs still share a
+    * path by design (same input → same sink).
+    */
+  def tmpKey(d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    d.replaceAll("[^0-9]", "") + "_" + digest
+  }
+
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")

@@ -35,7 +35,7 @@ object ScaleQueries {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY 1 ORDER BY c_mktsegment"""),
       (s, d) => {
-        val tag = d.replaceAll("[^0-9]", "")
+        val tag = Tables.tmpKey(d)
         BucketedTables.writeBucketed(
           orders(s, d).select("o_custkey", "o_totalprice"),
           s"g_orders_b$tag", "o_custkey", 8, Seq("o_custkey"),
@@ -260,7 +260,7 @@ object ScaleQueries {
                 SELECT id FROM adm1 UNION ALL SELECT id FROM adm2)
               ORDER BY doc_id"""),
       (s, d) => {
-        val idxDir = s"/tmp/graft_stream_idx_${d.replaceAll("[^0-9]", "")}"
+        val idxDir = s"/tmp/graft_stream_idx_${Tables.tmpKey(d)}"
         val p = new org.apache.hadoop.fs.Path(idxDir)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
@@ -290,7 +290,7 @@ object ScaleQueries {
               FROM orders WHERE year(o_orderdate) IN (1996, 1997)
               GROUP BY 1 ORDER BY yr"""),
       (s, d) => {
-        val base = s"/tmp/graft_snap/merge_${d.replaceAll("[^0-9.]", "")}"
+        val base = s"/tmp/graft_snap/merge_${Tables.tmpKey(d)}"
         val p = new org.apache.hadoop.fs.Path(base)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true) // rerun-deterministic

@@ -199,8 +199,17 @@ class DedupSpec extends SparkTestBase {
       (i, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
     }
     val expected = {
+      // mirror the pinned SQL convention exactly (as PropertySpec:176
+      // does): trim strips SPACES only (JVM String.trim would strip all
+      // chars <= U+0020) and split keeps trailing empty tokens (the
+      // default limit drops them) — so this reference independently
+      // specifies the convention instead of passing only because the
+      // fixture has no leading tabs / trailing separators
       val toks = docs.map { case (id, t) =>
-        id -> t.trim.split("[ \t\n\r\f]+").toVector }.toMap
+        val tr = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        id -> (if (tr.isEmpty) Vector("")
+               else tr.split("[ \t\n\r\f]+", -1).toVector)
+      }.toMap
       val wins: Seq[(Long, Int, String)] = docs.flatMap { case (id, _) =>
         val tk = toks(id)
         (0 to tk.length - w).map(i =>

@@ -32,9 +32,12 @@ def canon(df):
             # normalize null spellings: pandas renders a null datetime as
             # 'NaT' but a null object as 'None' — same SQL NULL, and the
             # spark/duck frames can land on different dtypes for the
-            # same nullable date column
-            df[c] = df[c].astype(str).replace(
-                {"NaT": "None", "nan": "None", "<NA>": "None"})
+            # same nullable date column. Mask the nulls BEFORE
+            # stringifying: a post-hoc string replace would conflate a
+            # legitimate data value 'nan'/'NaT'/'<NA>' with SQL NULL and
+            # mask a real engine-vs-oracle null difference
+            mask = df[c].isna()
+            df[c] = df[c].astype(str).mask(mask, "None")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main():
