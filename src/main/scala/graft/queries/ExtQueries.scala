@@ -1537,11 +1537,18 @@ object ExtQueries {
             .crossJoin(cands.agg(count(lit(1)).cast("long").as("n_cand")))
             .select(lit(m).as("method"), col("n_hit"), col("n_cand"))
         val nb = brute.agg(count(lit(1)).cast("long").as("n_brute"))
-        hitsOf("ivf", Ann.ivfTopK(qs, corpus, 5, 10),
-            Ann.ivfCandidates(qs, corpus, 10))
+        // one IvfModel per method, shared by the search and the
+        // candidate count — the train-inside entry points would run
+        // the 2-iteration Lloyd training (a corpus scan + driver
+        // collect per iteration) once PER CONSUMER, doubling the
+        // report's index-build cost for identical pivots
+        val m0 = Ann.ivfModel(corpus, 10)
+        val mt = Ann.ivfModelFrom(m0, corpus, trainIters = 2)
+        hitsOf("ivf", Ann.ivfTopKModel(m0, qs, corpus, 5),
+            Ann.ivfCandidatesModel(m0, qs, corpus))
           .unionByName(hitsOf("ivf_t",
-            Ann.ivfTopK(qs, corpus, 5, 10, trainIters = 2),
-            Ann.ivfCandidates(qs, corpus, 10, trainIters = 2)))
+            Ann.ivfTopKModel(mt, qs, corpus, 5),
+            Ann.ivfCandidatesModel(mt, qs, corpus)))
           .crossJoin(broadcast(nb))
           .select(col("method"), col("n_brute"), col("n_hit"),
             floor(col("n_hit") * 10000.0 / col("n_brute") + 0.5)

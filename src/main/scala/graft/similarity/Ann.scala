@@ -235,8 +235,10 @@ object Ann {
     * at 100 TB the loop's cost is `iters` scans, same as any k-means.
     */
   private def trainedPivotData(corpus: DataFrame, nPivots: Int,
-      iters: Int): Array[(Long, Array[Float], Double)] = {
-    var piv = collectPivots(pivots(corpus, nPivots))
+      iters: Int,
+      seed: Option[Array[(Long, Array[Float], Double)]] = None
+  ): Array[(Long, Array[Float], Double)] = {
+    var piv = seed.getOrElse(collectPivots(pivots(corpus, nPivots)))
     for (_ <- 1 to iters) {
       val means = assignInlined(corpus, piv)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("p", "v")))
@@ -264,14 +266,45 @@ object Ann {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPivots: Int,
       nprobe: Int = 1, trainIters: Int = 0,
-      excludeSelf: Boolean = true): DataFrame = {
-    val piv =
+      excludeSelf: Boolean = true): DataFrame =
+    ivfTopKModel(ivfModel(corpus, nPivots, trainIters), queries, corpus, k,
+      nprobe, excludeSelf)
+
+  /** A collected IVF pivot set — the model parameters (nPivots × dim
+    * floats + norms) every IVF consumer inlines. Build it ONCE with
+    * [[ivfModel]] and share it across consumers: training
+    * (`trainIters` Lloyd iterations) costs one corpus scan + one
+    * driver collect per iteration, so a report that calls the
+    * train-inside entry points twice (search + candidate count) pays
+    * the whole training twice — the q_ann_recall_trained shape this
+    * type exists to fix.
+    */
+  final class IvfModel private[similarity] (
+      private[similarity] val data: Array[(Long, Array[Float], Double)])
+
+  def ivfModel(corpus: DataFrame, nPivots: Int,
+      trainIters: Int = 0): IvfModel =
+    new IvfModel(
       if (trainIters > 0) trainedPivotData(corpus, nPivots, trainIters)
-      else collectPivots(pivots(corpus, nPivots))
-    val cells = assignInlined(corpus, piv)
+      else collectPivots(pivots(corpus, nPivots)))
+
+  /** Refine an existing model with `trainIters` Lloyd iterations —
+    * lets a report that evaluates untrained-vs-trained start the
+    * training from the already-collected seed pivots instead of
+    * re-collecting them (one fewer driver job per report).
+    */
+  def ivfModelFrom(seed: IvfModel, corpus: DataFrame,
+      trainIters: Int): IvfModel =
+    new IvfModel(trainedPivotData(corpus, seed.data.length, trainIters,
+      Some(seed.data)))
+
+  /** [[ivfTopK]] over a pre-built [[IvfModel]]. */
+  def ivfTopKModel(model: IvfModel, queries: DataFrame, corpus: DataFrame,
+      k: Int, nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+    val cells = assignInlined(corpus, model.data)
     val qcells =
-      if (nprobe <= 1) assignInlined(queries, piv)
-      else probeInlined(queries, piv, nprobe)
+      if (nprobe <= 1) assignInlined(queries, model.data)
+      else probeInlined(queries, model.data, nprobe)
     searchCells(qcells, cells, k, excludeSelf)
   }
 
@@ -318,14 +351,19 @@ object Ann {
     * reads off a single row.
     */
   def ivfCandidates(queries: DataFrame, corpus: DataFrame, nPivots: Int,
-      nprobe: Int = 1, trainIters: Int = 0): DataFrame = {
-    val piv =
-      if (trainIters > 0) trainedPivotData(corpus, nPivots, trainIters)
-      else collectPivots(pivots(corpus, nPivots))
-    val cells = assignInlined(corpus, piv)
+      nprobe: Int = 1, trainIters: Int = 0): DataFrame =
+    ivfCandidatesModel(ivfModel(corpus, nPivots, trainIters), queries,
+      corpus, nprobe)
+
+  /** [[ivfCandidates]] over a pre-built [[IvfModel]] — pair it with
+    * [[ivfTopKModel]] so the recall-vs-cost report trains once.
+    */
+  def ivfCandidatesModel(model: IvfModel, queries: DataFrame,
+      corpus: DataFrame, nprobe: Int = 1): DataFrame = {
+    val cells = assignInlined(corpus, model.data)
     val qcells =
-      if (nprobe <= 1) assignInlined(queries, piv)
-      else probeInlined(queries, piv, nprobe)
+      if (nprobe <= 1) assignInlined(queries, model.data)
+      else probeInlined(queries, model.data, nprobe)
     broadcast(qcells.select(col("vec_id").as("qid"), col("cell")))
       .join(cells.select(col("vec_id").as("nid"), col("cell")), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
