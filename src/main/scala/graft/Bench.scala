@@ -18,6 +18,8 @@ object Bench {
     // round: every failure is collected and flagged in the output JSON
     // AND fails the run (exit 1) after the JSON line is printed
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val loadAtStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // Spark JOB COUNT per query: scheduling overhead (not data) is the
     // sf1 heavy-tail cost, so the action count is the tuning signal.
     // Posting to the listener bus is synchronous but DELIVERY is not
@@ -99,11 +101,19 @@ object Bench {
         case ((acc, rem), (n, t)) =>
           if (t <= rem) (acc + n, rem - t) else (acc, rem)
       }._1
+    // per-query min-of-2 SPREAD (|t1 - t2|) for every query that ran
+    // twice: the mechanical host-noise signal. A big spread on an
+    // unchanged query is contention; a tight spread at a higher level
+    // than last round is a real regression. (r9's +30% across
+    // untouched queries had to be inferred from uniformity — this
+    // field lets the next reader separate the two cases directly.)
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = firstPass.map { case (n, t) =>
       if (suspects.contains(n)) {
         val t2 = run(n)
         if (t2 < t) System.err.println(
           f"[bench] $n%-22s retry $t2%.2f s < first $t%.2f s (contention)")
+        spreads(n) = math.abs(t - t2)
         n -> math.min(t, t2)
       } else n -> t
     }
@@ -130,6 +140,7 @@ object Bench {
       // exec should scale linearly in rows
       "q_asof_native")
     val resultMap = results.toMap
+    val sf1Spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // snapshot the MAIN-run job counts before the sf1 tier runs the
     // same query names and overwrites jobCounts with sf1-tier numbers
     val mainJobCounts = jobCounts.toMap
@@ -163,6 +174,7 @@ object Bench {
         // 1.8x off the quiet-machine cost for the same plan
         val tA = runIn(n, dir); val jA = jobCounts(n)
         val tB = runIn(n, dir); val jB = jobCounts(n)
+        sf1Spreads(n) = math.abs(tA - tB)
         val (t10, j10) = if (tB < tA) (tB, jB) else (tA, jA)
         jobCounts(n) = j10
         val t1 = resultMap.getOrElse(n, 0.0)
@@ -190,7 +202,23 @@ object Bench {
       if (sf1.isEmpty) ""
       else s""","sf1_subset":${sf1.sortBy(_._1).map { case (n, (t, a)) =>
         "\"" + n + "\":{\"sec\":" + r2(t) + ",\"alpha\":" + r2(a) +
-          ",\"jobs\":" + jobCounts.getOrElse(n, 0) + "}"
+          ",\"jobs\":" + jobCounts.getOrElse(n, 0) +
+          ",\"spread\":" + r2(sf1Spreads.getOrElse(n, 0.0)) + "}"
+      }.mkString("{", ",", "}")}"""
+    // host-contention markers: load averages straddling the run plus
+    // the retried-query spreads — the "is it noise or a regression"
+    // evidence the per-round comparison needs (additive noise shows as
+    // high load / wide spreads; a plan regression shows as a tight
+    // spread at a new level)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val envPart = s""","env":{"cpus":${osBean.getAvailableProcessors}""" +
+      s""","load_end":${r2(osBean.getSystemLoadAverage)}""" +
+      s""","load_start":${r2(loadAtStart)}""" +
+      s""","heap_max_gb":${r2(Runtime.getRuntime.maxMemory / 1e9)}}"""
+    val spreadPart =
+      if (spreads.isEmpty) ""
+      else s""","retry_spread":${spreads.map { case (n, sp) =>
+        "\"" + n + "\":" + r2(sp)
       }.mkString("{", ",", "}")}"""
     val failedPart =
       if (failed.isEmpty) ""
@@ -202,7 +230,7 @@ object Bench {
         else s""","rest_sec":${r2(rest.map(_._2).sum)},"n_rest":${rest.size}"""
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${
         results.size},"queries":${
-        kept.map(entry).mkString("{", ",", "}")}$restPart$failedPart$sf1Part,"value":${r2(total)}}"""
+        kept.map(entry).mkString("{", ",", "}")}$restPart$failedPart$sf1Part$envPart,"value":${r2(total)}}"""
     }
     val kept = (bySlowest.size to 0 by -1).view
       .map(bySlowest.take).find(k => line(k).length <= 1400)
@@ -213,7 +241,7 @@ object Bench {
       "\"" + n + "\":" + mainJobCounts.getOrElse(n, 0)
     }.mkString("{", ",", "}")}"""
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${
-      bySlowest.map(entry).mkString("{", ",", "}")}$jobsPart$failedPart$sf1Part,"value":${r2(total)}}"""
+      bySlowest.map(entry).mkString("{", ",", "}")}$jobsPart$failedPart$sf1Part$envPart$spreadPart,"value":${r2(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_full_last.json")
       try w.println(full) finally w.close()

@@ -718,8 +718,12 @@ object Dedup {
     // unpersisted shingle stage: the two verify sides shuffle
     // identically on id (one exchange, reused), and the prefix index
     // consumes its own exploded shuffle — re-shingling is a map pass,
-    // cheaper than building a columnar cache of string arrays (same
-    // measured trade as minhashIndexView)
+    // cheaper than building a columnar cache of string arrays. Unlike
+    // the r8 minhash shape this does NOT hide a cliff behind exchange
+    // reuse: the worst case when reuse fails to materialize is one
+    // extra shingling map pass + shuffle write (bounded, cheap — no
+    // k-MD5 kernel re-runs; the sketch-bearing stage of minhashPairs
+    // is persisted for exactly that reason).
     val docs = df.select((blockCols.map(col) :+ col(idCol).as("id") :+
       shingles(col(textCol), n).as("sh")): _*)
     ngramPrefixCandidatesFromShingles(docs, blockCols, threshold)

@@ -430,6 +430,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_scd2: change flag, island id and interval agg share ONE key shuffle") {
+    // SCALE.md's SCD2 cost model: the change-flag lag and the island-id
+    // running sum share one window spec (one shuffle+sort per key) and
+    // the interval aggregate reuses that partitioning. Unlike exchange
+    // reuse this is DETERMINISTIC planning (same window spec → one
+    // WindowExec; EnsureRequirements sees the child partitioning), so
+    // it can be pinned statically: at most one hash-partitioning
+    // exchange in the whole tree (the report ORDER BY adds a range
+    // exchange, not a hash one).
+    val p = plan("q_scd2")
+    val tree = p.substring(0, p.indexOf("\n(1) "))
+    val hashShuffles = tree.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashShuffles <= 1,
+      s"SCD2 collapse grew a second key shuffle ($hashShuffles):\n$tree")
+  }
+
   test("simhash pipeline sketches exactly once (cached buckets)") {
     val (sites, caches) = sketchSitesOutsideCache("q_dedup_simhash",
       _.isInstanceOf[graft.functions.SimHashBits])

@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Round-snapshot gate: stage every round artifact the driver/judge
+# produces and fail loudly if the tree is still dirty afterwards.
+# Rounds 6-9 each left BENCH_r*/CORRECTNESS_r* untracked; this makes
+# "commit the round artifacts" one command with a mechanical check.
+#
+# Usage: tools/snapshot.sh [commit message]
+#   - stages BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json
+#     COPYCHECK.json VERDICT.md ADVICE.md bench_full_last.json
+#     PROGRESS.jsonl (whichever exist)
+#   - commits them with the given message (default: "round snapshot")
+#   - exits 1 if `git status` is not clean afterwards, listing what
+#     was left behind
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+msg="${1:-round snapshot: bench/correctness/judge artifacts}"
+
+artifacts=()
+for f in BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json \
+         VERDICT.md ADVICE.md bench_full_last.json PROGRESS.jsonl; do
+  [ -e "$f" ] && artifacts+=("$f")
+done
+
+if [ "${#artifacts[@]}" -gt 0 ]; then
+  git add -- "${artifacts[@]}"
+fi
+
+if ! git diff --cached --quiet; then
+  git commit -m "$msg"
+fi
+
+if [ -n "$(git status --porcelain)" ]; then
+  echo "snapshot: tree still dirty after artifact commit:" >&2
+  git status --porcelain >&2
+  exit 1
+fi
+echo "snapshot: clean"
