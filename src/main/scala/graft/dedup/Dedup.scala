@@ -287,13 +287,16 @@ object Dedup {
     * back to the corpus text.
     */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, k: Int = 16, bands: Int = 8): MinhashIndex = {
+      n: Int = 2, k: Int = 16, bands: Int = 8,
+      fastKernel: Boolean = false): MinhashIndex = {
     val MinhashIndex(sh0, _) = minhashIndexView(df, idCol, textCol, n, k, bands)
     val sh = graft.ops.StageCache.persisted(sh0)
     // buckets persisted too: every consumer (pair self-join sides, the
     // staging write) would otherwise recompute the k-way md5 signature
+    val sig = if (fastKernel) minhashSignatureFast(col("sh"), k)
+              else minhashSignature(col("sh"), k)
     val b = graft.ops.StageCache.persisted(
-      sh.withColumn("sig", minhashSignature(col("sh"), k))
+      sh.withColumn("sig", sig)
         .select(col("id"), posexplode(lshBands(col("sig"), k, bands))
           .as(Seq("band", "bucket"))))
     MinhashIndex(sh, b)
@@ -404,11 +407,17 @@ object Dedup {
     */
   def incrementalMinhashPairs(index: MinhashIndex, delta: DataFrame,
       idCol: String, textCol: String, n: Int = 2, k: Int = 16,
-      bands: Int = 8, threshold: Double = 0.3): DataFrame =
+      bands: Int = 8, threshold: Double = 0.3,
+      fastKernel: Boolean = false): DataFrame =
     // the delta index is consumed exactly once per frame (bucket probe,
-    // shingle verify) — the unpersisted view wins (see minhashIndexView)
+    // shingle verify) — the unpersisted view wins (see minhashIndexView).
+    // fastKernel is part of the INDEX IDENTITY: band keys from the two
+    // kernels never collide, so the delta must sketch with the same
+    // kernel the staged corpus index was built with (CorpusStreams
+    // stamps it into _index_params for exactly this reason).
     incrementalMinhashPairsFromIndex(index,
-      minhashIndexView(delta, idCol, textCol, n, k, bands), threshold)
+      minhashIndexView(delta, idCol, textCol, n, k, bands, fastKernel),
+      threshold)
 
   /** LSH quality evaluation: run the banding WITHOUT the verify
     * threshold and report how many candidate pairs the buckets

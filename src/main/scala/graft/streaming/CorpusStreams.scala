@@ -41,7 +41,7 @@ object CorpusStreams {
     */
   def admitBatch(batch: DataFrame, indexDir: String, idCol: String,
       textCol: String, n: Int = 2, k: Int = 16, bands: Int = 8,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3, fastKernel: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val shPath = s"$indexDir/shingles"
     val bkPath = s"$indexDir/buckets"
@@ -66,8 +66,14 @@ object CorpusStreams {
     // k=16/bands=8 index with bands=4 band keys simply never collides,
     // so EVERY near-dup would be silently admitted. Persist them at
     // bootstrap and fail fast on mismatch ever after.
+    // the kernel is part of the identity too: band keys from the two
+    // kernels never collide, so probing a default-kernel index with
+    // fast-kernel keys would silently admit every near-dup. The legacy
+    // string (no kernel suffix) stays the default-kernel form so
+    // pre-existing staged indexes keep validating.
     val paramsPath = new org.apache.hadoop.fs.Path(s"$indexDir/_index_params")
-    val expectedParams = s"n=$n,k=$k,bands=$bands"
+    val expectedParams = s"n=$n,k=$k,bands=$bands" +
+      (if (fastKernel) ",kernel=fast" else "")
     if (hasIndex && fs.exists(paramsPath)) {
       val in = fs.open(paramsPath)
       val actual = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -84,7 +90,8 @@ object CorpusStreams {
     }
     // the batch is sketched exactly ONCE: this index feeds the
     // within-batch pairing, the vs-corpus probe, AND the staging append
-    val batchIdx = Dedup.minhashIndex(batch, idCol, textCol, n, k, bands)
+    val batchIdx = Dedup.minhashIndex(batch, idCol, textCol, n, k, bands,
+      fastKernel)
     // within-batch SemDeDup pair rule: drop every doc with a LOWER-id
     // qualifying neighbor in the same batch (pairs emit id_a < id_b,
     // so the drop set is the id_b side)
@@ -123,10 +130,11 @@ object CorpusStreams {
     */
   def admitStream(docs: DataFrame, indexDir: String, idCol: String,
       textCol: String, n: Int = 2, k: Int = 16, bands: Int = 8,
-      threshold: Double = 0.3)(onBatch: (DataFrame, Long) => Unit)
+      threshold: Double = 0.3, fastKernel: Boolean = false)(
+      onBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
       onBatch(admitBatch(b, indexDir, idCol, textCol, n, k, bands,
-        threshold), id)
+        threshold, fastKernel), id)
     }
 }

@@ -259,6 +259,37 @@ class DedupSpec extends SparkTestBase {
     assert(inc.nonEmpty, "fixture should produce cross near-dups")
   }
 
+  test("fast kernel: incremental ≡ batch on delta-vs-corpus, kernels never mix") {
+    // the fastKernel flag must thread consistently through the staged
+    // index path: a fast-kernel corpus index probed by a fast-kernel
+    // delta finds exactly the cross pairs the fast-kernel batch
+    // recompute finds — and because the two kernels' band keys come
+    // from different signature spaces, a MIXED probe (default-kernel
+    // delta against the fast index) collides on nothing, which is the
+    // silent-admission hazard CorpusStreams stamps _index_params for
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 === 1)
+    val batchPairs: Set[(Long, Long)] = Dedup.minhashPairs(docs, "doc_id",
+        "text", n = 2, k = 16, bands = 8, threshold = 0.1, fastKernel = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchCross = batchPairs
+      .filter { case (a, b) => a % 2 != b % 2 }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }
+    val fastIdx = Dedup.minhashIndex(corpus, "doc_id", "text",
+      fastKernel = true)
+    val inc = Dedup.incrementalMinhashPairs(fastIdx, delta,
+        "doc_id", "text", threshold = 0.1, fastKernel = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inc === batchCross)
+    assert(inc.nonEmpty, "fixture should produce cross near-dups")
+    val mixed = Dedup.incrementalMinhashPairs(fastIdx, delta,
+        "doc_id", "text", threshold = 0.1)
+      .count()
+    assert(mixed === 0L,
+      "default-kernel probe of a fast-kernel index must collide on nothing")
+    graft.ops.StageCache.releaseAll()
+  }
+
   test("incremental probe of a parquet index never touches corpus text") {
     // stage the index to parquet and RELOAD it — the true daily shape.
     // The probe plan must scan the two index tables and the delta

@@ -261,6 +261,15 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(pe.getMessage.contains("bands=4") && pe.getMessage.contains("bands=8"))
 
+    // kernel drift fails fast the same way: fast-kernel band keys come
+    // from a different signature space, so probing this default-kernel
+    // index with them would silently admit every near-dup
+    val ke = intercept[IllegalArgumentException] {
+      CorpusStreams.admitBatch(b2.toDF("doc_id", "text"),
+        s"$tmp/stream_idx", "doc_id", "text", fastKernel = true)
+    }
+    assert(ke.getMessage.contains("kernel=fast"))
+
     // a half-written index (crash between the two staging appends)
     // fails fast instead of breaking replay safety
     val fs = new org.apache.hadoop.fs.Path(tmp)
