@@ -134,24 +134,14 @@ object Tune {
       // below their exchanges (digest groupBy vs the probe join), so
       // exchange reuse CANNOT share the window-digest map pass — it
       // runs twice by construction. A/B: recompute (current) vs
-      // persisting the compact (id, 16-byte digest) span stream.
+      // persisting the compact (id, 16-byte digest) span stream. Both
+      // arms run the operator's OWN spanStream/spanDupCounts helpers,
+      // so a change to its tokenization/window conventions flows into
+      // the harness automatically — only the persist differs.
       for (_ <- 1 to 2) {
         time("substr spans persisted") {
-          val toks = col("__toks")
-          val w = 8
-          val wins = when(size(toks) >= w,
-            array_distinct(transform(sequence(lit(1), size(toks) - w + 1),
-              i => unhex(md5(concat_ws(" ", slice(toks, i, lit(w))))))))
-            .otherwise(array().cast("array<binary>"))
-          val spans = graft.ops.StageCache.persisted(docs
-            .select(col("doc_id"), split(trim(col("text")), "[ \\t\\n\\r\\f]+").as("__toks"))
-            .select(col("doc_id"), explode_outer(wins).as("__dig")))
-          val digCounts = spans.filter(col("__dig").isNotNull)
-            .groupBy("__dig").agg(count(lit(1)).as("__docs"))
-          spans.join(digCounts, Seq("__dig"), "left")
-            .groupBy("doc_id")
-            .agg(count(col("__dig")).as("n_spans"),
-              sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+          Dedup.spanDupCounts(graft.ops.StageCache.persisted(
+            Dedup.spanStream(docs, "doc_id", "text", 8)), "doc_id")
         }
         time("substr spans recompute") {
           Dedup.duplicateSpans(docs, "doc_id", "text", 8)

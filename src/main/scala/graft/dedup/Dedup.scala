@@ -71,6 +71,26 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     require(w >= 1, s"window w=$w must be >= 1")
+    // The span map pass runs twice (the two consumers' subtrees differ
+    // below their exchanges, so exchange reuse cannot fire) — that is
+    // a DETERMINISTIC 2× of one cheap single-MD5-per-window pass, not
+    // a reuse cliff, and persisting the span stream instead measured
+    // SLOWER (1.4 s vs 1.3 s min-of-2 at the 10× tier, Tune ab: the
+    // cache build is a full columnar pass over the operator's largest
+    // intermediate). The Tune A/B that re-measures that call re-uses
+    // THESE helpers, differing only in the persist.
+    spanDupCounts(spanStream(df, idCol, textCol, w), idCol)
+  }
+
+  /** The (id, 16-byte window digest) stream behind [[duplicateSpans]]:
+    * one row per DISTINCT rolling `w`-token window per doc (plus one
+    * null-digest row for sub-`w` docs, so every input id survives the
+    * downstream aggregate). Shared with the Tune persist-vs-recompute
+    * A/B so the harness can never drift from the operator's
+    * tokenization/window conventions.
+    */
+  private[graft] def spanStream(df: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
     // tokenize into a projected column FIRST: slice(toks, i, w) inside
     // the transform lambda re-evaluates its array subtree per window,
     // so an inline split would run O(windows) times per doc — an
@@ -87,21 +107,19 @@ object Dedup {
       array_distinct(transform(sequence(lit(1), size(toks) - w + 1),
         i => unhex(md5(concat_ws(" ", slice(toks, i, lit(w))))))))
       .otherwise(array().cast("array<binary>"))
-    val spans = df
-      .select(col(idCol), split(trim(col(textCol)), "[ \\t\\n\\r\\f]+").as("__toks"))
+    df.select(col(idCol), split(trim(col(textCol)), "[ \\t\\n\\r\\f]+").as("__toks"))
       .select(col(idCol), explode_outer(wins).as("__dig"))
+  }
+
+  /** [[duplicateSpans]]' aggregation tail over a [[spanStream]]. */
+  private[graft] def spanDupCounts(spans: DataFrame,
+      idCol: String): DataFrame = {
     // per-digest doc count via groupBy + join-back, NOT a window: the
     // window form has no map-side combine, so one boilerplate digest
     // shared by 10M docs funnels 10M rows into a single window
     // partition — the exact skew this operator targets. The groupBy
     // partially aggregates the hot digest map-side, and AQE's
-    // skew-join covers the residue. The span map pass runs twice (the
-    // two consumers' subtrees differ below their exchanges, so
-    // exchange reuse cannot fire) — that is a DETERMINISTIC 2× of one
-    // cheap single-MD5-per-window pass, not a reuse cliff, and
-    // persisting the span stream instead measured SLOWER (1.4 s vs
-    // 1.3 s min-of-2 at the 10× tier, Tune ab: the cache build is a
-    // full columnar pass over the operator's largest intermediate).
+    // skew-join covers the residue.
     val digCounts = spans.filter(col("__dig").isNotNull)
       .groupBy("__dig").agg(count(lit(1)).as("__docs"))
     spans
@@ -209,6 +227,15 @@ object Dedup {
     * decimal string forms). Arithmetic and constants documented at
     * [[graft.functions.SketchOps.minhashSigFast]]; the
     * q_dedup_minhash_fast oracle replays them verbatim in DuckDB.
+    *
+    * EMPTY-SET CAVEAT (differs from [[minhashSignature]], which yields
+    * an all-NULL signature): an empty shingle array has no minimum, so
+    * every slot reports the `Long.MaxValue` sentinel — all empty docs
+    * share ONE signature and would all-pair inside every band bucket.
+    * The pipeline operators never feed it an empty set
+    * ([[minhashIndexView]] filters `size(sh) > 0` first); direct
+    * callers must apply the same guard or accept m²/2 spurious
+    * candidates over their m shingle-less docs.
     */
   def minhashSignatureFast(shingleSet: Column, k: Int): Column =
     graft.functions.SketchExpressions.minhashSigFast(shingleSet, k)
@@ -236,6 +263,14 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs over `df(idCol, textCol)`:
     * candidates from shared LSH buckets, verified with exact Jaccard on
     * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * CACHE CONTRACT: each call registers one persisted bucket stage in
+    * [[graft.ops.StageCache]] (it cannot be unpersisted before the lazy
+    * result is consumed). Callers invoking this in a loop should call
+    * `StageCache.releaseAll()` once the returned frame has been
+    * consumed — Verify/Bench do this between queries — or the cached
+    * stages accumulate for the session lifetime. Same contract on
+    * [[minhashEval]].
     */
   // No broadcast hint on the shingle sides of the verify joins: the
   // corpus is the BIG side at scale (AQE broadcasts it locally where it
@@ -431,8 +466,9 @@ object Dedup {
       n: Int = 2, k: Int = 16, bands: Int = 8,
       threshold: Double = 0.1): DataFrame =
     // one-shot pipeline → the bucket-persisted index (same rationale
-    // as minhashPairs) + the SAME candidate/verify stage the pair
-    // operator runs (scoredCandidates) with the aggregate in place of
+    // and StageCache release contract as minhashPairs) + the SAME
+    // candidate/verify stage the pair operator runs (scoredCandidates)
+    // with the aggregate in place of
     // the threshold filter. Zero-candidate corpora report (0, 0, 0) —
     // sum over an empty aggregate is NULL, and the unguarded precision
     // division would NaN→ANSI-error on the cast.

@@ -13,6 +13,20 @@ import graft.sources.CsvSources
 object CsvQueries {
   import Tables._
 
+  /** The re-read side of q_orc_roundtrip — exposed so PlanSpec can pin
+    * the pushed predicate on the inner scan (the registered query's
+    * outer plan is the deferred SinkThenScan leaf).
+    */
+  private[graft] def orcReread(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    s.read.orc(dir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"),
+        col("o_orderdate").cast("string").as("odate"))
+      .orderBy("okey")
+
   val defs: Seq[QueryDef] = Seq(
 
     // S1 + S9: all-string comma CSV round-trip with explicit casts
@@ -92,20 +106,18 @@ object CsvQueries {
               FROM orders WHERE o_totalprice > 400000 ORDER BY okey"""),
       (s, d) => {
         val dir = s"/tmp/graft_orc/orders_${Tables.tmpKey(d)}"
-        // the ORC write is EAGER — it runs at plan-build time, so any
-        // consumer of the builder (Bench's timed section, but also
-        // Lint/plan-only callers) pays a full ORC write of orders per
-        // build; the returned plan is the re-read side only. That is
-        // the point of the query (sink + scan round-trip), but callers
-        // that only want the plan should know the build is not free.
-        orders(s, d).write.mode("overwrite").orc(dir)
-        s.read.orc(dir)
-          .filter(col("o_totalprice") > 400000)
-          .select(col("o_orderkey").as("okey"),
-            col("o_orderstatus").as("status"),
-            col("o_totalprice").as("price"),
-            col("o_orderdate").cast("string").as("odate"))
-          .orderBy("okey")
+        // DEFERRED sink: the ORC write used to run eagerly at
+        // plan-build time, billing whatever phase built the plan
+        // (Lint/Explain/Bench's untimed setup). SinkThenScan defers it
+        // to first action, so Bench times the write inside this
+        // query's own measurement and a plan-only build writes
+        // nothing. PlanSpec pins the pushed filter on the INNER
+        // re-read plan (orcReread below).
+        graft.plans.SinkThenScan.roundTrip(s,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "okey BIGINT, status STRING, price DOUBLE, odate STRING"),
+          sp => orders(sp, d).write.mode("overwrite").orc(dir),
+          sp => orcReread(sp, dir))
       }),
 
     // S2: pipe-separated extract round-trip (reference scorecard.py:32)

@@ -84,8 +84,13 @@ object EventQueries {
       // edges pass dst IS NOT NULL; nodes = src UNION dst keeps NULL)
       // whose final-ORDER-BY tiebreak Spark (NULLS FIRST) and DuckDB
       // (NULLS LAST) break oppositely — a latent hash divergence
-      // whenever the tie group reaches the LIMIT. Corrupt props must
-      // degrade to "no edge", not a NULL node.
+      // whenever the tie group reaches the LIMIT. Semantics of the
+      // pre-window filter: a corrupt event is DROPPED from the user's
+      // session sequence, so its two valid neighbors become adjacent
+      // and contribute a prev→next transition edge (both engines
+      // filter identically, so parity holds; a row_number guard would
+      // be the alternative if bridging across corrupt events were not
+      // intended).
       Some("""WITH ev0 AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
                   TRY_CAST(json_extract_string(TRY_CAST(props AS JSON),
                     '$.k') AS BIGINT) AS page

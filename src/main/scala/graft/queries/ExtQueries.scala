@@ -76,9 +76,20 @@ object ExtQueries {
        + (CASE WHEN n_chars > 0 THEN CAST(length(regexp_replace(trim(text), '[^a-zA-Z ]', '', 'g')) AS DOUBLE)/n_chars ELSE 0.0 END) * 0.25
        + least(CASE WHEN n_tokens > 0 THEN CAST(all_hits AS DOUBLE)/n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.25"""
 
+  /** Shared MinHash+LSH shape constants: interpolated into BOTH the
+    * oracle CTEs below and the Scala-side QueryDef calls, so a
+    * parameter edit cannot desync engine and oracle (the (a, b) affine
+    * constants of the fast kernel are already generated from shared
+    * functions; these cover k / bands / band width / threshold).
+    */
+  private[queries] val MhK = 16
+  private[queries] val MhBands = 8
+  private[queries] val MhR = MhK / MhBands
+  private[queries] val MhThr = 0.1
+
   /** DuckDB CTE chain ending in `mh_pairs` — the MinHash+LSH pair list
-    * (k=16, b=8, r=2, jaccard >= 0.1) shared by q_dedup_minhash and
-    * q_dedup_clusters.
+    * (k=MhK, b=MhBands, r=MhR, jaccard >= MhThr) shared by
+    * q_dedup_minhash and q_dedup_clusters.
     */
   /** CTE chain base..buckets (shingles -> minhash sigs -> LSH band
     * buckets) shared by the pairs oracle and q_dedup_eval.
@@ -98,18 +109,18 @@ object ExtQueries {
                 FROM documents)),
         sigs AS (
           SELECT id, sh,
-            list_transform(range(1, 17), s ->
+            list_transform(range(1, ${MhK + 1}), s ->
               list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
           FROM base WHERE len(sh) > 0),
         banded AS (
           SELECT id, sh,
-            list_transform(range(0, 8), b ->
-              md5(array_to_string(sig[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)], '|'))) AS bandkeys
+            list_transform(range(0, $MhBands), b ->
+              md5(array_to_string(sig[CAST(b*$MhR+1 AS INT):CAST(b*$MhR+$MhR AS INT)], '|'))) AS bandkeys
           FROM sigs),
         buckets AS (
           SELECT id, sh, CAST(r.range AS INT) AS band,
                  bandkeys[CAST(r.range + 1 AS INT)] AS bucket
-          FROM banded, range(0, 8) AS r)"""
+          FROM banded, range(0, $MhBands) AS r)"""
 
   /** Fast-kernel twin of [[minhashPairsCtes]]: one md5 per shingle +
     * k affine permutations (see SketchOps.minhashSigFast). The (a, b)
@@ -121,8 +132,8 @@ object ExtQueries {
     */
   private val minhashFastPairsCtes = {
     import graft.functions.SketchOps.{fastA, fastB, fastP}
-    val aList = (1 to 16).map(fastA).mkString("[", ", ", "]")
-    val bList = (1 to 16).map(fastB).mkString("[", ", ", "]")
+    val aList = (1 to MhK).map(fastA).mkString("[", ", ", "]")
+    val bList = (1 to MhK).map(fastB).mkString("[", ", ", "]")
     s"""base AS (
           SELECT doc_id AS id, $shinglesSql AS sh
           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -134,20 +145,20 @@ object ExtQueries {
           FROM base WHERE len(sh) > 0),
         sigs AS (
           SELECT id, sh,
-            list_transform(range(1, 17), s ->
+            list_transform(range(1, ${MhK + 1}), s ->
               list_min(list_transform(hv, h ->
                 (($aList)[CAST(s AS INT)] * h
                   + ($bList)[CAST(s AS INT)]) % $fastP))) AS sig
           FROM hs),
         banded AS (
           SELECT id, sh,
-            list_transform(range(0, 8), b ->
-              md5(array_to_string(sig[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)], '|'))) AS bandkeys
+            list_transform(range(0, $MhBands), b ->
+              md5(array_to_string(sig[CAST(b*$MhR+1 AS INT):CAST(b*$MhR+$MhR AS INT)], '|'))) AS bandkeys
           FROM sigs),
         buckets AS (
           SELECT id, sh, CAST(r.range AS INT) AS band,
                  bandkeys[CAST(r.range + 1 AS INT)] AS bucket
-          FROM banded, range(0, 8) AS r),
+          FROM banded, range(0, $MhBands) AS r),
         mh_pairs AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b,
             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -155,7 +166,7 @@ object ExtQueries {
           FROM buckets a JOIN buckets b
             ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1)"""
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $MhThr)"""
   }
 
   private val minhashPairsCtes =
@@ -167,7 +178,7 @@ object ExtQueries {
           FROM buckets a JOIN buckets b
             ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1)"""
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $MhThr)"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -576,7 +587,7 @@ object ExtQueries {
               SELECT id_a, id_b, jaccard FROM mh_pairs
               ORDER BY id_a, id_b"""),
       (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text",
-        n = 2, k = 16, bands = 8, threshold = 0.1)
+        n = 2, k = MhK, bands = MhBands, threshold = MhThr)
         .orderBy("id_a", "id_b")),
 
     // ---- dedup: MinHash+LSH with the PRODUCTION kernel — one md5 per
@@ -591,7 +602,8 @@ object ExtQueries {
               SELECT id_a, id_b, jaccard FROM mh_pairs
               ORDER BY id_a, id_b"""),
       (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text",
-        n = 2, k = 16, bands = 8, threshold = 0.1, fastKernel = true)
+        n = 2, k = MhK, bands = MhBands, threshold = MhThr,
+        fastKernel = true)
         .orderBy("id_a", "id_b")),
 
     // ---- dedup: INCREMENTAL MinHash — the daily-pipeline shape. The

@@ -183,13 +183,30 @@ object Ann {
   def assignCells(df: DataFrame, pivotDf: DataFrame): DataFrame =
     assignInlined(df, collectPivots(pivotDf))
 
-  private def collectPivots(pivotDf: DataFrame): Array[(Long, Array[Float], Double)] =
+  /** Test hook: counts the driver-side model-parameter jobs (pivot
+    * seed collects, Lloyd iteration aggregates) so a spec can pin that
+    * a multi-consumer report trains each [[IvfModel]] exactly once —
+    * the q_ann_recall_trained single-training shape is a measured
+    * cost-model invariant (train-per-consumer silently doubles every
+    * index-build corpus scan), and unlike the minhash cache pins it is
+    * invisible in the physical plan (training happens at BUILD time),
+    * so the pin counts these hooks instead.
+    */
+  private[graft] object TrainTelemetry {
+    val seedCollects = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lloydIters = new java.util.concurrent.atomic.AtomicInteger(0)
+    def reset(): Unit = { seedCollects.set(0); lloydIters.set(0) }
+  }
+
+  private def collectPivots(pivotDf: DataFrame): Array[(Long, Array[Float], Double)] = {
+    TrainTelemetry.seedCollects.incrementAndGet()
     pivotDf.select(col("pid"), col("pvec")).orderBy("pid").collect().map { r =>
       val pv = r.getSeq[Float](1).toArray
       // same fold as VecDot: left-to-right, each term in double
       val pn = math.sqrt(pv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
       (r.getLong(0), pv, pn)
     }
+  }
 
   private def pivotSims(pivotData: Array[(Long, Array[Float], Double)]) = {
     val nrm = norm(col("embedding"))
@@ -240,6 +257,7 @@ object Ann {
   ): Array[(Long, Array[Float], Double)] = {
     var piv = seed.getOrElse(collectPivots(pivots(corpus, nPivots)))
     for (_ <- 1 to iters) {
+      TrainTelemetry.lloydIters.incrementAndGet()
       val means = assignInlined(corpus, piv)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("p", "v")))
         .groupBy("cell", "p")

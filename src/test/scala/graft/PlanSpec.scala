@@ -366,14 +366,32 @@ class PlanSpec extends SparkTestBase {
       "only the final report sort may exchange")
   }
 
-  test("q_orc_roundtrip pushes the re-read filter into the ORC scan") {
-    // the builder writes the ORC copy eagerly, so the returned plan is
-    // the RE-READ side only: one orc scan, whose stripe pruning must
-    // still see the price predicate after the format hop
+  test("q_orc_roundtrip defers the write; the inner scan pushes the filter") {
+    // r11 shape: the registered plan is a deferred SinkThenScan leaf —
+    // BUILDING it must write nothing (the sink job runs inside the
+    // query's first action, so Bench bills it to this query, not to
+    // whatever phase builds plans)...
+    val dir = new java.io.File(
+      s"/tmp/graft_orc/orders_${queries.Tables.tmpKey(sf)}")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(dir)
     val p = plan("q_orc_roundtrip")
-    assert(p.linesIterator.exists(_.contains("Scan orc")),
-      "no ORC scan in the plan")
-    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+    assert(p.contains("SinkThenScan"), "expected the deferred sink leaf")
+    assert(!dir.exists, "plan build must not perform the ORC write")
+    // ...and the INNER re-read plan — built after the write, the plan
+    // that actually executes — must still push the price predicate
+    // into the orc scan (stripe pruning must survive the format hop)
+    SparkEntry.queries("q_orc_roundtrip")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    assert(dir.exists, "first action must perform the ORC write")
+    val inner = queries.CsvQueries.orcReread(spark, dir.getPath)
+      .queryExecution.explainString(FormattedMode)
+    assert(inner.linesIterator.exists(_.contains("Scan orc")),
+      "no ORC scan in the inner plan")
+    assert(inner.contains("PushedFilters: [") &&
+      !inner.contains("PushedFilters: []"),
       "filter did not reach the ORC scan")
   }
 

@@ -278,4 +278,25 @@ class AnnSpec extends SparkTestBase {
       .select("nid").as[Long].collect().toSeq
     assert(without === Seq(2L), "default drops the id-colliding row")
   }
+
+  test("q_ann_recall_trained trains each IvfModel exactly once") {
+    // The IvfModel refactor (r10) collapsed the report's index builds:
+    // one seed-pivot collect shared by both models (ivfModelFrom
+    // refines the already-collected seed) and exactly trainIters=2
+    // Lloyd iterations TOTAL — not per consumer (search + candidate
+    // count each read the same model). Training happens at plan-BUILD
+    // time, so this cost-model invariant is invisible to plan pins;
+    // the telemetry counters pin it instead. A regression to the
+    // train-inside entry points would read 2 seed collects / 4 Lloyd
+    // iterations and double every index-build corpus scan of the
+    // 100 TB report.
+    Ann.TrainTelemetry.reset()
+    graft.SparkEntry.queries("q_ann_recall_trained")(
+      spark, "/root/testdata/sf0.001")
+    graft.ops.StageCache.releaseAll()
+    assert(Ann.TrainTelemetry.seedCollects.get() === 1,
+      "seed pivots must be collected exactly once for the whole report")
+    assert(Ann.TrainTelemetry.lloydIters.get() === 2,
+      "the trained model must run its 2 Lloyd iterations exactly once")
+  }
 }
