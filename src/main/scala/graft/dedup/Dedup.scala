@@ -724,7 +724,13 @@ object Dedup {
     * GROW), so no qualifying pair loses its collision; the few extra
     * candidates are killed by the exact-Jaccard verify.
     */
-  private[graft] def ngramPrefixCandidatesFromShingles(shDf: DataFrame,
+  /** The PPJoin prefix-index frame behind
+    * [[ngramPrefixCandidatesFromShingles]] — (blockCols*, tok, id, sz,
+    * __df, __rn) for every indexed (doc, prefix token). Exposed so the
+    * Tune variance probe can measure the index's per-token join fanout
+    * with the operator's OWN ranking (never a drifting re-implementation).
+    */
+  private[graft] def ngramPrefixIndex(shDf: DataFrame,
       blockCols: Seq[String], threshold: Double): DataFrame = {
     val inv = shDf
       .select((blockCols.map(col) :+ col("id") :+ size(col("sh")).as("sz") :+
@@ -734,10 +740,15 @@ object Dedup {
     // ceil(t·sz) with a safety epsilon: float error must never round
     // the required overlap UP (a longer prefix is merely slower; a
     // shorter one drops pairs)
-    val prefix = inv.join(freq.filter(col("__df") >= 2), Seq("tok"))
+    inv.join(freq.filter(col("__df") >= 2), Seq("tok"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <=
         col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+  }
+
+  private[graft] def ngramPrefixCandidatesFromShingles(shDf: DataFrame,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val prefix = ngramPrefixIndex(shDf, blockCols, threshold)
     val a = prefix.select(
       (blockCols.map(col) :+ col("tok") :+ col("id").as("id_a")): _*)
     val b = prefix.select(
