@@ -33,7 +33,12 @@ object Tune {
       })
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
+    // optional third arg: case-insensitive substring filter on the
+    // experiment name, so one A/B pair can be iterated on without
+    // paying for the whole suite (runMain graft.Tune DIR ab fuzzy)
+    val nameFilter = args.drop(2).headOption.map(_.toLowerCase)
     def time(name: String)(f: => DataFrame): Unit = {
+      if (nameFilter.exists(s => !name.toLowerCase.contains(s))) return
       val ts = (1 to 2).map { _ =>
         graft.ops.StageCache.releaseAll()
         spark.catalog.clearCache()
@@ -128,6 +133,28 @@ object Tune {
         time("sketch stage fast kernel") {
           Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8,
             fastKernel = true).buckets
+        }
+      }
+      // fuzzy decontamination: broadcast-index probe (current — bench
+      // buckets + shingles broadcast, corpus sketched once map-side,
+      // only colliding rows shuffle) vs the general incremental-index
+      // probe it used through r10 (corpus-sized shingle exchange into
+      // the verify join + a second corpus shingling pass deduped only
+      // by best-effort exchange reuse). Bench slice = doc_id % 10 = 0,
+      // the q_fuzzy_decontaminate split.
+      def trainDocs = docs.filter(col("doc_id") % 10 =!= 0)
+      def benchDocs = docs.filter(col("doc_id") % 10 === 0)
+      for (_ <- 1 to 2) {
+        time("fuzzyDecon NEW (bcast index)") {
+          Dedup.minhashPairsBroadcastIndex(
+            Dedup.minhashIndexView(benchDocs, "doc_id", "text", 2, 16, 8),
+            trainDocs, "doc_id", "text", 2, 16, 8, 0.1)
+        }
+        time("fuzzyDecon OLD (incr probe)") {
+          Dedup.incrementalMinhashPairsFromIndex(
+            Dedup.minhashIndexView(benchDocs, "doc_id", "text", 2, 16, 8),
+            Dedup.minhashIndexView(trainDocs, "doc_id", "text", 2, 16, 8),
+            0.1)
         }
       }
       // duplicateSpans: the spans frame feeds two subtrees that differ

@@ -454,6 +454,56 @@ object Dedup {
       minhashIndexView(delta, idCol, textCol, n, k, bands, fastKernel),
       threshold)
 
+  /** [[incrementalMinhashPairs]] specialized for a SMALL index — a
+    * benchmark / evaluation set of thousands of documents, not a
+    * billion-doc corpus. Broadcasts BOTH index frames (buckets and
+    * shingle sets) so the probing corpus crosses no corpus-wide
+    * shuffle at all: the corpus is shingled and sketched exactly once
+    * in a single map pass, its shingle array rides along through the
+    * band explode into the broadcast bucket join, and only the rows
+    * that actually collide with an index bucket reach the one shuffle
+    * in the plan (the per-pair dedupe). The general incremental probe
+    * instead shuffle-joins the corpus shingle table into the
+    * candidates — a corpus-sized exchange — and recomputes the corpus
+    * shingling on both the bucket and the verify branches (the
+    * shared subtree is deduped only by best-effort exchange reuse).
+    * Measured at the 10×-documents tier: 3.44 s → 1.78 s min-of-2 for
+    * the fuzzy-decontamination pipeline (Tune ab, round 11).
+    *
+    * Same contract as [[incrementalMinhashPairsFromIndex]]: returns
+    * (id_a = corpus id, id_b = index id, jaccard ≥ threshold); corpus
+    * ids must be disjoint from index ids, and `fastKernel` must match
+    * the kernel the index was sketched with (band keys from the two
+    * kernels never collide). Equivalence is pinned in DedupSpec.
+    * Broadcasting a corpus-scale index here is wrong twice over —
+    * driver OOM and a per-task hash build — use the incremental probe
+    * for big-vs-big.
+    */
+  def minhashPairsBroadcastIndex(smallIndex: MinhashIndex,
+      corpus: DataFrame, idCol: String, textCol: String, n: Int = 2,
+      k: Int = 16, bands: Int = 8, threshold: Double = 0.3,
+      fastKernel: Boolean = false): DataFrame = {
+    val sh = corpus
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = if (fastKernel) minhashSignatureFast(col("sh"), k)
+              else minhashSignature(col("sh"), k)
+    val hits = sh.withColumn("sig", sig)
+      .select(col("id").as("id_a"), col("sh").as("sh_a"),
+        posexplode(lshBands(col("sig"), k, bands)).as(Seq("band", "bucket")))
+      .join(broadcast(smallIndex.buckets.select(col("band"), col("bucket"),
+        col("id").as("id_b"))), Seq("band", "bucket"))
+    // the one shuffle: only colliding (id_a, id_b, sh_a) rows; first()
+    // is a pick, not a computation — sh_a is constant per id_a
+    val cand = hits.groupBy("id_a", "id_b").agg(first("sh_a").as("sh_a"))
+    cand
+      .join(broadcast(smallIndex.shingles.select(col("id").as("id_b"),
+        col("sh").as("sh_b"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** LSH quality evaluation: run the banding WITHOUT the verify
     * threshold and report how many candidate pairs the buckets
     * produced vs how many survive true-Jaccard verification — the

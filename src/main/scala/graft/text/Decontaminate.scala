@@ -40,20 +40,28 @@ object Decontaminate {
     * `threshold`, so the caller can both DROP train docs and report
     * WHICH benchmark items leaked.
     *
-    * Scale shape: this is exactly the incremental-index probe — the
-    * benchmark is sketched once (thousands of docs; at 100 TB the
-    * staged parquet index the daily dedup already maintains), the
-    * corpus sketches itself map-side and candidates form only inside
-    * shared LSH buckets. Corpus ids must be disjoint from benchmark
-    * ids.
+    * Scale shape: the benchmark is SMALL by construction (thousands of
+    * docs), so this is the broadcast-index probe
+    * ([[Dedup.minhashPairsBroadcastIndex]]): the benchmark's bucket
+    * and shingle tables broadcast, the corpus is shingled and sketched
+    * exactly once in a single map pass, and the only shuffle in the
+    * plan is the per-pair dedupe over rows that actually collided with
+    * a benchmark bucket — the corpus text, its shingle sets, and its
+    * sketches never cross the wire. (The general incremental probe,
+    * which this used through round 10, shuffle-joins the corpus
+    * shingle table into the candidates and re-shingles the corpus on
+    * the verify branch: a corpus-sized exchange plus a duplicated map
+    * pass that only best-effort exchange reuse could dedupe. Measured
+    * at the 10×-documents tier the broadcast shape is ~1.9× faster,
+    * 3.44 → 1.78 s min-of-2; see SCALE.md.) Corpus ids must be
+    * disjoint from benchmark ids.
     */
   def fuzzyContamination(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 2, k: Int = 16,
       bands: Int = 8, threshold: Double = 0.3): DataFrame =
-    Dedup.incrementalMinhashPairsFromIndex(
+    Dedup.minhashPairsBroadcastIndex(
         Dedup.minhashIndexView(bench, idCol, textCol, n, k, bands),
-        Dedup.minhashIndexView(corpus, idCol, textCol, n, k, bands),
-        threshold)
+        corpus, idCol, textCol, n, k, bands, threshold)
       .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
         col("jaccard"))
 }

@@ -448,6 +448,28 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_fuzzy_decontaminate broadcasts the bench index; corpus sketches once") {
+    // the broadcast-index probe's cost model: the corpus text is
+    // shingled+sketched in ONE map pass, both probe joins broadcast
+    // the tiny bench side, and the only corpus-scale exchange is the
+    // post-collision pair dedupe. A SortMergeJoin/ShuffledHashJoin
+    // here means the corpus shingle table is crossing the wire again.
+    val p = plan("q_fuzzy_decontaminate")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "fuzzy decontamination grew a corpus-scale shuffle join")
+    assert(p.contains("BroadcastHashJoin"),
+      "bench index should broadcast into the probe joins")
+    val nodes = physicalNodes(SparkEntry.queries("q_fuzzy_decontaminate")(
+      spark, sf).queryExecution.executedPlan)
+    val sites = nodes.map(n => n.expressions.map(_.collect {
+      case e: graft.functions.MinHashSig => e
+    }.size).sum).sum
+    // one site on the corpus map pass + one inside the broadcast bench
+    // bucket build — a third means a branch re-sketches the corpus
+    assert(sites == 2,
+      s"expected exactly 2 minhash kernel sites (corpus + bench), got $sites")
+  }
+
   test("q_scd2: change flag, island id and interval agg share ONE key shuffle") {
     // SCALE.md's SCD2 cost model: the change-flag lag and the island-id
     // running sum share one window spec (one shuffle+sort per key) and

@@ -259,6 +259,24 @@ class DedupSpec extends SparkTestBase {
     assert(inc.nonEmpty, "fixture should produce cross near-dups")
   }
 
+  test("minhashPairsBroadcastIndex ≡ incremental probe on the same split") {
+    // the broadcast-index specialization (small bench index broadcast,
+    // corpus sketched once map-side) must emit exactly the pairs AND
+    // jaccard values the general incremental probe emits — the shapes
+    // differ only in where the joins run, never in what they return
+    val bench = docs.filter($"doc_id" % 2 === 0)
+    val probe = docs.filter($"doc_id" % 2 === 1)
+    val benchIdx = Dedup.minhashIndexView(bench, "doc_id", "text")
+    val general = Dedup.incrementalMinhashPairsFromIndex(benchIdx,
+        Dedup.minhashIndexView(probe, "doc_id", "text"), 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    val bcast = Dedup.minhashPairsBroadcastIndex(benchIdx, probe,
+        "doc_id", "text", threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bcast === general)
+    assert(bcast.nonEmpty, "fixture should produce cross near-dups")
+  }
+
   test("fast kernel: incremental ≡ batch on delta-vs-corpus, kernels never mix") {
     // the fastKernel flag must thread consistently through the staged
     // index path: a fast-kernel corpus index probed by a fast-kernel
