@@ -54,6 +54,37 @@ object Tune {
       println(f"[tune] $name%-28s ${best._1}%7.2f s  ${best._2}%3d jobs  ${best._3}%9d rows")
     }
 
+    // ---- ngram-prefix variance probe (r10 verdict: sf1 spread 2.32 s
+    // on a 6.17 s min — 10× noisier than any other tier entry). Two
+    // questions: (1) does the spread reproduce across back-to-back
+    // same-JVM runs (GC/host noise) or only across JVMs (JIT /
+    // code-cache luck)? (2) is there a hot (block, tok) prefix bucket
+    // whose df² fanout makes one task dominate (skew → variance via
+    // which executor thread draws it)? The fanout stats run the
+    // operator's OWN ngramPrefixIndex so the probe cannot drift.
+    if (args.drop(1).headOption.contains("ngvar")) {
+      for (i <- 1 to 5) {
+        time(f"ngramPruned rep$i") {
+          Dedup.ngramJaccardPairsPruned(docs, "doc_id", "text",
+            Seq("lang", "source"), 2, 0.09)
+        }
+      }
+      val sh = docs.select(col("lang"), col("source"),
+        col("doc_id").as("id"), Dedup.shingles(col("text"), 2).as("sh"))
+      val perTok = Dedup.ngramPrefixIndex(sh, Seq("lang", "source"), 0.09)
+        .groupBy("lang", "source", "tok").agg(count(lit(1)).as("n"))
+      println("[tune] top prefix-index buckets by df:")
+      perTok.orderBy(desc("n")).limit(15).collect().foreach(r =>
+        println(s"[tune]   ${r.mkString(" | ")}"))
+      val st = perTok.agg(
+        sum(col("n") * (col("n") - 1) / 2).as("pair_fanout"),
+        max("n").as("max_df"), count(lit(1)).as("n_buckets"),
+        sum("n").as("index_rows")).collect()(0)
+      println(s"[tune] fanout total=${st.get(0)} max_df=${st.get(1)} " +
+        s"buckets=${st.get(2)} index_rows=${st.get(3)}")
+      spark.stop(); return
+    }
+
     // ---- A/B experiments: current operator vs the inline-reconstructed
     // prior shape, interleaved in ONE JVM (subset runs in separate JVMs
     // are NOT comparable: JIT warmth and host load dominate the delta).
