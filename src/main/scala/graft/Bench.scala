@@ -126,7 +126,8 @@ object Bench {
     // the driver's sf0.1 full runs; override with SPARK_GRAFT_SF1=0/1.
     val sf1Queries = Seq("q_dedup_minhash", "q_dedup_minhash_fast",
       "q_ngram_prefix",
-      "q_ngram_jaccard", "q_dedup_eval", "q_dedup_simhash", "q_substr_dedup",
+      "q_ngram_jaccard", "q_dedup_eval", "q_dedup_simhash",
+      "q_dedup_simhash64", "q_substr_dedup",
       "q_incremental_minhash", "q_substr_apply", "q_containment",
       // fuzzy decontamination reads only documents; its LSH probe
       // should scale like the other banded pipelines

@@ -588,6 +588,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** 64-bit SimHash sketch of `text` as a signed long (dimension i at
+    * bit position i; see SketchOps.simhash64 for the bit derivation).
+    */
+  def simhash64(text: Column): Column =
+    graft.functions.SketchExpressions.simhash64(TextAnalysis.tokens(text))
+
+  /** [[simhashPairs]] at production resolution: 64-bit sketch, 4
+    * disjoint 16-bit bands, hamming by `bit_count(xor)` — all native
+    * long arithmetic. Two qualitative upgrades over the 16-bit shape,
+    * both measured at the 100×-documents tier (SCALE.md r11):
+    *
+    *  - RESOLUTION: a 16-bit sketch has 65 536 distinct values, so at
+    *    corpus scale unrelated docs collide by pigeonhole — the 16-bit
+    *    pipeline's hamming<=3 pair volume grew 28.7× for 10× docs
+    *    (17.1 M → 490 M pairs, quadratic-trending). 64 bits keeps
+    *    random collisions vanishing, so pair volume tracks true
+    *    near-dup density (linear in corpus size for fixed dup rate).
+    *  - RECALL: hamming<=3 recall is EXHAUSTIVE by pigeonhole (3
+    *    differing bits touch at most 3 of the 4 bands), vs the 16-bit
+    *    pipeline's probabilistic recall above hamming 1 (its scaladoc
+    *    caveat). DedupSpec pins equality against the brute-force
+    *    all-pairs answer.
+    *
+    * Pairs emit exactly once BY CONSTRUCTION (a pair is emitted only
+    * from its FIRST agreeing band — map-side arithmetic on the two
+    * sketches riding through the join, replacing an output-sized
+    * distinct). Same cache contract as [[simhashPairs]]: the persisted
+    * (id, sk, bucket) stage registers in StageCache; callers release
+    * after consuming.
+    */
+  def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16 banding guarantees exhaustive recall only to hamming 3; " +
+        "widen the bands (or add more) before raising maxHamming")
+    def band(c: Column, j: Int): Column =
+      shiftright(c, 16 * j).bitwiseAND(lit(0xffffL))
+    // ~24-byte (id, sk, bucket) rows; the md5-per-token sketch pass is
+    // the hot map stage, amortized across both self-join sides by the
+    // cache exactly as in simhashPairs
+    val buckets = graft.ops.StageCache.persisted(df
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sk"))
+      .select(col("id"), col("sk"), explode(array((0 until 4).map(j =>
+        lit(j * 65536L) + band(col("sk"), j)): _*)).as("bucket")))
+    val firstMatch = when(band(col("sk_a"), 0) === band(col("sk_b"), 0), 0L)
+      .when(band(col("sk_a"), 1) === band(col("sk_b"), 1), 1L)
+      .when(band(col("sk_a"), 2) === band(col("sk_b"), 2), 2L)
+      .otherwise(3L)
+    buckets.select(col("bucket"), col("id").as("id_a"), col("sk").as("sk_a"))
+      .join(buckets.select(col("bucket"), col("id").as("id_b"),
+        col("sk").as("sk_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(shiftright(col("bucket"), 16) === firstMatch)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Cluster assignment over a near-duplicate pair list: every doc
     * that appears in a pair gets the MINIMUM doc id reachable through
     * pair chains as its cluster id — the canonical

@@ -178,6 +178,46 @@ object SketchOps {
     new GenericArrayData(sums.map(s => if (s > 0) 1 else 0))
   }
 
+  /** 64-bit SimHash: one md5 per token; dimension i (0..63) reads BIT
+    * i of the 128-bit digest MSB-first (byte i/8, bit 7-(i%8) — i.e.
+    * hex char i/4, bit 3-(i%4) of its nibble value, which is how the
+    * DuckDB oracle replays it), +1 when set else -1; sketch bit i
+    * (at long position i, so bit 63 is the sign bit) is sum > 0.
+    * The production-resolution variant of [[simhashBits]]: a 16-bit
+    * sketch has 65 536 distinct values, so at corpus scale (5 M docs
+    * at the 100× bench tier) unrelated docs collide by pigeonhole and
+    * the hamming<=3 pair volume grows ~quadratically; 64 bits keeps
+    * random-doc collisions vanishing while 4 disjoint 16-bit bands
+    * make hamming<=3 recall EXHAUSTIVE (pigeonhole: 3 differing bits
+    * touch at most 3 of 4 bands).
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val sums = new Array[Int](64)
+    val n = tokens.numElements()
+    val md = localMd.get()
+    val d = localBuf.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(tokens.getUTF8String(i).getBytes)
+      md.digest(d, 0, 16)
+      var dim = 0
+      while (dim < 64) {
+        val bit = (d(dim >> 3) >> (7 - (dim & 7))) & 1
+        sums(dim) += (if (bit == 1) 1 else -1)
+        dim += 1
+      }
+      i += 1
+    }
+    var sk = 0L
+    var dim = 0
+    while (dim < 64) {
+      if (sums(dim) > 0) sk |= 1L << dim
+      dim += 1
+    }
+    sk
+  }
+
   /** Sum of |a_i - b_i| over two equal-length int arrays (Hamming
     * distance when entries are 0/1 bits). Identical to
     * aggregate(zip_with(a, b, (x,y) -> abs(x-y)), 0, (acc,v) -> acc+v).
@@ -298,6 +338,21 @@ case class SimHashBits(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchOps.requireArrayOf(prettyName, StringType, child.dataType)
+  override protected def nullSafeEval(v: Any): Any =
+    SketchOps.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchOps.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class AbsDiffSum(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -343,6 +398,8 @@ object SketchExpressions {
     GraftShim.column(MinHashSigFast(GraftShim.expression(shingles), k))
   def simhashBits(tokens: Column): Column =
     GraftShim.column(SimHashBits(GraftShim.expression(tokens)))
+  def simhash64(tokens: Column): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(tokens)))
   def absDiffSum(a: Column, b: Column): Column =
     GraftShim.column(AbsDiffSum(
       GraftShim.expression(a), GraftShim.expression(b)))

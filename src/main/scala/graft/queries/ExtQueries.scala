@@ -732,6 +732,49 @@ object ExtQueries {
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")),
 
+    // ---- dedup: SimHash at PRODUCTION resolution (64-bit long
+    // sketch, 4 disjoint 16-bit bands, hamming via bit_count(xor)).
+    // The 16-bit pipeline above stays as the reference-scale shape,
+    // but its 65 536-value sketch space saturates at corpus scale —
+    // the 100× bench tier measured its hamming<=3 pair volume growing
+    // 28.7× for 10× docs (pigeonhole collisions of unrelated docs).
+    // 64 bits keeps random collisions vanishing AND makes hamming<=3
+    // recall exhaustive (3 differing bits touch at most 3 of 4 bands).
+    // The oracle replays the identical bit derivation: dimension i =
+    // bit i of md5(token) MSB-first = bit 3-(i%4) of hex nibble i/4;
+    // sketch = signed-long construction with bit 63 as the sign bit;
+    // bands by arithmetic shift + mask (sign-safe: the mask keeps the
+    // low 16 regardless of the sign fill) ----
+    QueryDef("q_dedup_simhash64",
+      Some("""WITH t AS (SELECT doc_id AS id,
+                string_split_regex(trim(text), '\s+') AS toks FROM documents),
+              bits AS (
+                SELECT id, i,
+                  CASE WHEN list_sum(list_transform(toks, x ->
+                    CASE WHEN ((instr('0123456789abcdef',
+                        substr(md5(x), CAST(i // 4 + 1 AS INT), 1)) - 1)
+                      // (CASE i % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                          WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                    THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END AS bit
+                FROM t, unnest(range(0, 64)) AS u(i)),
+              sk AS (
+                SELECT id, CAST(SUM(CASE WHEN bit = 0 THEN 0
+                  WHEN i = 63 THEN -9223372036854775807 - 1
+                  ELSE (1::BIGINT << CAST(i AS INT)) END) AS BIGINT) AS sk
+                FROM bits GROUP BY id),
+              bk AS (
+                SELECT id, sk,
+                  j * 65536 + ((sk >> CAST(16 * j AS INT)) & 65535) AS bucket
+                FROM sk, unnest(range(0, 4)) AS w(j))
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
+              FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+              WHERE bit_count(xor(a.sk, b.sk)) <= 3
+              ORDER BY id_a, id_b"""),
+      (s, d) => Dedup.simhashPairs64(documents(s, d), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
     // ---- dedup: n-gram Jaccard within a blocking key (lang) ----
     QueryDef("q_ngram_jaccard",
       Some(s"""WITH base AS (

@@ -488,13 +488,18 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("simhash pipeline sketches exactly once (cached buckets)") {
-    val (sites, caches) = sketchSitesOutsideCache("q_dedup_simhash",
-      _.isInstanceOf[graft.functions.SimHashBits])
-    assert(sites == 0,
-      s"q_dedup_simhash computes the per-token kernel outside the cache ($sites sites)")
-    assert(caches.size >= 2 &&
-      caches.map(System.identityHashCode).distinct.size == 1,
-      "q_dedup_simhash join sides do not share one cached bucket build")
-    graft.ops.StageCache.releaseAll()
+    val kernelOf: Map[String,
+        org.apache.spark.sql.catalyst.expressions.Expression => Boolean] = Map(
+      "q_dedup_simhash" -> (_.isInstanceOf[graft.functions.SimHashBits]),
+      "q_dedup_simhash64" -> (_.isInstanceOf[graft.functions.SimHash64]))
+    for ((q, isKernel) <- kernelOf) {
+      val (sites, caches) = sketchSitesOutsideCache(q, isKernel)
+      assert(sites == 0,
+        s"$q computes the per-token kernel outside the cache ($sites sites)")
+      assert(caches.size >= 2 &&
+        caches.map(System.identityHashCode).distinct.size == 1,
+        s"$q join sides do not share one cached bucket build")
+      graft.ops.StageCache.releaseAll()
+    }
   }
 }

@@ -38,6 +38,60 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.get((1L, 3L)).exists(_ <= 3))
   }
 
+  test("simhash64: kernel matches an independent hex-parse reference") {
+    // independent path: parse the full md5 hex string with BigInteger
+    // and read bit i MSB-first from the 128-bit value — no byte/shift
+    // arithmetic shared with SketchOps.simhash64
+    def reference(text: String): Long = {
+      val toks = text.trim.split("[ \t\n\r\f]+", -1)
+      val sums = new Array[Int](64)
+      for (t <- toks) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val big = new java.math.BigInteger(hex, 16) // 128-bit, MSB-first
+        for (i <- 0 until 64) {
+          // bit i MSB-first of 128 bits = BigInteger bit (127 - i)
+          sums(i) += (if (big.testBit(127 - i)) 1 else -1)
+        }
+      }
+      (0 until 64).foldLeft(0L)((sk, i) =>
+        if (sums(i) > 0) sk | (1L << i) else sk)
+    }
+    val got = docs.select($"doc_id", Dedup.simhash64($"text").as("sk"))
+      .as[(Long, Long)].collect().toMap
+    for ((id, text) <- docs.as[(Long, String)].collect())
+      assert(got(id) === reference(text), s"doc $id sketch mismatch")
+    assert(got(1L) === got(2L), "identical docs must share a sketch")
+    assert(got(1L) !== got(4L), "unrelated docs should differ")
+  }
+
+  test("simhash64 pairs ≡ brute-force hamming<=3 (exhaustive recall), exactly once") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sk = real.select($"doc_id".as("id"), Dedup.simhash64($"text").as("sk"))
+    // brute force: every pair, native xor+bit_count — the ground truth
+    // the 4x16 banding must reproduce EXACTLY (pigeonhole guarantee)
+    val brute = sk.as("a").join(sk.as("b"),
+        $"a.id" < $"b.id")
+      .selectExpr("a.id AS id_a", "b.id AS id_b",
+        "CAST(bit_count(a.sk ^ b.sk) AS BIGINT) AS hamming")
+      .filter($"hamming" <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = Dedup.simhashPairs64(real, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(banded.toSet === brute)
+    assert(banded.length === banded.toSet.size,
+      "first-match-band dedup must emit every pair exactly once")
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    assert(brute.exists(_._3 > 0), "fixture should contain non-exact near-dups")
+    graft.ops.StageCache.releaseAll()
+  }
+
+  test("simhash64 rejects maxHamming beyond the banding guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs64(docs, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
   test("ngram jaccard within block") {
     val blocked = docs.withColumn("blk", org.apache.spark.sql.functions.lit("all"))
     val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", Seq("blk"),
