@@ -103,6 +103,7 @@ object Tune {
         ("dedup_eval", () =>
           Dedup.minhashEval(d, "doc_id", "text", 2, 16, 8, 0.1)),
         ("simhash", () => Dedup.simhashPairs(d, "doc_id", "text", 3)),
+        ("simhash64", () => Dedup.simhashPairs64(d, "doc_id", "text", 3)),
         ("ngram_prefix", () =>
           Dedup.ngramJaccardPairsPruned(d, "doc_id", "text",
             Seq("lang", "source"), 2, 0.09)),

@@ -58,10 +58,14 @@ object Decontaminate {
     */
   def fuzzyContamination(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 2, k: Int = 16,
-      bands: Int = 8, threshold: Double = 0.3): DataFrame =
+      bands: Int = 8, threshold: Double = 0.3,
+      fastKernel: Boolean = false): DataFrame =
+    // the kernel must match on BOTH sides (band keys from the two
+    // kernels never collide — same contract as the staged-index paths)
     Dedup.minhashPairsBroadcastIndex(
-        Dedup.minhashIndexView(bench, idCol, textCol, n, k, bands),
-        corpus, idCol, textCol, n, k, bands, threshold)
+        Dedup.minhashIndexView(bench, idCol, textCol, n, k, bands,
+          fastKernel),
+        corpus, idCol, textCol, n, k, bands, threshold, fastKernel)
       .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
         col("jaccard"))
 }

@@ -331,6 +331,25 @@ class DedupSpec extends SparkTestBase {
     assert(bcast.nonEmpty, "fixture should produce cross near-dups")
   }
 
+  test("minhashPairsBroadcastIndex: fast kernel ≡ fast incremental probe") {
+    // fastKernel must thread consistently through the broadcast path
+    // too — a fast-kernel index probed with fast-kernel corpus keys
+    // finds exactly what the general fast probe finds
+    val bench = docs.filter($"doc_id" % 2 === 0)
+    val probe = docs.filter($"doc_id" % 2 === 1)
+    val benchIdx = Dedup.minhashIndexView(bench, "doc_id", "text",
+      fastKernel = true)
+    val general = Dedup.incrementalMinhashPairsFromIndex(benchIdx,
+        Dedup.minhashIndexView(probe, "doc_id", "text", fastKernel = true),
+        0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    val bcast = Dedup.minhashPairsBroadcastIndex(benchIdx, probe,
+        "doc_id", "text", threshold = 0.1, fastKernel = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bcast === general)
+    assert(bcast.nonEmpty, "fixture should produce cross near-dups")
+  }
+
   test("fast kernel: incremental ≡ batch on delta-vs-corpus, kernels never mix") {
     // the fastKernel flag must thread consistently through the staged
     // index path: a fast-kernel corpus index probed by a fast-kernel
