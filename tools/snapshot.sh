@@ -19,7 +19,12 @@ msg="${1:-round snapshot: bench/correctness/judge artifacts}"
 artifacts=()
 for f in BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json \
          VERDICT.md ADVICE.md bench_full_last.json PROGRESS.jsonl; do
-  [ -e "$f" ] && artifacts+=("$f")
+  # skip driver-churn files .gitignore excludes on purpose (git add on
+  # an ignored path errors, which set -e turns into an abort); the if
+  # form also avoids the &&-list set-e hazard on a false condition
+  if [ -e "$f" ] && ! git check-ignore -q "$f"; then
+    artifacts+=("$f")
+  fi
 done
 
 if [ "${#artifacts[@]}" -gt 0 ]; then
