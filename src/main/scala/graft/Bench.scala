@@ -149,6 +149,19 @@ object Bench {
       .map(_ != "0").getOrElse(sfDir.contains("sf0.1") && only.isEmpty)
     val sf1: Seq[(String, (Double, Double))] = if (!sf1Enabled) Seq.empty else {
       import org.apache.spark.sql.functions._
+      // heap telemetry reading rule (r11): the sf1 tier runs in a JVM
+      // already warm with ~2×n_queries executions, and the
+      // allocation-heavy entries (the md5-lex-min minhash kernel in
+      // particular) go GC-bound when the heap is small — a 34 GB run
+      // measured q_dedup_minhash at 24.5 s where the same commit at
+      // 96 GB (the driver's configuration, SPARK_DRIVER_MEM) measures
+      // 6.3 s. Label such runs loudly so a low-heap number is never
+      // read as a plan regression.
+      val heapGb = Runtime.getRuntime.maxMemory / 1e9
+      if (heapGb < 60)
+        System.err.println(f"[bench] WARNING: sf1 tier on a $heapGb%.0f GB " +
+          "heap — allocation-heavy entries can read 2-4x high from GC; " +
+          "compare only against runs with similar env.heap_max_gb")
       val dir = "/tmp/graft_sf1"
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       (0 until 10).map { k =>
