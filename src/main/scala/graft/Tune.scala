@@ -374,6 +374,12 @@ object Tune {
           Dedup.duplicateSpans(docs, "doc_id", "text", 8)
         }
       }
+      // docs-only tiers (e.g. /tmp/graft_sf10) carry no events table;
+      // skip the graph experiments instead of failing the whole suite
+      if (!new java.io.File(s"$sfDir/events.parquet").exists) {
+        println(s"[tune] skipping pageRank ab: no $sfDir/events.parquet")
+        spark.stop(); return
+      }
       val events = spark.read.parquet(s"$sfDir/events.parquet")
       def edges = events.selectExpr("user_id AS src",
           "event_id % 150 AS dst", "1 + user_id % 7 AS w")
