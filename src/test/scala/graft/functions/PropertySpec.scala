@@ -277,4 +277,31 @@ class PropertySpec extends AnyFunSuite {
       assert(gotBits === expect, s"tokens=$tokens")
     }
   }
+
+  test("simhash64: hex-bit-vote reference, permutation and self-concat invariance") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(tokens: Seq[String]) = new GenericArrayData(
+      tokens.map(s => UTF8String.fromString(s)).toArray[Any])
+    for (_ <- 1 to 200) {
+      val m = rnd.nextInt(12)
+      val tokens = (0 until m).map(_ => randStr(8))
+      val got = SketchOps.simhash64(arr(tokens))
+      // independent path: dimension i = bit 3-(i%4) of hex nibble i/4
+      val expect = (0 until 64).foldLeft(0L) { (sk, dim) =>
+        val votes = tokens.map { t =>
+          val nib = Integer.parseInt(md5hex(t).charAt(dim / 4).toString, 16)
+          if (((nib >> (3 - dim % 4)) & 1) == 1) 1 else -1
+        }.sum
+        if (votes > 0) sk | (1L << dim) else sk
+      }
+      assert(got === expect, s"tokens=$tokens")
+      // the sketch is a per-dimension VOTE: token order cannot matter,
+      // and doubling every vote (text ++ text) cannot change any sign
+      assert(SketchOps.simhash64(arr(rnd.shuffle(tokens))) === got,
+        s"permutation variance on $tokens")
+      assert(SketchOps.simhash64(arr(tokens ++ tokens)) === got,
+        s"self-concat variance on $tokens")
+    }
+  }
 }
