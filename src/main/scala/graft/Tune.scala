@@ -45,8 +45,20 @@ object Tune {
     // experiment name, so one A/B pair can be iterated on without
     // paying for the whole suite (runMain graft.Tune DIR ab fuzzy)
     val nameFilter = args.drop(2).headOption.map(_.toLowerCase)
+    // the sf10/p100/ngvar modes AGGREGATE time() returns into scaling
+    // tables; a filter arg there would silently fold skipped runs'
+    // sentinel into the table (min(MaxValue, 0.0) = 0.0 looked like a
+    // real cell). Skipped runs return NaN (poisons any aggregate
+    // loudly), and the table modes reject a filter arg outright.
+    val mode = args.drop(1).headOption
+    if (mode.exists(Set("sf10", "p100", "ngvar").contains))
+      require(nameFilter.isEmpty,
+        s"Tune ${mode.get} builds aggregate tables from every " +
+          "experiment; a name filter would corrupt the table — drop " +
+          s"the '${nameFilter.get}' argument")
     def time(name: String)(f: => DataFrame): Double = {
-      if (nameFilter.exists(s => !name.toLowerCase.contains(s))) return 0.0
+      if (nameFilter.exists(s => !name.toLowerCase.contains(s)))
+        return Double.NaN
       val ts = (1 to 2).map { _ =>
         graft.ops.StageCache.releaseAll()
         spark.catalog.clearCache()
@@ -96,12 +108,14 @@ object Tune {
       // thr=0.1; ngram blocks+0.09; simhash hamming<=3; spans w=8)
       def pipes(d: DataFrame): Seq[(String, () => DataFrame)] = Seq(
         ("minhash", () =>
-          Dedup.minhashPairs(d, "doc_id", "text", 2, 16, 8, 0.1)),
+          Dedup.minhashPairs(d, "doc_id", "text", 2, 16, 8, 0.1,
+            fastKernel = false)),
         ("minhash_fast", () =>
           Dedup.minhashPairs(d, "doc_id", "text", 2, 16, 8, 0.1,
             fastKernel = true)),
         ("dedup_eval", () =>
-          Dedup.minhashEval(d, "doc_id", "text", 2, 16, 8, 0.1)),
+          Dedup.minhashEval(d, "doc_id", "text", 2, 16, 8, 0.1,
+            fastKernel = false)),
         ("simhash", () => Dedup.simhashPairs(d, "doc_id", "text", 3)),
         ("simhash64", () => Dedup.simhashPairs64(d, "doc_id", "text", 3)),
         ("ngram_prefix", () =>
@@ -110,13 +124,13 @@ object Tune {
         ("fuzzy_decon", () =>
           Decontaminate.fuzzyContamination(d.filter(col("doc_id") % 10 =!= 0),
             d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
-            threshold = 0.1)),
+            threshold = 0.1, fastKernel = false)),
         ("incremental", () =>
           Dedup.incrementalMinhashPairs(
             Dedup.minhashIndexView(d.filter(col("doc_id") % 2 === 0),
-              "doc_id", "text"),
+              "doc_id", "text", fastKernel = false),
             d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-            threshold = 0.1)),
+            threshold = 0.1, fastKernel = false)),
         ("substr_dedup", () =>
           Dedup.duplicateSpans(d, "doc_id", "text", 8)))
       val p10 = pipes(d10); val p100 = pipes(d100)
@@ -162,9 +176,9 @@ object Tune {
         2, 16, 8, 0.1, fastKernel = fast)
       def inc = Dedup.incrementalMinhashPairs(
         Dedup.minhashIndexView(d100.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text"),
+          "doc_id", "text", fastKernel = false),
         d100.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-        threshold = 0.1)
+        threshold = 0.1, fastKernel = false)
       for (_ <- 1 to 2) {
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         time("minhash 100x p=32") { mh(false) }
@@ -285,14 +299,16 @@ object Tune {
       // self-join sides whenever ReusedExchange fails to materialize.
       for (_ <- 1 to 2) {
         time("minhash buckets persisted") {
-          val idx = Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8)
+          val idx = Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8,
+            fastKernel = false)
           Dedup.minhashPairsFromIndex(
             Dedup.MinhashIndex(idx.shingles,
               graft.ops.StageCache.persisted(idx.buckets)), 0.1)
         }
         time("minhash unpersisted view") {
           Dedup.minhashPairsFromIndex(
-            Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8), 0.1)
+            Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8,
+              fastKernel = false), 0.1)
         }
       }
       // sketch-stage-only cost of the two minhash kernels: the bucket
@@ -300,7 +316,8 @@ object Tune {
       // the number the fast kernel exists to cut
       for (_ <- 1 to 2) {
         time("sketch stage k-md5 kernel") {
-          Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8).buckets
+          Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8,
+            fastKernel = false).buckets
         }
         time("sketch stage fast kernel") {
           Dedup.minhashIndexView(docs, "doc_id", "text", 2, 16, 8,
@@ -319,13 +336,17 @@ object Tune {
       for (_ <- 1 to 2) {
         time("fuzzyDecon NEW (bcast index)") {
           Dedup.minhashPairsBroadcastIndex(
-            Dedup.minhashIndexView(benchDocs, "doc_id", "text", 2, 16, 8),
-            trainDocs, "doc_id", "text", 2, 16, 8, 0.1)
+            Dedup.minhashIndexView(benchDocs, "doc_id", "text", 2, 16, 8,
+              fastKernel = false),
+            trainDocs, "doc_id", "text", 2, 16, 8, 0.1,
+            fastKernel = false)
         }
         time("fuzzyDecon OLD (incr probe)") {
           Dedup.incrementalMinhashPairsFromIndex(
-            Dedup.minhashIndexView(benchDocs, "doc_id", "text", 2, 16, 8),
-            Dedup.minhashIndexView(trainDocs, "doc_id", "text", 2, 16, 8),
+            Dedup.minhashIndexView(benchDocs, "doc_id", "text", 2, 16, 8,
+              fastKernel = false),
+            Dedup.minhashIndexView(trainDocs, "doc_id", "text", 2, 16, 8,
+              fastKernel = false),
             0.1)
         }
       }
@@ -422,14 +443,16 @@ object Tune {
     }
 
     time("minhashPairs") {
-      Dedup.minhashPairs(docs, "doc_id", "text", 2, 16, 8, 0.1)
+      Dedup.minhashPairs(docs, "doc_id", "text", 2, 16, 8, 0.1,
+        fastKernel = false)
     }
     time("incrementalMinhashPairs") {
       val index = Dedup.minhashIndexView(
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        fastKernel = false)
       Dedup.incrementalMinhashPairs(index,
         docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-        "doc_id", "text", threshold = 0.1)
+        "doc_id", "text", threshold = 0.1, fastKernel = false)
     }
     time("ngramJaccardPairsPruned") {
       Dedup.ngramJaccardPairsPruned(docs, "doc_id", "text",

@@ -221,8 +221,13 @@ object Dedup {
 
   /** Production MinHash signature: one md5 per shingle + k affine
     * permutations — ≈k× fewer digests than [[minhashSignature]], the
-    * dominant CPU line of a 100 TB sketch pass. Opt-in via
-    * `fastKernel = true` on the pipeline operators; the banding and
+    * dominant CPU line of a 100 TB sketch pass. The DEFAULT kernel for
+    * new indexes since round 12 (every r10/r11 measurement favors it:
+    * ~10× cheaper sketch stage, heap-insensitive, admission tie at
+    * worst — SCALE.md); the md5-lex-min kernel stays available via
+    * `fastKernel = false` for pipelines whose published oracles or
+    * staged indexes pin it (kernels are index identity — band keys
+    * from the two never collide). The banding and
     * verify stages are kernel-agnostic (signature values ride as their
     * decimal string forms). Arithmetic and constants documented at
     * [[graft.functions.SketchOps.minhashSigFast]]; the
@@ -277,7 +282,7 @@ object Dedup {
   // is tiny; on a cluster these become shuffled hash joins keyed by id).
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8, threshold: Double = 0.3,
-      fastKernel: Boolean = false): DataFrame =
+      fastKernel: Boolean = true): DataFrame =
     // buckets persisted, shingles not: the bucket table is the ONLY
     // multi-consumer stage (both self-join sides), and it carries the
     // k-MD5-per-shingle sketch kernel — the pipeline's dominant CPU.
@@ -302,7 +307,7 @@ object Dedup {
     * registered: Verify/Bench release it between queries.
     */
   private def oneShotIndex(df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, fastKernel: Boolean = false): MinhashIndex = {
+      n: Int, k: Int, bands: Int, fastKernel: Boolean = true): MinhashIndex = {
     val idx = minhashIndexView(df, idCol, textCol, n, k, bands, fastKernel)
     MinhashIndex(idx.shingles, graft.ops.StageCache.persisted(idx.buckets))
   }
@@ -323,7 +328,7 @@ object Dedup {
     */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8,
-      fastKernel: Boolean = false): MinhashIndex = {
+      fastKernel: Boolean = true): MinhashIndex = {
     val MinhashIndex(sh0, _) = minhashIndexView(df, idCol, textCol, n, k, bands)
     val sh = graft.ops.StageCache.persisted(sh0)
     // buckets persisted too: every consumer (pair self-join sides, the
@@ -353,7 +358,7 @@ object Dedup {
     */
   def minhashIndexView(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8,
-      fastKernel: Boolean = false): MinhashIndex = {
+      fastKernel: Boolean = true): MinhashIndex = {
     // sub-n-token docs are excluded from the index entirely: an empty
     // shingle set sketches to an all-null signature whose band keys
     // all collapse to md5('') — every short doc would share every
@@ -443,7 +448,7 @@ object Dedup {
   def incrementalMinhashPairs(index: MinhashIndex, delta: DataFrame,
       idCol: String, textCol: String, n: Int = 2, k: Int = 16,
       bands: Int = 8, threshold: Double = 0.3,
-      fastKernel: Boolean = false): DataFrame =
+      fastKernel: Boolean = true): DataFrame =
     // the delta index is consumed exactly once per frame (bucket probe,
     // shingle verify) — the unpersisted view wins (see minhashIndexView).
     // fastKernel is part of the INDEX IDENTITY: band keys from the two
@@ -478,11 +483,30 @@ object Dedup {
     * Broadcasting a corpus-scale index here is wrong twice over —
     * driver OOM and a per-task hash build — use the incremental probe
     * for big-vs-big.
+    *
+    * The small-by-contract side is ENFORCED, not scaladoc-only:
+    * `maxIndexDocs` caps the index document count with one cheap count
+    * job over the (pre-broadcast) shingle view — thousands of band
+    * rows per doc never reach the driver on the failing path, and the
+    * error names the big-vs-big operator to use instead. The default
+    * cap (2M docs ≈ 2 GB of broadcast shingle sets at crawl-shaped
+    * ~50 shingles/doc) keeps a comfortable margin under Spark's 8 GB
+    * broadcast hard limit; 0 disables the check.
     */
   def minhashPairsBroadcastIndex(smallIndex: MinhashIndex,
       corpus: DataFrame, idCol: String, textCol: String, n: Int = 2,
       k: Int = 16, bands: Int = 8, threshold: Double = 0.3,
-      fastKernel: Boolean = false): DataFrame = {
+      fastKernel: Boolean = true,
+      maxIndexDocs: Long = 2000000L): DataFrame = {
+    if (maxIndexDocs > 0) {
+      val nDocs = smallIndex.shingles.count()
+      require(nDocs <= maxIndexDocs,
+        s"minhashPairsBroadcastIndex: index has $nDocs docs > " +
+          s"maxIndexDocs=$maxIndexDocs — broadcasting an index this " +
+          "size risks the driver/8 GB broadcast limits; use " +
+          "incrementalMinhashPairs (big-vs-big staged-index probe) " +
+          "or raise maxIndexDocs deliberately")
+    }
     val sh = corpus
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -514,7 +538,7 @@ object Dedup {
     */
   def minhashEval(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8,
-      threshold: Double = 0.1): DataFrame =
+      threshold: Double = 0.1, fastKernel: Boolean = true): DataFrame =
     // one-shot pipeline → the bucket-persisted index (same rationale
     // and StageCache release contract as minhashPairs) + the SAME
     // candidate/verify stage the pair operator runs (scoredCandidates)
@@ -522,7 +546,8 @@ object Dedup {
     // the threshold filter. Zero-candidate corpora report (0, 0, 0) —
     // sum over an empty aggregate is NULL, and the unguarded precision
     // division would NaN→ANSI-error on the cast.
-    scoredCandidates(oneShotIndex(df, idCol, textCol, n, k, bands))
+    scoredCandidates(oneShotIndex(df, idCol, textCol, n, k, bands,
+        fastKernel))
       .agg(count(lit(1)).as("n_candidates"),
         coalesce(sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)),
           lit(0L)).as("n_verified"))
@@ -534,6 +559,14 @@ object Dedup {
   /** 16-bit SimHash from per-token md5 nibble MSBs: dimension i gets
     * +1 when nibble i of md5(token) is >= 8, else -1; bit i of the
     * sketch is the sign of the sum. Returns array<int> of 16 bits.
+    *
+    * EMPTY-DOC CAVEAT ([[simhashPairs]] inherits it): empty or
+    * whitespace-only text tokenizes to [""], so every such doc gets
+    * the identical md5("")-derived sketch and all-pairs at hamming 0 —
+    * m²/2 spurious pairs over m empty docs on crawl-shaped corpora.
+    * [[simhashPairs64]] filters them out; this 16-bit reference-scale
+    * shape keeps its published oracle's unguarded semantics — filter
+    * `trim(text) != ''` upstream on dirty corpora.
     */
   def simhashBits(text: Column): Column =
     graft.functions.SketchExpressions.simhashBits(TextAnalysis.tokens(text))
@@ -627,8 +660,16 @@ object Dedup {
       shiftright(c, 16 * j).bitwiseAND(lit(0xffffL))
     // ~24-byte (id, sk, bucket) rows; the md5-per-token sketch pass is
     // the hot map stage, amortized across both self-join sides by the
-    // cache exactly as in simhashPairs
+    // cache exactly as in simhashPairs.
+    // Empty/whitespace-only docs are excluded BEFORE sketching (the
+    // minhashIndexView guard's simhash twin): such text tokenizes to
+    // [""], so every empty doc would share one md5("")-derived sketch
+    // and all-pair at hamming 0 — m²/2 spurious pairs over m
+    // shingle-less docs on crawl-shaped corpora. An empty doc has no
+    // near-dup by this metric, by definition; the oracle applies the
+    // identical trim guard.
     val buckets = graft.ops.StageCache.persisted(df
+      .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"), simhash64(col(textCol)).as("sk"))
       .select(col("id"), col("sk"), explode(array((0 until 4).map(j =>
         lit(j * 65536L) + band(col("sk"), j)): _*)).as("bucket")))

@@ -169,6 +169,46 @@ object ExtQueries {
               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $MhThr)"""
   }
 
+  /** DuckDB CTE chain ending in `sh64_pairs` — the 64-bit SimHash
+    * near-dup pair list (4x16 bands, hamming <= 3), shared by
+    * q_dedup_simhash64 and q_simhash64_apply. Replays the engine's
+    * exact bit derivation: dimension i = bit i of md5(token) MSB-first
+    * = bit 3-(i%4) of hex nibble i/4; sketch = signed-long
+    * construction with bit 63 as the sign bit; bands by arithmetic
+    * shift + mask (sign-safe: the mask keeps the low 16 regardless of
+    * the sign fill). The trim(text) <> '' guard mirrors
+    * simhashPairs64's empty-doc filter: empty text tokenizes to [""],
+    * so every empty doc would share one md5('')-derived sketch and
+    * all-pair at hamming 0.
+    */
+  private[queries] val simhash64PairCtes =
+    """t AS (SELECT doc_id AS id,
+                string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE trim(text) <> ''),
+              bits AS (
+                SELECT id, i,
+                  CASE WHEN list_sum(list_transform(toks, x ->
+                    CASE WHEN ((instr('0123456789abcdef',
+                        substr(md5(x), CAST(i // 4 + 1 AS INT), 1)) - 1)
+                      // (CASE i % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                          WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                    THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END AS bit
+                FROM t, unnest(range(0, 64)) AS u(i)),
+              sk AS (
+                SELECT id, CAST(SUM(CASE WHEN bit = 0 THEN 0
+                  WHEN i = 63 THEN -9223372036854775807 - 1
+                  ELSE (1::BIGINT << CAST(i AS INT)) END) AS BIGINT) AS sk
+                FROM bits GROUP BY id),
+              bk AS (
+                SELECT id, sk,
+                  j * 65536 + ((sk >> CAST(16 * j AS INT)) & 65535) AS bucket
+                FROM sk, unnest(range(0, 4)) AS w(j)),
+              sh64_pairs AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                  CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+                WHERE bit_count(xor(a.sk, b.sk)) <= 3)"""
+
   private val minhashPairsCtes =
     s"""$minhashBucketCtes,
         mh_pairs AS (
@@ -386,7 +426,7 @@ object ExtQueries {
         Decontaminate.fuzzyContamination(
             docs.filter(col("doc_id") % 10 =!= 0),
             docs.filter(col("doc_id") % 10 === 0),
-            "doc_id", "text", threshold = 0.1)
+            "doc_id", "text", threshold = 0.1, fastKernel = false)
           .orderBy("train_id", "bench_id")
       }),
 
@@ -587,23 +627,25 @@ object ExtQueries {
               SELECT id_a, id_b, jaccard FROM mh_pairs
               ORDER BY id_a, id_b"""),
       (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text",
-        n = 2, k = MhK, bands = MhBands, threshold = MhThr)
+        n = 2, k = MhK, bands = MhBands, threshold = MhThr,
+        fastKernel = false)
         .orderBy("id_a", "id_b")),
 
     // ---- dedup: MinHash+LSH with the PRODUCTION kernel — one md5 per
     // shingle + 16 affine permutations instead of 16 md5s per shingle.
     // The md5 count is the dominant CPU line of a 100 TB sketch pass;
-    // this is the opt-in a production run takes, while the md5-lex-min
-    // kernel above stays the default its published oracles pin. The
-    // banding/candidate/verify stages are shared code paths — only the
-    // signature expression differs ----
+    // since round 12 this kernel IS the builders' DEFAULT (this call
+    // deliberately omits fastKernel to exercise the default path),
+    // while q_dedup_minhash above pins the md5-lex-min legacy kernel
+    // its published oracle replays. The banding/candidate/verify
+    // stages are shared code paths — only the signature expression
+    // differs ----
     QueryDef("q_dedup_minhash_fast",
       Some(s"""WITH $minhashFastPairsCtes
               SELECT id_a, id_b, jaccard FROM mh_pairs
               ORDER BY id_a, id_b"""),
       (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text",
-        n = 2, k = MhK, bands = MhBands, threshold = MhThr,
-        fastKernel = true)
+        n = 2, k = MhK, bands = MhBands, threshold = MhThr)
         .orderBy("id_a", "id_b")),
 
     // ---- dedup: INCREMENTAL MinHash — the daily-pipeline shape. The
@@ -636,10 +678,11 @@ object ExtQueries {
         // plan (a real daily run reads the index from parquet instead —
         // DedupSpec pins that reloaded shape)
         val index = Dedup.minhashIndexView(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+          fastKernel = false)
         Dedup.incrementalMinhashPairs(index,
             docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-            "doc_id", "text", threshold = 0.1)
+            "doc_id", "text", threshold = 0.1, fastKernel = false)
           .orderBy("id_a", "id_b")
       }),
 
@@ -746,34 +789,47 @@ object ExtQueries {
     // bands by arithmetic shift + mask (sign-safe: the mask keeps the
     // low 16 regardless of the sign fill) ----
     QueryDef("q_dedup_simhash64",
-      Some("""WITH t AS (SELECT doc_id AS id,
-                string_split_regex(trim(text), '\s+') AS toks FROM documents),
-              bits AS (
-                SELECT id, i,
-                  CASE WHEN list_sum(list_transform(toks, x ->
-                    CASE WHEN ((instr('0123456789abcdef',
-                        substr(md5(x), CAST(i // 4 + 1 AS INT), 1)) - 1)
-                      // (CASE i % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-                          WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
-                    THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END AS bit
-                FROM t, unnest(range(0, 64)) AS u(i)),
-              sk AS (
-                SELECT id, CAST(SUM(CASE WHEN bit = 0 THEN 0
-                  WHEN i = 63 THEN -9223372036854775807 - 1
-                  ELSE (1::BIGINT << CAST(i AS INT)) END) AS BIGINT) AS sk
-                FROM bits GROUP BY id),
-              bk AS (
-                SELECT id, sk,
-                  j * 65536 + ((sk >> CAST(16 * j AS INT)) & 65535) AS bucket
-                FROM sk, unnest(range(0, 4)) AS w(j))
-              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-                CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
-              FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
-              WHERE bit_count(xor(a.sk, b.sk)) <= 3
+      Some(s"""WITH $simhash64PairCtes
+              SELECT id_a, id_b, hamming FROM sh64_pairs
               ORDER BY id_a, id_b"""),
       (s, d) => Dedup.simhashPairs64(documents(s, d), "doc_id", "text",
           maxHamming = 3)
         .orderBy("id_a", "id_b")),
+
+    // ---- dedup: the 64-bit simhash pipeline's LAST MILE — pairs ->
+    // transitive clusters -> keep one representative (min id) per
+    // component + every unpaired doc. Composes simhashPairs64 with the
+    // same clusters/applyClusters ops the minhash family uses, so the
+    // production-resolution sketch has a survivors query, not just a
+    // pair dump. The oracle replays the full chain: identical sketch +
+    // banding CTEs, recursive-CTE connected components, anti-join
+    // apply ----
+    QueryDef("q_simhash64_apply",
+      Some(s"""WITH RECURSIVE $simhash64PairCtes,
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM sh64_pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM sh64_pairs),
+              nodes AS (SELECT DISTINCT src AS id FROM edges),
+              cc AS (
+                SELECT id, id AS label FROM nodes
+                UNION
+                SELECT e.dst AS id, cc.label
+                FROM cc JOIN edges e ON cc.id = e.src)
+              SELECT doc_id, source FROM documents
+              WHERE doc_id NOT IN (
+                SELECT id FROM (
+                  SELECT id, min(label) AS cluster FROM cc GROUP BY id)
+                WHERE id <> cluster)
+              ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.applyClusters(docs.select("doc_id", "source"),
+            Dedup.clusters(Dedup.simhashPairs64(docs, "doc_id", "text",
+              maxHamming = 3)),
+            "doc_id")
+          .orderBy("doc_id")
+      }),
 
     // ---- dedup: n-gram Jaccard within a blocking key (lang) ----
     QueryDef("q_ngram_jaccard",

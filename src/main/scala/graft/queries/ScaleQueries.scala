@@ -267,10 +267,10 @@ object ScaleQueries {
         val docs = documents(s, d)
         val a1 = graft.streaming.CorpusStreams.admitBatch(
           docs.filter(pmod(col("doc_id"), lit(2)) === 0), idxDir,
-          "doc_id", "text")
+          "doc_id", "text", fastKernel = false)
         val a2 = graft.streaming.CorpusStreams.admitBatch(
           docs.filter(pmod(col("doc_id"), lit(2)) === 1), idxDir,
-          "doc_id", "text")
+          "doc_id", "text", fastKernel = false)
         a1.unionByName(a2).select("doc_id").orderBy("doc_id")
       }),
 
@@ -796,7 +796,8 @@ object ScaleQueries {
                     * 10000.0 / count(*) + 0.5) END AS BIGINT) AS precision_bp
               FROM cand"""),
       (s, d) => graft.dedup.Dedup.minhashEval(
-        documents(s, d), "doc_id", "text", 2, 16, 8, 0.1)),
+        documents(s, d), "doc_id", "text", 2, 16, 8, 0.1,
+        fastKernel = false)),
 
     // analytic ranks: quartile bucketing (ntile), percent_rank and
     // cume_dist in one window pass — the distribution-position

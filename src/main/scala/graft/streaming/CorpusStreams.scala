@@ -41,7 +41,7 @@ object CorpusStreams {
     */
   def admitBatch(batch: DataFrame, indexDir: String, idCol: String,
       textCol: String, n: Int = 2, k: Int = 16, bands: Int = 8,
-      threshold: Double = 0.3, fastKernel: Boolean = false): DataFrame = {
+      threshold: Double = 0.3, fastKernel: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     val shPath = s"$indexDir/shingles"
     val bkPath = s"$indexDir/buckets"
@@ -67,10 +67,11 @@ object CorpusStreams {
     // so EVERY near-dup would be silently admitted. Persist them at
     // bootstrap and fail fast on mismatch ever after.
     // the kernel is part of the identity too: band keys from the two
-    // kernels never collide, so probing a default-kernel index with
+    // kernels never collide, so probing a legacy-kernel index with
     // fast-kernel keys would silently admit every near-dup. The legacy
-    // string (no kernel suffix) stays the default-kernel form so
-    // pre-existing staged indexes keep validating.
+    // string (no kernel suffix) stays the md5-lex-min form so staged
+    // indexes from before the round-12 fast-kernel default flip keep
+    // validating — and a mixed probe fails fast on the param check.
     val paramsPath = new org.apache.hadoop.fs.Path(s"$indexDir/_index_params")
     val expectedParams = s"n=$n,k=$k,bands=$bands" +
       (if (fastKernel) ",kernel=fast" else "")
@@ -130,7 +131,7 @@ object CorpusStreams {
     */
   def admitStream(docs: DataFrame, indexDir: String, idCol: String,
       textCol: String, n: Int = 2, k: Int = 16, bands: Int = 8,
-      threshold: Double = 0.3, fastKernel: Boolean = false)(
+      threshold: Double = 0.3, fastKernel: Boolean = true)(
       onBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (b: DataFrame, id: Long) =>

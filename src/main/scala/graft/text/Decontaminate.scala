@@ -59,7 +59,7 @@ object Decontaminate {
   def fuzzyContamination(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 2, k: Int = 16,
       bands: Int = 8, threshold: Double = 0.3,
-      fastKernel: Boolean = false): DataFrame =
+      fastKernel: Boolean = true): DataFrame =
     // the kernel must match on BOTH sides (band keys from the two
     // kernels never collide — same contract as the staged-index paths)
     Dedup.minhashPairsBroadcastIndex(

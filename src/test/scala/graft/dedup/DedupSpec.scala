@@ -373,11 +373,14 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(inc === batchCross)
     assert(inc.nonEmpty, "fixture should produce cross near-dups")
+    // explicit fastKernel = false: since the r12 default flip the
+    // legacy kernel must be ASKED for — which is exactly the mixed
+    // probe this pin guards against
     val mixed = Dedup.incrementalMinhashPairs(fastIdx, delta,
-        "doc_id", "text", threshold = 0.1)
+        "doc_id", "text", threshold = 0.1, fastKernel = false)
       .count()
     assert(mixed === 0L,
-      "default-kernel probe of a fast-kernel index must collide on nothing")
+      "legacy-kernel probe of a fast-kernel index must collide on nothing")
     graft.ops.StageCache.releaseAll()
   }
 

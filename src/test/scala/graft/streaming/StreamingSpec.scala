@@ -261,12 +261,13 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(pe.getMessage.contains("bands=4") && pe.getMessage.contains("bands=8"))
 
-    // kernel drift fails fast the same way: fast-kernel band keys come
-    // from a different signature space, so probing this default-kernel
-    // index with them would silently admit every near-dup
+    // kernel drift fails fast the same way: legacy-kernel band keys
+    // come from a different signature space, so probing this
+    // fast-kernel (r12 default) index with them would silently admit
+    // every near-dup
     val ke = intercept[IllegalArgumentException] {
       CorpusStreams.admitBatch(b2.toDF("doc_id", "text"),
-        s"$tmp/stream_idx", "doc_id", "text", fastKernel = true)
+        s"$tmp/stream_idx", "doc_id", "text", fastKernel = false)
     }
     assert(ke.getMessage.contains("kernel=fast"))
 
