@@ -121,6 +121,9 @@ object Tune {
         ("ngram_prefix", () =>
           Dedup.ngramJaccardPairsPruned(d, "doc_id", "text",
             Seq("lang", "source"), 2, 0.09)),
+        ("ngram_precut", () =>
+          Dedup.ngramJaccardPairsPrecut(d, "doc_id", "text",
+            Seq("lang", "source"), 2, 0.09)),
         ("fuzzy_decon", () =>
           Decontaminate.fuzzyContamination(d.filter(col("doc_id") % 10 =!= 0),
             d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
@@ -206,6 +209,49 @@ object Tune {
         }
       }
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.stop(); return
+    }
+
+    // ---- distributed dedup-cluster tier probe (r12 task 4): the
+    // driver union-find fast path is the measured-right call below
+    // driverEdgeLimit, but the distributed label-prop loop is the
+    // declared 100 TB route — this measures it ON the declared data
+    // (simhash64 near-dup pairs at the 10x and 100x documents tiers),
+    // recording rounds-to-convergence and per-round cost vs the driver
+    // path on the identical edge set. Pair building is OUTSIDE the
+    // timed window (both paths consume the same persisted edge list).
+    if (args.drop(1).headOption.contains("cc")) {
+      val tiers = Seq(
+        ("10x", "/tmp/graft_sf1/documents.parquet"),
+        ("100x", "/tmp/graft_sf10/documents.parquet"))
+      for (rep <- 1 to 2; (name, path) <- tiers) {
+        val d = spark.read.parquet(path)
+        val pairs = d.sparkSession.createDataFrame(
+          Dedup.simhashPairs64(d, "doc_id", "text", 3)
+            .select("id_a", "id_b").rdd,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id_a",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("id_b",
+              org.apache.spark.sql.types.LongType))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nEdges = pairs.count()
+        graft.ops.StageCache.releaseAll()
+        Dedup.ClusterTelemetry.reset()
+        var t0 = System.nanoTime()
+        val nDist = Dedup.clusters(pairs, driverEdgeLimit = 0).count()
+        val tDist = (System.nanoTime() - t0) / 1e9
+        val rounds = math.max(1, Dedup.ClusterTelemetry.rounds.get())
+        t0 = System.nanoTime()
+        val nDrv = Dedup.clusters(pairs).count()
+        val tDrv = (System.nanoTime() - t0) / 1e9
+        require(nDist == nDrv,
+          s"cc $name: distributed ($nDist) and driver ($nDrv) node counts differ")
+        println(f"[tune] cc $name%-5s rep$rep edges=$nEdges%8d nodes=$nDist%8d  " +
+          f"dist ${tDist}%6.2f s  $rounds%2d rounds  ${tDist / rounds}%5.2f s/round  " +
+          f"driver ${tDrv}%6.2f s")
+        pairs.unpersist()
+      }
       spark.stop(); return
     }
 

@@ -703,6 +703,17 @@ object Dedup {
     * exponentially (the classic iterative-Spark trap); on a cluster
     * use checkpoint() to a reliable store instead.
     */
+  /** Round telemetry for [[clusters]]' distributed path — the
+    * 100 TB cost model is rounds × (join + agg + jump), so the round
+    * count is the number to pin (DedupSpec) and to record per tier
+    * (Tune cc / SCALE.md). Same pattern as Ann.TrainTelemetry:
+    * invisible in the physical plan, so a hook counts it.
+    */
+  private[graft] object ClusterTelemetry {
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def reset(): Unit = rounds.set(0)
+  }
+
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 20, driverEdgeLimit: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
@@ -788,6 +799,7 @@ object Dedup {
       prevSum = Some(s)
       labels = next
       it += 1
+      ClusterTelemetry.rounds.incrementAndGet()
     }
     edges.unpersist()
     edgePairs.unpersist()
@@ -897,8 +909,15 @@ object Dedup {
   }
 
   private[graft] def ngramPrefixCandidatesFromShingles(shDf: DataFrame,
-      blockCols: Seq[String], threshold: Double): DataFrame = {
-    val prefix = ngramPrefixIndex(shDf, blockCols, threshold)
+      blockCols: Seq[String], threshold: Double): DataFrame =
+    candidatePairsFromIndex(ngramPrefixIndex(shDf, blockCols, threshold),
+      blockCols)
+
+  /** The (block, tok) self-join tail shared by every prefix-index
+    * variant: distinct within-block id pairs sharing an indexed token.
+    */
+  private def candidatePairsFromIndex(prefix: DataFrame,
+      blockCols: Seq[String]): DataFrame = {
     val a = prefix.select(
       (blockCols.map(col) :+ col("tok") :+ col("id").as("id_a")): _*)
     val b = prefix.select(
@@ -907,6 +926,106 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** [[ngramPrefixCandidatesFromShingles]] with the per-doc ranking
+    * WINDOW replaced by a global df-percentile PRECUT — the structural
+    * answer to the measured 100×-tier slope of the exact-rank index
+    * (the pre-rank sort over every df>=2 (doc, token) row is
+    * threshold-independent and sort-bound: 27.8 GB of spill at p=32,
+    * SCALE.md r11).
+    *
+    * Correctness is a strict OVER-approximation of the exact PPJoin
+    * prefix, which the exact-Jaccard verify then reduces to the
+    * identical pair list (DedupSpec pins pairs-equality; the verify
+    * threshold filter is what q_ngram_prefix's oracle hashes):
+    *
+    *  - sort the doc's df>=2 tokens rarest-first; the exact prefix is
+    *    its first min(m, p) tokens (m = df>=2 token count,
+    *    p = |sh| - ceil(t·|sh|) + 1);
+    *  - tokens with df <= D form a PREFIX of that order (df ascending),
+    *    say the first j;
+    *  - if j >= p the first p tokens all have df <= D, so keeping ALL
+    *    the doc's df <= D tokens covers the exact prefix ("good" doc —
+    *    its df > D rows are dropped, no ranking needed);
+    *  - otherwise keep ALL the doc's df >= 2 tokens (trivially covers
+    *    the prefix; docs with m <= p are in this class and lose
+    *    nothing — the exact rank keeps all their tokens too).
+    *
+    * So: no window, no per-doc sort anywhere. The trade is extra
+    * candidates from the over-approximation (killed by the verify) —
+    * bounded, because the dropped rows are exactly the FREQUENT-token
+    * rows of docs that provably don't need them, i.e. the df² blowup
+    * buckets stay capped at D for every doc outside the (small)
+    * fallback class. D is picked on the driver from a df histogram
+    * (distinct-df-value scale — model-parameter sized, like the ANN
+    * pivots): the smallest D keeping `keepPct` of the df>=2 row mass.
+    *
+    * CACHE CONTRACT: registers the df table and the df-joined token
+    * stream in [[graft.ops.StageCache]] (three consumers: the per-doc
+    * count, the kept-rows union's two branches); callers release after
+    * consuming, as with [[minhashPairs]].
+    */
+  private[graft] def ngramPrefixCandidatesPrecut(shDf: DataFrame,
+      blockCols: Seq[String], threshold: Double,
+      keepPct: Double = 0.90): DataFrame = {
+    val inv = shDf
+      .select((blockCols.map(col) :+ col("id") :+ size(col("sh")).as("sz") :+
+        explode(col("sh")).as("tok")): _*)
+    val freq = graft.ops.StageCache.persisted(
+      inv.groupBy("tok").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2))
+    // driver-side cutoff from the (df value -> token count) histogram;
+    // any D is CORRECT (the fallback class absorbs the rest), so the
+    // collect is a tuning scalar, not a correctness dependency
+    val hist = freq.groupBy("__df").agg(count(lit(1)).as("__n"))
+      .orderBy("__df")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val totalRows = hist.iterator.map { case (df, n) => df * n }.sum
+    var cum = 0L
+    var dCut = hist.lastOption.map(_._1).getOrElse(2L)
+    val it = hist.iterator
+    var found = false
+    while (it.hasNext && !found) {
+      val (df, n) = it.next()
+      cum += df * n
+      if (cum >= keepPct * totalRows) { dCut = df; found = true }
+    }
+    val inv2 = graft.ops.StageCache.persisted(inv.join(freq, Seq("tok")))
+    val low = inv2.filter(col("__df") <= dCut)
+    val high = inv2.filter(col("__df") > dCut)
+    // required overlap p, same safety epsilon as ngramPrefixIndex
+    def pReq(sz: Column): Column = sz - ceil(sz * threshold - 1e-9) + 1
+    // docs whose df<=D token count covers their required prefix: their
+    // df>D rows can be dropped. Computed from the low stream only —
+    // docs with NO df<=D tokens are absent here, land in the fallback
+    // class via the anti join, and keep everything (correct: j = 0 < p)
+    val goodIds = low.groupBy("id")
+      .agg(count(lit(1)).as("__j"), max("sz").as("__sz"))
+      .filter(col("__j") >= pReq(col("__sz")))
+      .select("id")
+    val prefix = low.unionByName(
+      high.join(goodIds, Seq("id"), "left_anti"))
+    candidatePairsFromIndex(prefix, blockCols)
+  }
+
+  /** [[ngramJaccardPairsPruned]] with the precut candidate stage —
+    * identical verified pairs (the exact-Jaccard filter is the same),
+    * no ranking window anywhere in the plan.
+    */
+  def ngramJaccardPairsPrecut(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 2, threshold: Double = 0.2,
+      keepPct: Double = 0.90): DataFrame = {
+    require(threshold > 0,
+      "ngramJaccardPairsPrecut prunes by required overlap; threshold must be > 0")
+    val docs = df.select((blockCols.map(col) :+ col(idCol).as("id") :+
+      shingles(col(textCol), n).as("sh")): _*)
+    ngramPrefixCandidatesPrecut(docs, blockCols, threshold, keepPct)
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** [[ngramJaccardPairs]] with the PPJoin prefix filter: candidates

@@ -133,6 +133,38 @@ class DedupSpec extends SparkTestBase {
     assert(prefCand >= pruned.size)
   }
 
+  test("precut prefix prune: same pairs as unpruned, no ranking window") {
+    import org.apache.spark.sql.functions.col
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val unpruned = key(Dedup.ngramJaccardPairs(
+      real, "doc_id", "text", Seq("lang", "source"), n = 2, threshold = 0.09))
+    val precut = Dedup.ngramJaccardPairsPrecut(
+      real, "doc_id", "text", Seq("lang", "source"), n = 2, threshold = 0.09)
+    assert(key(precut) === unpruned)
+    assert(unpruned.nonEmpty)
+    // structural pin: the precut plan contains NO window operator — the
+    // per-doc ranking sort (the measured 100x slope) is gone entirely
+    val plan = precut.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"),
+      "precut candidates must not contain a ranking window")
+    // candidate bounds: a (possibly equal) superset of the exact-rank
+    // prefix candidates, never more than the any-shared-token set
+    val shDf = real.select(col("lang"), col("source"),
+      col("doc_id").as("id"), Dedup.shingles(col("text"), 2).as("sh"))
+    val exactCand = Dedup.ngramPrefixCandidatesFromShingles(
+      shDf, Seq("lang", "source"), 0.09)
+      .as[(Long, Long)].collect().toSet
+    val precutCand = Dedup.ngramPrefixCandidatesPrecut(
+      shDf, Seq("lang", "source"), 0.09)
+      .as[(Long, Long)].collect().toSet
+    assert(exactCand.subsetOf(precutCand),
+      "precut must over-approximate the exact PPJoin prefix candidates")
+    graft.ops.StageCache.releaseAll()
+  }
+
   test("clusters: transitive pairs collapse to the min reachable id") {
     // chain 1-2, 2-3 plus disjoint 7-5: clusters {1,2,3}->1, {5,7}->5
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 5L)).toDF("id_a", "id_b")
@@ -146,8 +178,15 @@ class DedupSpec extends SparkTestBase {
     // needs 59 plain-propagation rounds — pointer jumping must close
     // it well inside maxIters=20
     val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Dedup.ClusterTelemetry.reset()
     val got = Dedup.clusters(chain, driverEdgeLimit = 0).as[(Long, Long)].collect()
     assert(got.length === 60 && got.forall(_._2 === 1L))
+    // round-count pin (the distributed path's 100 TB cost model is
+    // rounds x fixed per-round latency): path halving closes a
+    // 60-node chain in ~log2(59) label moves + 1 equal-sum detection
+    // round. A regression to plain neighbor propagation would need 59.
+    val rounds = Dedup.ClusterTelemetry.rounds.get()
+    assert(rounds <= 8, s"pointer jumping regressed: $rounds rounds for a 60-chain")
   }
 
   test("clusters: driver and distributed paths agree") {
