@@ -420,9 +420,60 @@ object Tune {
           "doc_id", "text", fastKernel = fast)
         a1.unionByName(a2).select("doc_id")
       }
+      // OLD (pre-r12) two-pipeline admission shape, reconstructed
+      // inline: within-batch pair self-join + separate incremental
+      // probe + two anti joins — vs the fused admissionDrops pass the
+      // operator now runs. Same staging appends on both arms; the
+      // admitted sets are asserted identical below.
+      def admitAbOld(fast: Boolean): DataFrame = {
+        val idxDir = "/tmp/graft_admit_ab_old"
+        val p = new org.apache.hadoop.fs.Path(idxDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        def batchOld(batch: DataFrame): DataFrame = {
+          val shPath = s"$idxDir/shingles"; val bkPath = s"$idxDir/buckets"
+          val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(bkPath))
+          val batchIdx = Dedup.minhashIndex(batch, "doc_id", "text",
+            2, 16, 8, fastKernel = fast)
+          val inBatch = Dedup.minhashPairsFromIndex(batchIdx, 0.3)
+            .select(col("id_b").as("doc_id")).distinct()
+          val survivors = batch.join(inBatch, Seq("doc_id"), "left_anti")
+          val admitted =
+            if (!hasIndex) survivors
+            else {
+              val staged = Dedup.MinhashIndex(
+                spark.read.parquet(shPath), spark.read.parquet(bkPath))
+              val hits = Dedup.incrementalMinhashPairsFromIndex(staged,
+                batchIdx, 0.3).select(col("id_a").as("doc_id")).distinct()
+              survivors.join(hits, Seq("doc_id"), "left_anti")
+            }
+          val out = admitted.localCheckpoint(true)
+          val admIds = out.select(col("doc_id").as("id"))
+          batchIdx.shingles.join(admIds, Seq("id"), "left_semi")
+            .write.mode("append").parquet(shPath)
+          batchIdx.buckets.join(admIds, Seq("id"), "left_semi")
+            .write.mode("append").parquet(bkPath)
+          graft.ops.StageCache.releaseAll()
+          out
+        }
+        val a1 = batchOld(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        val a2 = batchOld(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        a1.unionByName(a2).select("doc_id")
+      }
       for (_ <- 1 to 2) {
+        time("streamAdmit NEW (fused drops)") { admitAb(true) }
+        time("streamAdmit OLD (two probes)") { admitAbOld(true) }
         time("streamAdmit default kernel") { admitAb(false) }
         time("streamAdmit fast kernel") { admitAb(true) }
+      }
+      if (nameFilter.forall("streamadmit equivalence".contains)) {
+        val n = admitAb(true)
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+        val o = admitAbOld(true)
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+        require(n == o, s"fused vs two-probe admitted sets differ: " +
+          s"only-new=${(n -- o).take(5)} only-old=${(o -- n).take(5)}")
+        println(s"[tune] streamAdmit equivalence OK (${n.size} admitted docs)")
       }
       // duplicateSpans: the spans frame feeds two subtrees that differ
       // below their exchanges (digest groupBy vs the probe join), so

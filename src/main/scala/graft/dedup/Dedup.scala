@@ -430,6 +430,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The admission DROP set of a micro-batch, in ONE candidate+verify
+    * pass: a batch doc is dropped exactly when a qualifying neighbor
+    * (Jaccard >= threshold) exists that is EITHER already staged in
+    * the corpus index OR a lower-id doc of the same batch (the
+    * SemDeDup pair rule). Set-identical to running the within-batch
+    * pair self-join and the vs-index incremental probe separately and
+    * unioning their drop sides — but the fused form shares one bucket
+    * join, one candidate dedupe and one verify stage where the split
+    * form pays each twice (measured 27 → 19 scheduled jobs, −30%, for
+    * the steady-state probe batch at the 10× tier via graft.JobProbe;
+    * the bootstrap batch ties at 17 since it has no staged probe to
+    * fuse. With AQE every exchange is its own scheduled job, and
+    * per-batch fixed cost × batch count is what dominates a continuous
+    * ingest stream — SCALE.md r12).
+    *
+    * `staged = None` is the bootstrap batch (within-batch rule only).
+    * Returns distinct batch ids to drop, column `id`.
+    */
+  def admissionDrops(batchIdx: MinhashIndex, staged: Option[MinhashIndex],
+      threshold: Double): DataFrame = {
+    val batchB = batchIdx.buckets
+      .select(col("band"), col("bucket"), col("id").as("id_b"),
+        lit(false).as("__staged"))
+    val others = staged match {
+      case None => batchB
+      case Some(s) => batchB.unionByName(s.buckets
+        .select(col("band"), col("bucket"), col("id").as("id_b"),
+          lit(true).as("__staged")))
+    }
+    val batchSh = batchIdx.shingles
+      .select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val otherSh = staged match {
+      case None => batchSh
+      case Some(s) => batchSh.unionByName(s.shingles
+        .select(col("id").as("id_b"), col("sh").as("sh_b")))
+    }
+    // the staged flag rides the bucket join so the lower-id rule only
+    // binds batch-vs-batch candidates; candidate pairs dedupe BEFORE
+    // the shingle verify (each (id_a, id_b) can collide in up to
+    // `bands` buckets — verifying once per pair, not per collision,
+    // is the same shape as scoredCandidates)
+    val cand = batchIdx.buckets
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(others, Seq("band", "bucket"))
+      .filter(col("__staged") || col("id_b") < col("id_a"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(batchIdx.shingles.select(col("id").as("id_a"),
+        col("sh").as("sh_a")), Seq("id_a"))
+      .join(otherSh, Seq("id_b"))
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_a").as("id")).distinct()
+  }
+
   /** Incremental MinHash near-dup — the shape a 100 TB pipeline
     * actually executes daily: sketch ONLY the new snapshot (`delta`),
     * probe the persisted corpus bucket table for band collisions, and

@@ -93,25 +93,25 @@ object CorpusStreams {
     // within-batch pairing, the vs-corpus probe, AND the staging append
     val batchIdx = Dedup.minhashIndex(batch, idCol, textCol, n, k, bands,
       fastKernel)
-    // within-batch SemDeDup pair rule: drop every doc with a LOWER-id
-    // qualifying neighbor in the same batch (pairs emit id_a < id_b,
-    // so the drop set is the id_b side)
-    val inBatch = Dedup.minhashPairsFromIndex(batchIdx, threshold)
-      .select(col("id_b").as(idCol)).distinct()
-    val survivors = batch.join(inBatch, Seq(idCol), "left_anti")
-    // vs-index probe (first batch bootstraps the index). Probing with
-    // the FULL batch index is equivalent to probing survivors only:
-    // hits on within-batch-dropped docs are erased by the anti join
-    val admitted =
-      if (!hasIndex) survivors
-      else {
-        val staged = Dedup.MinhashIndex(
-          spark.read.parquet(shPath), spark.read.parquet(bkPath))
-        val hits = Dedup.incrementalMinhashPairsFromIndex(staged, batchIdx,
-          threshold).select(col("id_a").as(idCol)).distinct()
-        survivors.join(hits, Seq(idCol), "left_anti")
-      }
-    // materialize BEFORE the append: the anti joins above lazily read
+    // ONE fused drop pass (Dedup.admissionDrops): a batch doc is
+    // dropped when a qualifying neighbor is either already staged or a
+    // lower-id doc of the same batch — set-identical to the r11 shape
+    // (within-batch pair self-join + separate incremental probe + two
+    // anti joins) but sharing one bucket join, one candidate dedupe
+    // and one verify stage. Per-batch fixed cost is the term a
+    // continuous ingest multiplies by batch count: measured 27 → 19
+    // scheduled jobs (−30%) for the steady-state probe batch at the
+    // 10× tier (graft.JobProbe; bootstrap ties at 17 — no staged probe
+    // to fuse), identical admitted set and staged index (asserted by
+    // JobProbe and Tune ab admit, SCALE.md r12).
+    val staged =
+      if (!hasIndex) None
+      else Some(Dedup.MinhashIndex(
+        spark.read.parquet(shPath), spark.read.parquet(bkPath)))
+    val drops = Dedup.admissionDrops(batchIdx, staged, threshold)
+      .withColumnRenamed("id", idCol)
+    val admitted = batch.join(drops, Seq(idCol), "left_anti")
+    // materialize BEFORE the append: the anti join above lazily reads
     // the index files this step is about to grow
     val out = admitted.localCheckpoint(true)
     // stage the admitted rows' sketches by FILTERING the batch index —
