@@ -2,6 +2,35 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Host-contention provenance (r12). Raw 1-min loadavg CANNOT gate a
+    // bench launched through sbt: on an externally-verified-quiet host
+    // (shell loadavg 0.43 at launch) main() still reads load 19-22,
+    // because the sbt-boot + forked-JVM JIT/GC thread storm IS
+    // double-digit 1-min load all by itself — r10/r11's load_start of
+    // 13.2/17.3 were this self-load, not host contention, so the r11
+    // drift adjudication leaned on a number that never measured what it
+    // claimed. The working instrument is a single-threaded CPU
+    // calibration loop: it measures contention NOW (a busy thread on a
+    // 32-cpu host runs at full speed unless the machine is genuinely
+    // saturated), is immune to loadavg's decay history, and its
+    // absolute value is comparable ACROSS rounds on the same driver
+    // host. Sampled at start (pre-Spark) and end; loaded_host trips on
+    // mid-run contention (end ≫ start).
+    val loadAtStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def calibMs(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var i = 0; var x = 1234567891L
+        while (i < 200000000) {
+          x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+        }
+        if (x == 42) System.err.print("")  // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e6
+      }
+      (1 to 3).map(_ => once()).min
+    }
+    val calibStart = calibMs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -18,8 +47,9 @@ object Bench {
     // round: every failure is collected and flagged in the output JSON
     // AND fails the run (exit 1) after the JSON line is printed
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val loadAtStart = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    System.err.println(
+      f"[bench] calib_start ${calibStart}%.0f ms (single-thread probe; " +
+        "compare across rounds — flat = comparable host)")
     // Spark JOB COUNT per query: scheduling overhead (not data) is the
     // sf1 heavy-tail cost, so the action count is the tuning signal.
     // Posting to the listener bus is synchronous but DELIVERY is not
@@ -225,9 +255,22 @@ object Bench {
     // high load / wide spreads; a plan regression shows as a tight
     // spread at a new level)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val calibEnd = calibMs()
+    // mid-run contention gate: a single busy thread only slows down
+    // when the host is saturated NOW, so end ≫ start means something
+    // external (or a leaked thread pool) competed during the run
+    val loadedHost = calibEnd > 1.5 * calibStart
+    if (loadedHost)
+      System.err.println(f"[bench] WARNING: calibration probe " +
+        f"${calibStart}%.0f -> ${calibEnd}%.0f ms — the host picked up " +
+        "contention MID-RUN; totals read high, rerun before comparing " +
+        "rounds (JSON carries \"loaded_host\":true)")
     val envPart = s""","env":{"cpus":${osBean.getAvailableProcessors}""" +
       s""","load_end":${r2(osBean.getSystemLoadAverage)}""" +
       s""","load_start":${r2(loadAtStart)}""" +
+      s""","calib_start_ms":${r2(calibStart)}""" +
+      s""","calib_end_ms":${r2(calibEnd)}""" +
+      s""","loaded_host":$loadedHost""" +
       s""","heap_max_gb":${r2(Runtime.getRuntime.maxMemory / 1e9)}}"""
     val spreadPart =
       if (spreads.isEmpty) ""
