@@ -14,6 +14,32 @@ import graft.dedup.Dedup
   * Usage: runMain graft.Tune [sfDir]   (sfDir: Bench's /tmp/graft_sf1)
   */
 object Tune {
+  /** Build (once) a prefix-disjoint ×`copies` documents tier at
+    * `dstDir` from `srcDir` — the same construction Bench's sf1 tier
+    * uses (token tag c0..c9 / c00..c99 keeps shingle spaces disjoint
+    * across copies so per-copy duplicate density scales linearly;
+    * doc_id spaces disjoint by a 10M stride). Lets the sf10/cc modes
+    * run on a fresh host without a prior Bench pass.
+    */
+  private def ensureDocsTier(spark: SparkSession, srcDir: String,
+      dstDir: String, copies: Int): Unit = {
+    if (new java.io.File(s"$dstDir/documents.parquet/_SUCCESS").exists) return
+    require(srcDir.contains("sf0.1"),
+      s"tier builder expects the sf0.1 fixture as source, got $srcDir")
+    println(s"[tune] building $dstDir ($copies copies of $srcDir documents)")
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val width = if (copies > 10) 2 else 1
+    (0 until copies).map { c =>
+      val tag = "c" + s"%0${width}d".format(c)
+      docs.withColumn("doc_id", col("doc_id") + lit(c * 10000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
+            t => concat(lit(tag), t))))
+    }.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -89,19 +115,8 @@ object Tune {
     if (args.drop(1).headOption.contains("sf10")) {
       import graft.text.Decontaminate
       val t100dir = "/tmp/graft_sf10"
-      if (!new java.io.File(s"$t100dir/documents.parquet/_SUCCESS").exists) {
-        require(sfDir.contains("sf0.1"),
-          s"sf10 mode builds the 100x tier from the sf0.1 fixture, got $sfDir")
-        println(s"[tune] building $t100dir (100 copies of $sfDir documents)")
-        (0 until 100).map { c =>
-          docs.withColumn("doc_id", col("doc_id") + lit(c * 10000000L))
-            .withColumn("text", concat_ws(" ",
-              transform(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
-                t => concat(lit(f"c$c%02d"), t))))
-        }.reduce(_.unionByName(_))
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$t100dir/documents.parquet")
-      }
+      ensureDocsTier(spark, sfDir, t100dir, 100)
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf1", 10)
       val d10 = spark.read.parquet("/tmp/graft_sf1/documents.parquet")
       val d100 = spark.read.parquet(s"$t100dir/documents.parquet")
       // the registered heavy queries' own parameters (MhK=16/bands=8/
@@ -174,6 +189,7 @@ object Tune {
     // never up, so the initial number IS the per-partition size cap)
     // on the flagged pipelines, with spill bytes printed per run.
     if (args.drop(1).headOption.contains("p100")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
       val d100 = spark.read.parquet("/tmp/graft_sf10/documents.parquet")
       def mh(fast: Boolean) = Dedup.minhashPairs(d100, "doc_id", "text",
         2, 16, 8, 0.1, fastKernel = fast)
@@ -221,6 +237,8 @@ object Tune {
     // path on the identical edge set. Pair building is OUTSIDE the
     // timed window (both paths consume the same persisted edge list).
     if (args.drop(1).headOption.contains("cc")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf1", 10)
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
       val tiers = Seq(
         ("10x", "/tmp/graft_sf1/documents.parquet"),
         ("100x", "/tmp/graft_sf10/documents.parquet"))
