@@ -228,6 +228,30 @@ object Tune {
       spark.stop(); return
     }
 
+    // ---- ngram precut keepPct sensitivity at the 100× tier: the sf10
+    // table measured precut ~tied with the ranking-window prefix at
+    // steady state (34.25 vs 32.86 s) despite a 1.46× cold-pass win —
+    // before recording a negative adoption, sweep the df-cutoff mass
+    // knob (lower keepPct = harder precut, bigger fallback class) and
+    // re-pin the baseline, interleaved in one JVM.
+    if (args.drop(1).headOption.contains("ng100")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      val d100 = spark.read.parquet("/tmp/graft_sf10/documents.parquet")
+      for (_ <- 1 to 2) {
+        time("prefix (window) 100x") {
+          Dedup.ngramJaccardPairsPruned(d100, "doc_id", "text",
+            Seq("lang", "source"), 2, 0.09)
+        }
+        for (kp <- Seq(0.75, 0.90, 0.97)) {
+          time(f"precut kp=$kp%.2f 100x") {
+            Dedup.ngramJaccardPairsPrecut(d100, "doc_id", "text",
+              Seq("lang", "source"), 2, 0.09, keepPct = kp)
+          }
+        }
+      }
+      spark.stop(); return
+    }
+
     // ---- distributed dedup-cluster tier probe (r12 task 4): the
     // driver union-find fast path is the measured-right call below
     // driverEdgeLimit, but the distributed label-prop loop is the
