@@ -278,20 +278,29 @@ object Tune {
               org.apache.spark.sql.types.LongType))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nEdges = pairs.count()
-        graft.ops.StageCache.releaseAll()
-        Dedup.ClusterTelemetry.reset()
         var t0 = System.nanoTime()
-        val nDist = Dedup.clusters(pairs, driverEdgeLimit = 0).count()
-        val tDist = (System.nanoTime() - t0) / 1e9
-        val rounds = math.max(1, Dedup.ClusterTelemetry.rounds.get())
-        t0 = System.nanoTime()
         val nDrv = Dedup.clusters(pairs).count()
         val tDrv = (System.nanoTime() - t0) / 1e9
-        require(nDist == nDrv,
-          s"cc $name: distributed ($nDist) and driver ($nDrv) node counts differ")
-        println(f"[tune] cc $name%-5s rep$rep edges=$nEdges%8d nodes=$nDist%8d  " +
-          f"dist ${tDist}%6.2f s  $rounds%2d rounds  ${tDist / rounds}%5.2f s/round  " +
-          f"driver ${tDrv}%6.2f s")
+        // distributed-route A/B: min-label propagation (the r11 shape;
+        // jumps>1 is a measured negative — rounds are bound by hop-by-
+        // hop min spread, which jumping can't shortcut) vs large-star/
+        // small-star edge contraction (diameter-independent rounds)
+        val arms = Seq[(String, () => DataFrame)](
+          ("labelprop", () => Dedup.clustersLabelProp(pairs)),
+          ("star", () => Dedup.clusters(pairs, driverEdgeLimit = 0)))
+        for ((arm, mk) <- arms) {
+          graft.ops.StageCache.releaseAll()
+          Dedup.ClusterTelemetry.reset()
+          t0 = System.nanoTime()
+          val nDist = mk().count()
+          val tDist = (System.nanoTime() - t0) / 1e9
+          val rounds = math.max(1, Dedup.ClusterTelemetry.rounds.get())
+          require(nDist == nDrv,
+            s"cc $name $arm: distributed ($nDist) and driver ($nDrv) node counts differ")
+          println(f"[tune] cc $name%-5s rep$rep $arm%-9s edges=$nEdges%8d nodes=$nDist%8d  " +
+            f"dist ${tDist}%6.2f s  $rounds%2d rounds  ${tDist / rounds}%5.2f s/round  " +
+            f"driver ${tDrv}%6.2f s")
+        }
         pairs.unpersist()
       }
       spark.stop(); return

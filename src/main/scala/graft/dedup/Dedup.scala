@@ -749,13 +749,17 @@ object Dedup {
     * keys on. (Pairs alone under-delete: a~b and b~c must collapse to
     * ONE survivor even when a~c was never emitted.)
     *
-    * Iterative min-label propagation (the simple variant of the
-    * large-star/small-star connected-components algorithm): each round
-    * is one join + min-aggregate, converging in cluster-diameter
-    * rounds — tiny for near-dup graphs. `localCheckpoint` cuts the
-    * lineage each round so the plan stays flat instead of growing
-    * exponentially (the classic iterative-Spark trap); on a cluster
-    * use checkpoint() to a reliable store instead.
+    * Two tiers: edge lists at or below `driverEdgeLimit` run exact
+    * union-find on the driver (model-parameter scale — per-round
+    * scheduler latency would dominate); larger graphs run the
+    * distributed large-star/small-star contraction
+    * ([[clustersStarLabels]]) whose round count is independent of
+    * component diameter (measured 6 rounds at both probe tiers, ~2×
+    * the min-label-propagation shape it replaced in r12).
+    * `localCheckpoint` cuts the lineage each round so the plan stays
+    * flat instead of growing exponentially (the classic
+    * iterative-Spark trap); on a cluster use checkpoint() to a
+    * reliable store instead.
     */
   /** Round telemetry for [[clusters]]' distributed path — the
     * 100 TB cost model is rounds × (join + agg + jump), so the round
@@ -768,20 +772,21 @@ object Dedup {
     def reset(): Unit = rounds.set(0)
   }
 
+  // Null / non-castable ids must fail loudly and identically on every
+  // clusters path: a null surviving the cast would NPE opaquely in
+  // getLong on the driver path and silently skew labels in the joins.
+  // (ANSI mode already throws on a non-castable value; this covers
+  // nulls.)
+  private def clusterIdOrFail(c: String): Column =
+    when(col(c).isNull,
+      raise_error(lit(s"clusters: null id in pairs input column '$c'")))
+      .otherwise(col(c).cast("long"))
+
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 20, driverEdgeLimit: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
-    // Null / non-castable ids must fail loudly and identically on both
-    // the driver fast path and the distributed path: a null surviving
-    // the cast would NPE opaquely in getLong below and silently skew
-    // labels in the joins. (ANSI mode already throws on a non-castable
-    // value; this covers nulls.)
-    def idOrFail(c: String): Column =
-      when(col(c).isNull,
-        raise_error(lit(s"clusters: null id in pairs input column '$c'")))
-        .otherwise(col(c).cast("long"))
     val edgePairs = pairs
-      .select(idOrFail(idA).as("a"), idOrFail(idB).as("b"))
+      .select(clusterIdOrFail(idA).as("a"), clusterIdOrFail(idB).as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = edgePairs.count()
     if (nEdges <= driverEdgeLimit) {
@@ -813,6 +818,30 @@ object Dedup {
       return parent.keys.toSeq.sorted.map(k => (k, find(k)))
         .toDF("id", "cluster")
     }
+    // 100 TB route: large-star/small-star edge contraction — measured
+    // (Tune cc, r12) ~2× faster than min-label propagation at the 100×
+    // tier (7.2 vs 15.5 s) with a DIAMETER-INDEPENDENT round count
+    // (6 rounds at both tiers vs 11/16). The label-prop shape stays
+    // below as [[clustersLabelProp]] for the A/B harness and its
+    // regression pins.
+    starContract(edgePairs, maxIters)
+  }
+
+  /** The r8–r11 distributed route: iterative min-label propagation
+    * with one pointer jump (path halving) per round. Superseded as
+    * [[clusters]]' distributed path by [[starContract]] (measured r12:
+    * label-prop rounds are bound by the min node's eccentricity —
+    * hop-by-hop spread through the edge topology — where star
+    * contraction collapses distances multiplicatively), kept for the
+    * Tune cc A/B and the pointer-jumping regression pin in DedupSpec.
+    */
+  private[graft] def clustersLabelProp(pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 20, jumpsPerRound: Int = 1): DataFrame = {
+    require(jumpsPerRound >= 1, "clusters: jumpsPerRound must be >= 1")
+    val edgePairs = pairs
+      .select(clusterIdOrFail(idA).as("a"), clusterIdOrFail(idB).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = edgePairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edgePairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -842,11 +871,23 @@ object Dedup {
       // propagation alone needs diameter rounds — with the jump the
       // round count drops to O(log diameter), and rounds (fixed
       // scheduling + tiny-shuffle latency, ~0.5s each regardless of
-      // data size) are the entire cost of this operator
-      val next = m
-        .join(m.select(col("id").as("label"), col("label").as("label2")), "label")
-        .select(col("id"), col("label2").as("label"))
-        .localCheckpoint(false)
+      // data size) are the entire cost of this operator.
+      //
+      // jumpsPerRound > 1 is a MEASURED NEGATIVE (Tune cc, r12): extra
+      // jumps never removed a single round at either tier (11 rounds
+      // at 10×, 16 at 100×, identical for j=1..3) — after the min
+      // aggregate the label map is already so shallow that one jump
+      // flattens it; round count is bound by hop-by-hop min spread
+      // through the edge topology, which jumping cannot shortcut.
+      // They're also not free: each jump references the round frame
+      // twice, doubling the uncheckpointed plan per jump (j=3 measured
+      // 1.5-8× the per-round cost). The knob stays for the A/B
+      // harness; 1 is the measured default.
+      val next = (1 to jumpsPerRound).foldLeft(m) { (cur, _) =>
+        cur.join(cur.select(col("id").as("label"), col("label").as("label2")),
+            "label")
+          .select(col("id"), col("label2").as("label"))
+      }.localCheckpoint(false)
       val s = next.agg(sum(col("label").cast("decimal(38,0)")))
         .first().getDecimal(0)
       converged = prevSum.exists(_.compareTo(s) == 0)
@@ -861,6 +902,106 @@ object Dedup {
       s"clusters did not converge in $maxIters rounds — raise maxIters " +
         "(components of diameter > 2^maxIters are pathological for near-dup graphs)")
     labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond" — a public MapReduce algorithm, re-expressed as
+    * DataFrame joins/aggregates). Where min-label propagation's round
+    * count is the ECCENTRICITY of each component's min node (hop-by-hop
+    * spread; pointer jumps flatten label chains but cannot shortcut
+    * graph distance — the r12 jumps A/B measured exactly that), star
+    * contraction rewrites the EDGES each round so distances collapse
+    * multiplicatively: O(log² n) rounds worst-case, independent of
+    * component diameter.
+    *
+    *  - large-star (center u over the symmetric adjacency): attach
+    *    every strictly-larger neighbor v > u to m = min(Γ(u) ∪ {u}).
+    *    Each undirected edge is rewritten exactly once (by its smaller
+    *    endpoint); edges stay canonical big→small.
+    *  - small-star (center = the larger endpoint of each canonical
+    *    edge): attach the center and all its smaller neighbors to
+    *    their minimum.
+    *
+    * The fixpoint is a set of stars rooted at each component's minimum
+    * id — read labels straight off the edges. Fixpoint detection: a
+    * (count, Σ xxhash64(src,dst)) fingerprint over the canonical edge
+    * set, compared across consecutive rounds — a false stop needs a
+    * 64-bit hash-sum collision at equal edge count (~2⁻⁶⁴ per round;
+    * an `except().isEmpty` exactness check would cost two more
+    * scheduled jobs per round, the term that dominates this operator).
+    *
+    * Same output contract as [[clusters]] (every node that appears in
+    * `pairs` gets (id, min reachable id)); self-pairs label themselves.
+    * DedupSpec pins equality against the driver union-find on chains,
+    * random graphs and 64-bit-scale ids.
+    */
+  private[graft] def clustersStarLabels(pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 30): DataFrame = {
+    val raw = pairs
+      .select(clusterIdOrFail(idA).as("a"), clusterIdOrFail(idB).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    starContract(raw, maxIters)
+  }
+
+  /** Core of the star-contraction loop over a prepared, persisted
+    * (a, b) long-id pair frame; unpersists it before returning. See
+    * [[clustersStarLabels]] for the algorithm documentation.
+    */
+  private def starContract(raw: DataFrame, maxIters: Int): DataFrame = {
+    val nodes = raw.select(col("a").as("id"))
+      .unionByName(raw.select(col("b").as("id"))).distinct()
+    var e = raw.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .distinct().localCheckpoint()
+    var prev = Option.empty[(Long, java.math.BigDecimal)]
+    var it = 0
+    var converged = e.isEmpty
+    while (!converged && it < maxIters) {
+      // LARGE-STAR over the symmetric adjacency
+      val adj = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+      val mins = adj.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = adj.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // SMALL-STAR on the canonical big→small edges
+      val mins2 = ls.groupBy("src").agg(min("dst").as("m"))
+      val ss = ls.join(mins2, "src")
+        .select(col("dst").as("s2"), col("m").as("d2"))
+        .unionByName(mins2.select(col("src").as("s2"), col("m").as("d2")))
+        .filter(col("s2") =!= col("d2"))
+        .select(col("s2").as("src"), col("d2").as("dst"))
+        .distinct()
+        .localCheckpoint(false)
+      // one action per round: checkpoint materializes under the
+      // fingerprint aggregate
+      val fp = ss.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).first()
+      val cur = (fp.getLong(0),
+        Option(fp.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+      converged = prev.exists(p => p._1 == cur._1 && p._2.compareTo(cur._2) == 0)
+      prev = Some(cur)
+      e = ss
+      it += 1
+      ClusterTelemetry.rounds.incrementAndGet()
+    }
+    if (!converged && it >= maxIters) throw new IllegalStateException(
+      s"clustersStar did not converge in $maxIters rounds")
+    // at the fixpoint every non-root carries exactly one (node, root)
+    // edge; roots appear only as dst. Singletons (self-pairs) label
+    // themselves via the left join.
+    val starLabels = e.select(col("src").as("id"), col("dst").as("label"))
+      .unionByName(e.select(col("dst").as("id"), col("dst").as("label")))
+      .distinct()
+    val out = nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
+    raw.unpersist()
+    out
   }
 
   /** Apply near-dup cluster decisions to the corpus — the last mile of

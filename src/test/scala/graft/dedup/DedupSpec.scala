@@ -173,13 +173,13 @@ class DedupSpec extends SparkTestBase {
     assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (7L, 5L)))
   }
 
-  test("clusters distributed path: long chain converges in log rounds") {
-    // driverEdgeLimit = 0 forces the iterative route; a 60-node path
-    // needs 59 plain-propagation rounds — pointer jumping must close
-    // it well inside maxIters=20
+  test("clustersLabelProp: long chain converges in log rounds") {
+    // the legacy distributed route (pre-r12 default, kept for the Tune
+    // cc A/B): a 60-node path needs 59 plain-propagation rounds —
+    // pointer jumping must close it well inside maxIters=20
     val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     Dedup.ClusterTelemetry.reset()
-    val got = Dedup.clusters(chain, driverEdgeLimit = 0).as[(Long, Long)].collect()
+    val got = Dedup.clustersLabelProp(chain).as[(Long, Long)].collect()
     assert(got.length === 60 && got.forall(_._2 === 1L))
     // round-count pin (the distributed path's 100 TB cost model is
     // rounds x fixed per-round latency): path halving closes a
@@ -209,6 +209,48 @@ class DedupSpec extends SparkTestBase {
       assert(e.getMessage.contains("null id") ||
         Option(e.getCause).exists(_.getMessage.contains("null id")))
     }
+  }
+
+  test("clustersStar: equality with union-find on chains, self-pairs, random graphs") {
+    // chain + disjoint pair + self-pair + star collisions
+    val fixed = Seq((1L, 2L), (2L, 3L), (7L, 5L), (9L, 9L), (10L, 5L))
+      .toDF("id_a", "id_b")
+    // deterministic pseudo-random graph: 200 nodes, 150 hash-derived
+    // edges — multiple components, duplicate edges, both orientations
+    val rnd = (0 until 150).map { i =>
+      val a = (i * 2654435761L) % 200
+      val b = (i * 40503L + 17L) % 200
+      (math.abs(a), math.abs(b))
+    }.toDF("id_a", "id_b")
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    for (pairs <- Seq(fixed, rnd, chain)) {
+      val uf = Dedup.clusters(pairs).orderBy("id")
+        .as[(Long, Long)].collect().toSeq
+      val star = Dedup.clustersStarLabels(pairs).orderBy("id")
+        .as[(Long, Long)].collect().toSeq
+      assert(star === uf)
+    }
+  }
+
+  test("clustersStar: 60-chain converges in few rounds and pins telemetry") {
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Dedup.ClusterTelemetry.reset()
+    val got = Dedup.clustersStarLabels(chain).as[(Long, Long)].collect()
+    assert(got.length === 60 && got.forall(_._2 === 1L))
+    val rounds = Dedup.ClusterTelemetry.rounds.get()
+    // star contraction halves chain distances every round: ~log2(59)
+    // contraction rounds + 1 equal-fingerprint detection round
+    assert(rounds <= 9, s"star contraction regressed: $rounds rounds for a 60-chain")
+  }
+
+  test("clustersStar: null id fails loudly") {
+    val pairs = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("id_a", "id_b")
+    val e = intercept[Exception] {
+      Dedup.clustersStarLabels(pairs).collect()
+    }
+    assert(e.getMessage.contains("null id") ||
+      Option(e.getCause).exists(_.getMessage.contains("null id")))
   }
 
   test("clusters: 64-bit-scale labels converge without overflow") {
