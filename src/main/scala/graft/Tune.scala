@@ -178,6 +178,125 @@ object Tune {
       spark.stop(); return
     }
 
+    // ---- 1000×-documents probe tier (5M docs): extends the 10×→100×
+    // alpha table a THIRD decade for the production-path pipelines
+    // (fast kernels, 64-bit simhash) — the "would it still hold at
+    // 1000×?" measurement. Built from the 100× tier: 10 super-copies
+    // with tag d0..d9 prepended to every token (shingle spaces stay
+    // disjoint across super-copies; the c00..c99 structure repeats
+    // within each, so per-copy duplicate density — hence the true
+    // answer — stays linear), doc_id stride 1e9 (sf10 ids < 1e9).
+    // Usage: runMain graft.Tune /root/testdata/sf0.1 sf100
+    if (args.drop(1).headOption.contains("sf100")) {
+      require(nameFilter.isEmpty,
+        "Tune sf100 builds an aggregate scaling table; drop the filter arg")
+      import graft.text.Decontaminate
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      val t1000 = "/tmp/graft_sf100"
+      if (!new java.io.File(s"$t1000/documents.parquet/_SUCCESS").exists) {
+        println(s"[tune] building $t1000 (10 super-copies of /tmp/graft_sf10)")
+        val d = spark.read.parquet("/tmp/graft_sf10/documents.parquet")
+        (0 until 10).map { k =>
+          d.withColumn("doc_id", col("doc_id") + lit(k * 1000000000L))
+            .withColumn("text", concat_ws(" ",
+              transform(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
+                t => concat(lit(s"d$k"), t))))
+        }.reduce(_.unionByName(_))
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$t1000/documents.parquet")
+      }
+      val d100 = spark.read.parquet("/tmp/graft_sf10/documents.parquet")
+      val d1000 = spark.read.parquet(s"$t1000/documents.parquet")
+      // production defaults everywhere (fast kernel); scope note: the
+      // legacy-kernel arms and ngram_prefix are EXCLUDED by cost (the
+      // ngram 100× steady state is ~33 s → ~several min/run at 1000×;
+      // its scale path is the partitioning story in SCALE.md r11/r12)
+      println("[tune] sf100 scope: production-path pipelines only; " +
+        "ngram_prefix + legacy kernels excluded by cost (SCALE.md)")
+      // cheap arms first so a late heavy-arm failure still leaves a
+      // mostly-complete table
+      def pipes(d: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+        ("simhash64", () => Dedup.simhashPairs64(d, "doc_id", "text", 3)),
+        ("cluster_star", () =>
+          Dedup.clusters(Dedup.simhashPairs64(d, "doc_id", "text", 3),
+            driverEdgeLimit = 0)),
+        ("substr_dedup", () =>
+          Dedup.duplicateSpans(d, "doc_id", "text", 8)),
+        ("fuzzy_decon_fast", () =>
+          Decontaminate.fuzzyContamination(d.filter(col("doc_id") % 10 =!= 0),
+            d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+            threshold = 0.1)),
+        ("incremental_fast", () =>
+          Dedup.incrementalMinhashPairs(
+            Dedup.minhashIndexView(d.filter(col("doc_id") % 2 === 0),
+              "doc_id", "text"),
+            d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            threshold = 0.1)),
+        ("minhash_fast", () =>
+          Dedup.minhashPairs(d, "doc_id", "text", 2, 16, 8, 0.1)))
+      val pA = pipes(d100); val pB = pipes(d1000)
+      val bestA = Array.fill(pA.size)(Double.MaxValue)
+      val bestB = Array.fill(pA.size)(Double.MaxValue)
+      // a cell failure (e.g. a broadcast-size wall at the new tier) is
+      // itself a finding — record it and keep measuring the other arms
+      def cell(name: String)(f: => DataFrame): Double =
+        try time(name)(f) catch {
+          case e: Exception =>
+            println(s"[tune] $name FAILED: ${e.getMessage.take(200)}")
+            Double.NaN
+        }
+      // partition count scales WITH the tier: the first sf100 attempt
+      // ran the 1000× minhash verify at p=32 and saturated the 96 GB
+      // old gen into full-GC thrash (10× the per-partition bytes of
+      // the 100× tier). The initial shuffle-partition count is the
+      // per-partition memory cap (AQE coalesces down, never up), and a
+      // real cluster raises it with data volume — the tier measures
+      // the ALGORITHM's scaling, not a fixed partition number's.
+      for (rep <- 1 to 2; i <- pA.indices) {
+        val (name, mkA) = pA(i); val (_, mkB) = pB(i)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        bestA(i) = math.min(bestA(i), cell(f"$name%s @100x r$rep")(mkA()))
+        spark.conf.set("spark.sql.shuffle.partitions", "128")
+        bestB(i) = math.min(bestB(i), cell(f"$name%s @1000x r$rep")(mkB()))
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      println("[tune] ---- 100x -> 1000x scaling (alpha = log10 t-ratio; 1.0 = linear) ----")
+      pA.indices.foreach { i =>
+        val (a, b) = (bestA(i), bestB(i))
+        val alpha = if (a > 0 && b > 0) math.log(b / a) / math.log(10.0) else 0.0
+        val flag = if (alpha > 1.02) "  ** SUPERLINEAR **" else ""
+        println(f"[tune] ${pA(i)._1}%-17s ${a}%7.2f s -> ${b}%8.2f s   alpha $alpha%5.2f$flag")
+      }
+      spark.stop(); return
+    }
+
+    // ---- 1000×-tier retry for the two disk-heaviest arms: the full
+    // sf100 pass lost minhash_fast and incremental_fast to a probe-host
+    // disk wall (their verify joins exchange the corpus shingle arrays;
+    // map outputs for a 5M-doc corpus are tens of GB, and two dead
+    // JVMs' blockmgr dirs were still on disk). One rep each, 1000×
+    // only, p=128, nothing else competing for /tmp.
+    if (args.drop(1).headOption.contains("mh1000")) {
+      val d1000 = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      def cell(name: String)(f: => DataFrame): Unit =
+        try { time(name)(f); () } catch {
+          case e: Exception =>
+            println(s"[tune] $name FAILED: ${e.getMessage.take(200)}")
+        }
+      cell("minhash_fast @1000x solo") {
+        Dedup.minhashPairs(d1000, "doc_id", "text", 2, 16, 8, 0.1)
+      }
+      cell("incremental_fast @1000x solo") {
+        Dedup.incrementalMinhashPairs(
+          Dedup.minhashIndexView(d1000.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text"),
+          d1000.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          threshold = 0.1)
+      }
+      spark.stop(); return
+    }
+
     // ---- 100×-tier shuffle-partition sizing A/B: the sf10 probe
     // flagged the default-kernel minhash (alpha 1.07) and the
     // incremental probe (1.01) as marginally superlinear while every
