@@ -265,6 +265,23 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Hashed-verify representation of a shingle set: sorted xxhash64
+    * longs. The verify joins exchange these instead of the raw shingle
+    * STRING arrays — 8-byte fixed-width elements, ~3-4× fewer bytes
+    * per row (the 1000×-tier probe measured the string form exhausting
+    * the host's shuffle scratch at 5M docs, SCALE.md r12). Jaccard over
+    * the hashed sets is identical to Jaccard over the strings unless
+    * two distinct shingles of the SAME doc collide in 64 bits
+    * (~|doc|²/2⁶⁵ per doc — ~10⁻¹⁵ across a 5M-doc corpus), which is
+    * why every oracle-pinned query keeps its hash: the emitted
+    * (id_a, id_b, jaccard) rows are bit-identical. The STAGED index
+    * format (parquet shingle tables) keeps raw strings — hashing is a
+    * map pass at verify time, so old indexes need no migration and
+    * `_index_params` is untouched.
+    */
+  private def hashedSh(c: Column): Column =
+    sort_array(transform(c, t => xxhash64(t)))
+
   /** MinHash+LSH near-duplicate pairs over `df(idCol, textCol)`:
     * candidates from shared LSH buckets, verified with exact Jaccard on
     * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -395,10 +412,10 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
     candidates
-      .join(index.shingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
-        Seq("id_a"))
-      .join(index.shingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
-        Seq("id_b"))
+      .join(index.shingles.select(col("id").as("id_a"),
+        hashedSh(col("sh")).as("sh_a")), Seq("id_a"))
+      .join(index.shingles.select(col("id").as("id_b"),
+        hashedSh(col("sh")).as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
@@ -421,10 +438,10 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
     candidates
-      .join(delta.shingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
-        Seq("id_a"))
-      .join(corpus.shingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
-        Seq("id_b"))
+      .join(delta.shingles.select(col("id").as("id_a"),
+        hashedSh(col("sh")).as("sh_a")), Seq("id_a"))
+      .join(corpus.shingles.select(col("id").as("id_b"),
+        hashedSh(col("sh")).as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -460,11 +477,11 @@ object Dedup {
           lit(true).as("__staged")))
     }
     val batchSh = batchIdx.shingles
-      .select(col("id").as("id_b"), col("sh").as("sh_b"))
+      .select(col("id").as("id_b"), hashedSh(col("sh")).as("sh_b"))
     val otherSh = staged match {
       case None => batchSh
       case Some(s) => batchSh.unionByName(s.shingles
-        .select(col("id").as("id_b"), col("sh").as("sh_b")))
+        .select(col("id").as("id_b"), hashedSh(col("sh")).as("sh_b")))
     }
     // the staged flag rides the bucket join so the lower-id rule only
     // binds batch-vs-batch candidates; candidate pairs dedupe BEFORE
@@ -478,7 +495,7 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     cand
       .join(batchIdx.shingles.select(col("id").as("id_a"),
-        col("sh").as("sh_a")), Seq("id_a"))
+        hashedSh(col("sh")).as("sh_a")), Seq("id_a"))
       .join(otherSh, Seq("id_b"))
       .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
       .select(col("id_a").as("id")).distinct()
@@ -567,7 +584,7 @@ object Dedup {
     val sig = if (fastKernel) minhashSignatureFast(col("sh"), k)
               else minhashSignature(col("sh"), k)
     val hits = sh.withColumn("sig", sig)
-      .select(col("id").as("id_a"), col("sh").as("sh_a"),
+      .select(col("id").as("id_a"), hashedSh(col("sh")).as("sh_a"),
         posexplode(lshBands(col("sig"), k, bands)).as(Seq("band", "bucket")))
       .join(broadcast(smallIndex.buckets.select(col("band"), col("bucket"),
         col("id").as("id_b"))), Seq("band", "bucket"))
@@ -576,7 +593,7 @@ object Dedup {
     val cand = hits.groupBy("id_a", "id_b").agg(first("sh_a").as("sh_a"))
     cand
       .join(broadcast(smallIndex.shingles.select(col("id").as("id_b"),
-        col("sh").as("sh_b"))), Seq("id_b"))
+        hashedSh(col("sh")).as("sh_b"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -1216,8 +1233,10 @@ object Dedup {
     val docs = df.select((blockCols.map(col) :+ col(idCol).as("id") :+
       shingles(col(textCol), n).as("sh")): _*)
     ngramPrefixCandidatesPrecut(docs, blockCols, threshold, keepPct)
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(docs.select(col("id").as("id_a"),
+        hashedSh(col("sh")).as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"),
+        hashedSh(col("sh")).as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -1247,8 +1266,10 @@ object Dedup {
     val docs = df.select((blockCols.map(col) :+ col(idCol).as("id") :+
       shingles(col(textCol), n).as("sh")): _*)
     ngramPrefixCandidatesFromShingles(docs, blockCols, threshold)
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(docs.select(col("id").as("id_a"),
+        hashedSh(col("sh")).as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"),
+        hashedSh(col("sh")).as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

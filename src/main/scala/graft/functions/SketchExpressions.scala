@@ -268,6 +268,28 @@ object SketchOps {
     }
     n
   }
+
+  /** [[sortedIntersectSize]] over SORTED distinct long arrays — the
+    * hashed-verify representation (xxhash64 per shingle): same merge
+    * walk, 8-byte fixed-width compares instead of UTF8 string
+    * compares, and ~3-4× fewer bytes per row across the verify join's
+    * exchanges (the term that walled the 1000×-tier probe).
+    */
+  def sortedIntersectSizeLong(a: ArrayData, b: ArrayData): Int = {
+    var i = 0
+    var j = 0
+    var n = 0
+    val na = a.numElements()
+    val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
 }
 
 case class SortedContainsInt(left: Expression, right: Expression)
@@ -375,14 +397,31 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_intersect_size"
-  override def checkInputDataTypes(): TypeCheckResult =
-    SketchOps.requireArrayOf(prettyName, StringType, left.dataType, right.dataType)
+  // polymorphic over the two sorted-distinct representations: raw
+  // shingle strings (the staged-index/oracle form) and xxhash64 longs
+  // (the hashed-verify form — see SketchOps.sortedIntersectSizeLong)
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val asString =
+      SketchOps.requireArrayOf(prettyName, StringType, left.dataType, right.dataType)
+    if (asString.isSuccess) asString
+    else SketchOps.requireArrayOf(prettyName, LongType, left.dataType, right.dataType)
+  }
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    SketchOps.sortedIntersectSize(
-      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (isLong)
+      SketchOps.sortedIntersectSizeLong(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    else
+      SketchOps.sortedIntersectSize(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "sortedIntersectSizeLong" else "sortedIntersectSize"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SketchOps.sortedIntersectSize($a, $b)")
+      s"graft.functions.SketchOps.$fn($a, $b)")
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

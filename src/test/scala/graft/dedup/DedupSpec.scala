@@ -165,6 +165,30 @@ class DedupSpec extends SparkTestBase {
     graft.ops.StageCache.releaseAll()
   }
 
+  test("hashed verify: Jaccard over xxhash64 longs ≡ Jaccard over shingle strings") {
+    // the verify joins now exchange sorted xxhash64 arrays instead of
+    // raw shingle strings (SCALE.md r12: bytes-per-exchange wall at the
+    // 1000× tier); this pins value equality of the two representations
+    // on a dup-rich corpus through the full operator
+    import org.apache.spark.sql.functions.{col, size, sort_array, transform, xxhash64}
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 2).as("sh"))
+    def jac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val i = graft.functions.SketchExpressions.sortedIntersectSize(a, b)
+      i.cast("double") / (size(a) + size(b) - i)
+    }
+    val both = sh.select(col("id").as("id_a"), col("sh").as("sa"),
+        sort_array(transform(col("sh"), t => xxhash64(t))).as("ha"))
+      .crossJoin(sh.select(col("id").as("id_b"), col("sh").as("sb"),
+        sort_array(transform(col("sh"), t => xxhash64(t))).as("hb")))
+      .filter(col("id_a") < col("id_b"))
+      .select(jac(col("sa"), col("sb")).as("js"),
+        jac(col("ha"), col("hb")).as("jh"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("clusters: transitive pairs collapse to the min reachable id") {
     // chain 1-2, 2-3 plus disjoint 7-5: clusters {1,2,3}->1, {5,7}->5
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 5L)).toDF("id_a", "id_b")
