@@ -245,6 +245,12 @@ object Tune {
             println(s"[tune] $name FAILED: ${e.getMessage.take(200)}")
             Double.NaN
         }
+      // fold only FINITE reps into the min: math.min propagates NaN, so
+      // a transient rep-1 failure would otherwise discard a successful
+      // rep-2 measurement — and a never-succeeded cell must print
+      // FAILED, not a fake "alpha 0.00"
+      def fold(best: Double, t: Double): Double =
+        if (t.isNaN) best else math.min(best, t)
       // partition count scales WITH the tier: the first sf100 attempt
       // ran the 1000× minhash verify at p=32 and saturated the 96 GB
       // old gen into full-GC thrash (10× the per-partition bytes of
@@ -255,17 +261,22 @@ object Tune {
       for (rep <- 1 to 2; i <- pA.indices) {
         val (name, mkA) = pA(i); val (_, mkB) = pB(i)
         spark.conf.set("spark.sql.shuffle.partitions", "32")
-        bestA(i) = math.min(bestA(i), cell(f"$name%s @100x r$rep")(mkA()))
+        bestA(i) = fold(bestA(i), cell(f"$name%s @100x r$rep")(mkA()))
         spark.conf.set("spark.sql.shuffle.partitions", "128")
-        bestB(i) = math.min(bestB(i), cell(f"$name%s @1000x r$rep")(mkB()))
+        bestB(i) = fold(bestB(i), cell(f"$name%s @1000x r$rep")(mkB()))
       }
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
       println("[tune] ---- 100x -> 1000x scaling (alpha = log10 t-ratio; 1.0 = linear) ----")
       pA.indices.foreach { i =>
         val (a, b) = (bestA(i), bestB(i))
-        val alpha = if (a > 0 && b > 0) math.log(b / a) / math.log(10.0) else 0.0
-        val flag = if (alpha > 1.02) "  ** SUPERLINEAR **" else ""
-        println(f"[tune] ${pA(i)._1}%-17s ${a}%7.2f s -> ${b}%8.2f s   alpha $alpha%5.2f$flag")
+        if (a == Double.MaxValue || b == Double.MaxValue)
+          println(f"[tune] ${pA(i)._1}%-17s FAILED (no successful rep in " +
+            (if (a == Double.MaxValue) "100x" else "1000x") + " cell)")
+        else {
+          val alpha = if (a > 0 && b > 0) math.log(b / a) / math.log(10.0) else 0.0
+          val flag = if (alpha > 1.02) "  ** SUPERLINEAR **" else ""
+          println(f"[tune] ${pA(i)._1}%-17s ${a}%7.2f s -> ${b}%8.2f s   alpha $alpha%5.2f$flag")
+        }
       }
       spark.stop(); return
     }

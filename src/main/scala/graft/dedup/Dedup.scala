@@ -270,17 +270,43 @@ object Dedup {
     * STRING arrays — 8-byte fixed-width elements, ~3-4× fewer bytes
     * per row (the 1000×-tier probe measured the string form exhausting
     * the host's shuffle scratch at 5M docs, SCALE.md r12). Jaccard over
-    * the hashed sets is identical to Jaccard over the strings unless
-    * two distinct shingles of the SAME doc collide in 64 bits
-    * (~|doc|²/2⁶⁵ per doc — ~10⁻¹⁵ across a 5M-doc corpus), which is
-    * why every oracle-pinned query keeps its hash: the emitted
-    * (id_a, id_b, jaccard) rows are bit-identical. The STAGED index
-    * format (parquet shingle tables) keeps raw strings — hashing is a
-    * map pass at verify time, so old indexes need no migration and
-    * `_index_params` is untouched.
+    * the hashed sets differs from Jaccard over the strings only under a
+    * 64-bit collision, of which there are two kinds: (a) two distinct
+    * shingles of the SAME doc collide (shrinks that set — ~|doc|²/2⁶⁵
+    * per doc); (b) a shingle of A collides with a DIFFERENT shingle of
+    * B (inflates that pair's intersect count by 1 — ~|A|·|B|/2⁶⁴ per
+    * verified pair, and across P verified candidate pairs the expected
+    * spurious-hit count is ~P·|A|·|B|/2⁶⁴, the dominant term at
+    * cluster scale: ~10⁻⁹ even at 10⁹ pairs × 50²-shingle docs).
+    * Both terms are negligible; the registered queries' oracle hashes
+    * are bit-identical. The STAGED index format stores hashed longs
+    * since round 13 ([[graft.streaming.CorpusStreams]] stamps
+    * `repr=xxh64` into `_index_params`); legacy raw-string staged
+    * tables keep working — every verify site dispatches on the
+    * shingle column's schema via [[verifySh]].
     */
   private def hashedSh(c: Column): Column =
     sort_array(transform(c, t => xxhash64(t)))
+
+  /** The canonical staged/verify form of a raw shingle-set column —
+    * public face of the hashed representation for staging writers
+    * (CorpusStreams) and the Tune repr A/B.
+    */
+  def hashShingles(c: Column): Column = hashedSh(c)
+
+  /** Representation dispatch for a shingle frame (id, sh): already-
+    * hashed staged tables (array<long>, sorted at write) pass through;
+    * raw string sets hash here. Keyed on the SCHEMA so a staged index
+    * in either representation verifies correctly with no caller flag —
+    * a mixed-REPRESENTATION probe cannot produce wrong Jaccards the
+    * way a mixed-kernel probe silently could, because both sides of
+    * every verify go through this dispatch and meet as xxhash64 longs.
+    */
+  private def verifySh(df: DataFrame): Column = df.schema("sh").dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, _) => col("sh")
+    case _ => hashedSh(col("sh"))
+  }
 
   /** MinHash+LSH near-duplicate pairs over `df(idCol, textCol)`:
     * candidates from shared LSH buckets, verified with exact Jaccard on
@@ -339,9 +365,14 @@ object Dedup {
 
   /** Build the [[MinhashIndex]] for `df` — one pass over the corpus
     * (shingle → signature → banded buckets, same parameters as
-    * [[minhashPairs]]). Write both frames to parquet and reload to get
-    * the true incremental shape: the reloaded index carries no lineage
-    * back to the corpus text.
+    * [[minhashPairs]]), with BOTH frames StageCache-persisted: every
+    * consumer (pair self-join sides, a staging append, the within-
+    * batch + vs-corpus probes of a streaming admission step) would
+    * otherwise recompute the sketch kernel. This is the in-session
+    * multi-consumer shape; the durable staged form (parquet tables
+    * whose reload carries no lineage back to the corpus text) lives in
+    * [[graft.streaming.CorpusStreams]], which writes these frames out
+    * and probes them across batches/jobs.
     */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 16, bands: Int = 8,
@@ -413,9 +444,9 @@ object Dedup {
       .distinct()
     candidates
       .join(index.shingles.select(col("id").as("id_a"),
-        hashedSh(col("sh")).as("sh_a")), Seq("id_a"))
+        verifySh(index.shingles).as("sh_a")), Seq("id_a"))
       .join(index.shingles.select(col("id").as("id_b"),
-        hashedSh(col("sh")).as("sh_b")), Seq("id_b"))
+        verifySh(index.shingles).as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
@@ -439,9 +470,9 @@ object Dedup {
       .distinct()
     candidates
       .join(delta.shingles.select(col("id").as("id_a"),
-        hashedSh(col("sh")).as("sh_a")), Seq("id_a"))
+        verifySh(delta.shingles).as("sh_a")), Seq("id_a"))
       .join(corpus.shingles.select(col("id").as("id_b"),
-        hashedSh(col("sh")).as("sh_b")), Seq("id_b"))
+        verifySh(corpus.shingles).as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -477,11 +508,11 @@ object Dedup {
           lit(true).as("__staged")))
     }
     val batchSh = batchIdx.shingles
-      .select(col("id").as("id_b"), hashedSh(col("sh")).as("sh_b"))
+      .select(col("id").as("id_b"), verifySh(batchIdx.shingles).as("sh_b"))
     val otherSh = staged match {
       case None => batchSh
       case Some(s) => batchSh.unionByName(s.shingles
-        .select(col("id").as("id_b"), hashedSh(col("sh")).as("sh_b")))
+        .select(col("id").as("id_b"), verifySh(s.shingles).as("sh_b")))
     }
     // the staged flag rides the bucket join so the lower-id rule only
     // binds batch-vs-batch candidates; candidate pairs dedupe BEFORE
@@ -495,7 +526,7 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     cand
       .join(batchIdx.shingles.select(col("id").as("id_a"),
-        hashedSh(col("sh")).as("sh_a")), Seq("id_a"))
+        verifySh(batchIdx.shingles).as("sh_a")), Seq("id_a"))
       .join(otherSh, Seq("id_b"))
       .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
       .select(col("id_a").as("id")).distinct()
@@ -555,28 +586,42 @@ object Dedup {
     * driver OOM and a per-task hash build — use the incremental probe
     * for big-vs-big.
     *
-    * The small-by-contract side is ENFORCED, not scaladoc-only:
-    * `maxIndexDocs` caps the index document count with one cheap count
-    * job over the (pre-broadcast) shingle view — thousands of band
-    * rows per doc never reach the driver on the failing path, and the
-    * error names the big-vs-big operator to use instead. The default
-    * cap (2M docs ≈ 2 GB of broadcast shingle sets at crawl-shaped
-    * ~50 shingles/doc) keeps a comfortable margin under Spark's 8 GB
-    * broadcast hard limit; 0 disables the check.
+    * The small-by-contract side is ENFORCED, not scaladoc-only, and
+    * the guard is MEASUREMENT-based (r13; the r12 1000×-tier probe):
+    * on a 32-thread/96 GB host the broadcast shape was sublinear with
+    * a 50k-doc index (alpha 0.64, decade 2) but SUPERLINEAR with a
+    * 500k-doc index (alpha 1.32, 5.22 → 108.86 s, decade 3) — the
+    * per-task broadcast hash build plus the driver collect stop
+    * amortizing well before Spark's 8 GB broadcast hard limit is in
+    * sight. `maxIndexDocs` (default 100k: 2× the measured-good point,
+    * 1/5 of the measured-superlinear point) caps the index document
+    * count with one cheap count job over the (pre-broadcast) shingle
+    * view; ABOVE the cap the call now AUTO-FALLS-BACK to the big-vs-
+    * big staged-index probe ([[incrementalMinhashPairsFromIndex]] with
+    * `smallIndex` as the probed corpus — same (id_a=corpus,
+    * id_b=index, jaccard) contract, equivalence pinned in DedupSpec)
+    * instead of require-failing: past the crossover the incremental
+    * shape IS the right plan, so the guard picks it rather than
+    * punting to the caller. 0 disables the check (always broadcast).
     */
   def minhashPairsBroadcastIndex(smallIndex: MinhashIndex,
       corpus: DataFrame, idCol: String, textCol: String, n: Int = 2,
       k: Int = 16, bands: Int = 8, threshold: Double = 0.3,
       fastKernel: Boolean = true,
-      maxIndexDocs: Long = 2000000L): DataFrame = {
+      maxIndexDocs: Long = 100000L): DataFrame = {
     if (maxIndexDocs > 0) {
       val nDocs = smallIndex.shingles.count()
-      require(nDocs <= maxIndexDocs,
-        s"minhashPairsBroadcastIndex: index has $nDocs docs > " +
-          s"maxIndexDocs=$maxIndexDocs — broadcasting an index this " +
-          "size risks the driver/8 GB broadcast limits; use " +
-          "incrementalMinhashPairs (big-vs-big staged-index probe) " +
-          "or raise maxIndexDocs deliberately")
+      if (nDocs > maxIndexDocs) {
+        // big-vs-big fallback: the index side is past the broadcast
+        // probe's measured economical regime — probe it as a staged
+        // corpus instead (the corpus sketches itself as the delta).
+        // Same output contract; the corpus-sized shingle exchange the
+        // broadcast shape avoids is exactly the trade that WINS once
+        // the per-task broadcast build dominates.
+        return incrementalMinhashPairsFromIndex(smallIndex,
+          minhashIndexView(corpus, idCol, textCol, n, k, bands, fastKernel),
+          threshold)
+      }
     }
     val sh = corpus
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
@@ -799,8 +844,14 @@ object Dedup {
       raise_error(lit(s"clusters: null id in pairs input column '$c'")))
       .otherwise(col(c).cast("long"))
 
+  // maxIters = 30 on every clusters entry point (this one,
+  // clustersStarLabels, and via it starContract): star contraction
+  // converges in ~6 rounds diameter-independently, so 30 is a deep
+  // safety margin, and a SHARED bound means the dispatcher and the
+  // direct distributed entry can never disagree about when the same
+  // loop "fails".
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 20, driverEdgeLimit: Long = 1L << 20): DataFrame = {
+      maxIters: Int = 30, driverEdgeLimit: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     val edgePairs = pairs
       .select(clusterIdOrFail(idA).as("a"), clusterIdOrFail(idB).as("b"))
@@ -967,8 +1018,16 @@ object Dedup {
     * [[clustersStarLabels]] for the algorithm documentation.
     */
   private def starContract(raw: DataFrame, maxIters: Int): DataFrame = {
+    // nodes is EAGERLY checkpointed: the returned plan's singleton
+    // branch must not recompute from `raw` after the finally below
+    // unpersists it (the r12 shape unpersisted on the success path
+    // only — leaking the cache on the non-convergence throw — and left
+    // `nodes` as a lazy branch over the released frame, re-running the
+    // source projection per downstream action)
     val nodes = raw.select(col("a").as("id"))
       .unionByName(raw.select(col("b").as("id"))).distinct()
+      .localCheckpoint(true)
+    try {
     var e = raw.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("src"),
         least(col("a"), col("b")).as("dst"))
@@ -1015,10 +1074,11 @@ object Dedup {
     val starLabels = e.select(col("src").as("id"), col("dst").as("label"))
       .unionByName(e.select(col("dst").as("id"), col("dst").as("label")))
       .distinct()
-    val out = nodes.join(starLabels, Seq("id"), "left")
+    // both branches are checkpoint-backed (e per-round, nodes above),
+    // so releasing raw in the finally cannot force a recompute
+    nodes.join(starLabels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
-    raw.unpersist()
-    out
+    } finally raw.unpersist()
   }
 
   /** Apply near-dup cluster decisions to the corpus — the last mile of

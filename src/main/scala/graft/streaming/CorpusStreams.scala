@@ -72,22 +72,54 @@ object CorpusStreams {
     // string (no kernel suffix) stays the md5-lex-min form so staged
     // indexes from before the round-12 fast-kernel default flip keep
     // validating — and a mixed probe fails fast on the param check.
+    //
+    // repr=xxh64 (r13) versions the STAGED SHINGLE REPRESENTATION:
+    // new indexes stage sorted xxhash64 longs instead of raw shingle
+    // strings — the staged table is the pipeline's persistent
+    // footprint, and the hashed form is the same ~3-4× smaller that
+    // the r12 hashed-VERIFY fix made the exchanges (and a probe pays
+    // no per-batch corpus-side re-hash of strings it already hashed
+    // at admission). Both representations verify correctly in-session
+    // (every verify site schema-dispatches — Dedup.verifySh), so a
+    // LEGACY string-format index keeps working AND keeps appending
+    // strings (each dir stays internally one representation). The
+    // stamp exists for the dangerous direction: an OLDER library
+    // probing a hashed-format index would re-apply xxhash64 to the
+    // staged longs and silently verify garbage — its exact-match
+    // params check refuses this stamp first.
     val paramsPath = new org.apache.hadoop.fs.Path(s"$indexDir/_index_params")
-    val expectedParams = s"n=$n,k=$k,bands=$bands" +
+    val baseParams = s"n=$n,k=$k,bands=$bands" +
       (if (fastKernel) ",kernel=fast" else "")
-    if (hasIndex && fs.exists(paramsPath)) {
+    val newParams = baseParams + ",repr=xxh64"
+    val hashedRepr: Boolean = if (hasIndex && fs.exists(paramsPath)) {
       val in = fs.open(paramsPath)
       val actual = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-      require(actual == expectedParams,
+      require(actual == newParams || actual == baseParams,
         s"staged index at $indexDir was built with ($actual) but this " +
-          s"batch probes with ($expectedParams) — band keys from " +
+          s"batch probes with ($newParams) — band keys from " +
           "different parameters never collide, so every near-dup would " +
           "be silently admitted")
+      actual == newParams
+    } else if (hasIndex) {
+      // params file lost (pre-params-era dir or manual surgery): the
+      // staged shingle SCHEMA is self-describing — recover the repr
+      // from it rather than stamping a guess
+      val isHashed = spark.read.parquet(shPath).schema("sh").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => true
+        case _ => false
+      }
+      val out = fs.create(paramsPath, true)
+      try out.write(((if (isHashed) newParams else baseParams) + "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      isHashed
     } else {
       val out = fs.create(paramsPath, true)
-      try out.write((expectedParams + "\n").getBytes("UTF-8"))
+      try out.write((newParams + "\n").getBytes("UTF-8"))
       finally out.close()
+      true
     }
     // the batch is sketched exactly ONCE: this index feeds the
     // within-batch pairing, the vs-corpus probe, AND the staging append
@@ -115,9 +147,15 @@ object CorpusStreams {
     // the index files this step is about to grow
     val out = admitted.localCheckpoint(true)
     // stage the admitted rows' sketches by FILTERING the batch index —
-    // no re-shingle, no re-hash
+    // no re-shingle, no re-hash of what the verify already computed.
+    // New-format dirs stage the hashed (sorted xxhash64 long) form;
+    // legacy dirs keep appending strings so one parquet dir never
+    // mixes element types.
     val admIds = out.select(col(idCol).as("id"))
-    batchIdx.shingles.join(admIds, Seq("id"), "left_semi")
+    val stagedSh = batchIdx.shingles.join(admIds, Seq("id"), "left_semi")
+    (if (hashedRepr)
+       stagedSh.select(col("id"), Dedup.hashShingles(col("sh")).as("sh"))
+     else stagedSh)
       .write.mode("append").parquet(shPath)
     batchIdx.buckets.join(admIds, Seq("id"), "left_semi")
       .write.mode("append").parquet(bkPath)

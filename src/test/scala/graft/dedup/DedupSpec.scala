@@ -455,6 +455,72 @@ class DedupSpec extends SparkTestBase {
     assert(bcast.nonEmpty, "fixture should produce cross near-dups")
   }
 
+  test("broadcast probe auto-falls-back to the incremental shape above maxIndexDocs") {
+    // the r12 1000×-tier probe measured the broadcast shape superlinear
+    // past ~10⁵ index docs; the guard's contract (r13) is to PICK the
+    // big-vs-big plan there, not require-fail — and the two shapes must
+    // return identical (id_a, id_b, jaccard) rows, so the switch is
+    // invisible to results. maxIndexDocs=1 forces the fallback on the
+    // tiny fixture; maxIndexDocs=0 forces the broadcast path.
+    val bench = docs.filter($"doc_id" % 2 === 0)
+    val probe = docs.filter($"doc_id" % 2 === 1)
+    val benchIdx = Dedup.minhashIndexView(bench, "doc_id", "text")
+    val bcast = Dedup.minhashPairsBroadcastIndex(benchIdx, probe,
+        "doc_id", "text", threshold = 0.1, maxIndexDocs = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    val fellBack = Dedup.minhashPairsBroadcastIndex(benchIdx, probe,
+        "doc_id", "text", threshold = 0.1, maxIndexDocs = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fellBack === bcast)
+    assert(fellBack.nonEmpty, "fixture should produce cross near-dups")
+    // and the fallback plan really is the incremental shape: no
+    // broadcast of the index's shingle table
+    val plan = Dedup.minhashPairsBroadcastIndex(benchIdx, probe,
+        "doc_id", "text", threshold = 0.1, maxIndexDocs = 1L)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ResolvedHint"),
+      "above the cap no explicit broadcast hint may survive")
+  }
+
+  test("hashed staged shingle tables verify identically to raw-string tables") {
+    // the staged index is the pipeline's persistent footprint; r13
+    // stages sorted xxhash64 longs (repr=xxh64) instead of raw shingle
+    // strings. Every verify site dispatches on the shingle column's
+    // schema, so a probe against either representation must emit
+    // bit-identical (id_a, id_b, jaccard) rows.
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 === 1)
+    val built = Dedup.minhashIndexView(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_repr").toString
+    built.shingles.write.parquet(s"$dir/sh_str")
+    built.shingles.select($"id",
+        Dedup.hashShingles($"sh").as("sh"))
+      .write.parquet(s"$dir/sh_xxh")
+    built.buckets.write.parquet(s"$dir/bk")
+    def probeWith(shPath: String): Set[(Long, Long, Double)] =
+      Dedup.incrementalMinhashPairsFromIndex(
+        Dedup.MinhashIndex(spark.read.parquet(shPath),
+          spark.read.parquet(s"$dir/bk")),
+        Dedup.minhashIndexView(delta, "doc_id", "text"), 0.1)
+        .as[(Long, Long, Double)].collect().toSet
+    val viaStr = probeWith(s"$dir/sh_str")
+    val viaXxh = probeWith(s"$dir/sh_xxh")
+    assert(spark.read.parquet(s"$dir/sh_xxh").schema("sh").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ===
+      org.apache.spark.sql.types.LongType)
+    assert(viaXxh === viaStr)
+    assert(viaXxh.nonEmpty, "fixture should produce cross near-dups")
+    // the fused admission pass dispatches the same way: drops computed
+    // against the hashed staged index equal drops against the raw one
+    val batchIdx = Dedup.minhashIndexView(delta, "doc_id", "text")
+    def dropsWith(shPath: String): Set[Long] =
+      Dedup.admissionDrops(batchIdx,
+        Some(Dedup.MinhashIndex(spark.read.parquet(shPath),
+          spark.read.parquet(s"$dir/bk"))), 0.1)
+        .as[Long].collect().toSet
+    assert(dropsWith(s"$dir/sh_xxh") === dropsWith(s"$dir/sh_str"))
+  }
+
   test("fast kernel: incremental ≡ batch on delta-vs-corpus, kernels never mix") {
     // the fastKernel flag must thread consistently through the staged
     // index path: a fast-kernel corpus index probed by a fast-kernel

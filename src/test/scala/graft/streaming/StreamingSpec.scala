@@ -283,6 +283,73 @@ class StreamingSpec extends SparkTestBase {
     assert(ie.getMessage.contains("inconsistent"))
   }
 
+  test("staged index repr: bootstrap stamps repr=xxh64; legacy string dirs keep working") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("admit_repr").toString
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "completely different words about spark engines here today"))
+    val b2 = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog tonite"),
+      (21L, "rows stream into the admission gate for dedup checks"),
+      (22L, "rows stream into the admission gate for dedup check"),
+      (23L, "nothing resembles this sentence in the whole corpus"))
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readParams(dir: String): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/_index_params"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+
+    // NEW dir: bootstrap stamps repr=xxh64 and stages sorted longs —
+    // the persistent-footprint form (~3-4× smaller than raw strings)
+    val newIdx = s"$tmp/new_idx"
+    CorpusStreams.admitBatch(b1.toDF("doc_id", "text"), newIdx,
+      "doc_id", "text")
+    assert(readParams(newIdx) === "n=2,k=16,bands=8,kernel=fast,repr=xxh64")
+    assert(spark.read.parquet(s"$newIdx/shingles").schema("sh").dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    assert(spark.read.parquet(s"$newIdx/shingles").schema("sh").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ===
+      org.apache.spark.sql.types.LongType)
+    val newT2 = CorpusStreams.admitBatch(b2.toDF("doc_id", "text"), newIdx,
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(newT2 === Set(21L, 23L))
+
+    // LEGACY dir (pre-r13: raw string shingles, params without repr):
+    // must admit the identical set, and its appends must STAY strings
+    // so one parquet dir never mixes element types
+    val legIdx = s"$tmp/leg_idx"
+    val legBuilt = Dedup.minhashIndexView(b1.toDF("doc_id", "text"),
+      "doc_id", "text")
+    legBuilt.shingles.write.parquet(s"$legIdx/shingles")
+    legBuilt.buckets.write.parquet(s"$legIdx/buckets")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$legIdx/_index_params"), true)
+    try out.write("n=2,k=16,bands=8,kernel=fast\n".getBytes("UTF-8"))
+    finally out.close()
+    val legT2 = CorpusStreams.admitBatch(b2.toDF("doc_id", "text"), legIdx,
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(legT2 === newT2,
+      "representation must be invisible to admission decisions")
+    assert(readParams(legIdx) === "n=2,k=16,bands=8,kernel=fast",
+      "a legacy dir must not be silently re-stamped")
+    assert(spark.read.parquet(s"$legIdx/shingles").schema("sh").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ===
+      org.apache.spark.sql.types.StringType,
+      "legacy dirs keep appending the string representation")
+
+    // params lost on a hashed dir: the schema is self-describing, so
+    // the repr is recovered (and re-stamped), never guessed wrong
+    fs.delete(new org.apache.hadoop.fs.Path(s"$newIdx/_index_params"), false)
+    val replay = CorpusStreams.admitBatch(b2.toDF("doc_id", "text"), newIdx,
+      "doc_id", "text")
+    assert(replay.count() === 0L, "re-delivery safety must survive recovery")
+    assert(readParams(newIdx) === "n=2,k=16,bands=8,kernel=fast,repr=xxh64")
+  }
+
   test("streaming as-of enrichment matches the batch as-of join") {
     val ev = graft.queries.Tables.eventsRaw(spark, sf)
     val dim = ev.filter(col("event_type") === "click")
