@@ -108,45 +108,44 @@ object Bench {
     // their timed sections (measured: q_keepfirst 3.4s cold vs 1.5s)
     (names.headOption.toSeq ++ Seq("q_keepfirst", "q_select_rename"))
       .filter(SparkEntry.queries.contains).distinct.foreach(run)
-    val firstPass = names.map(n => n -> run(n))
-    // Host/GC contention lands multi-second pauses on whichever query
-    // is unlucky (measured: the same broadcast join 1.2s vs 9.2s in
-    // back-to-back full runs, identical plan; a full run under
-    // external host load came in 25% over its quiet-machine total).
-    // Re-measure the outliers once and keep the min — noise is
-    // strictly additive, so min-of-2 estimates the code's cost, not
-    // the neighbor's. Bounded by an explicit retry-time BUDGET spent
-    // most-suspect-first (first-pass time is the upper bound a retry
-    // can cost), so widening the net can never blow the run's
-    // wall-clock envelope.
-    val sorted = firstPass.map(_._2).sorted
-    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
-    val cutoff = math.max(0.8, 1.5 * median)
-    val retryBudget = 75.0
-    // greedy, not prefix: one pathological first-pass outlier beyond
-    // the whole budget must not block the cheap suspects behind it —
-    // skip what doesn't fit and keep filling with what does
-    val suspects = firstPass.filter(_._2 > cutoff).sortBy(-_._2)
-      .foldLeft((Set.empty[String], retryBudget)) {
-        case ((acc, rem), (n, t)) =>
-          if (t <= rem) (acc + n, rem - t) else (acc, rem)
-      }._1
-    // per-query min-of-2 SPREAD (|t1 - t2|) for every query that ran
-    // twice: the mechanical host-noise signal. A big spread on an
-    // unchanged query is contention; a tight spread at a higher level
-    // than last round is a real regression. (r9's +30% across
-    // untouched queries had to be inferred from uniformity — this
-    // field lets the next reader separate the two cases directly.)
-    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = firstPass.map { case (n, t) =>
-      if (suspects.contains(n)) {
-        val t2 = run(n)
-        if (t2 < t) System.err.println(
-          f"[bench] $n%-22s retry $t2%.2f s < first $t%.2f s (contention)")
-        spreads(n) = math.abs(t - t2)
-        n -> math.min(t, t2)
-      } else n -> t
+    // TWO full passes, per-query MIN (r13). The r11/r12 adjudications
+    // proved single-run totals carry ±5-10% additive noise (host/GC
+    // contention lands multi-second pauses on whichever query is
+    // unlucky; a full run under external load came in 25% over its
+    // quiet-machine total), and the only number that compared across
+    // rounds was the per-query min over two runs (r12: 147.74 s ≈
+    // r10's 147.56 s while the single-run totals read 176 vs 162).
+    // The calibration probe cannot flag this — a single busy thread on
+    // a 32-cpu host only slows at SATURATION, while a 32-way Spark
+    // stage contends as soon as background load occupies any core —
+    // so instead of gating on a blind probe, the bench measures every
+    // query twice and reports min_sum as THE cross-round-comparable
+    // total ("value" in the JSON). Noise is strictly additive, so the
+    // min estimates the code's cost, not the neighbor's; the
+    // first-pass sum is retained as pass1_sum for continuity with
+    // rounds <= 12. SPARK_GRAFT_PASSES=1 restores the single-pass
+    // shape for quick local iteration.
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    val passes = (1 to nPasses).map { p =>
+      System.err.println(s"[bench] ---- pass $p/$nPasses ----")
+      names.map { n => val t = run(n); (n, t, jobCounts(n)) }
     }
+    val pass1 = passes.head
+    // per-query SPREAD (|t1 - t2|): the mechanical host-noise signal.
+    // A big spread on an unchanged query is contention; a tight spread
+    // at a higher level than last round is a real regression.
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val results = pass1.indices.map { i =>
+      val runs = passes.map(_(i))
+      val n = runs.head._1
+      val best = runs.minBy(_._2)
+      if (runs.size > 1)
+        spreads(n) = runs.map(_._2).max - runs.map(_._2).min
+      jobCounts(n) = best._3
+      n -> best._2
+    }
+    val pass1Sum = pass1.map(_._2).sum
+    val pass2Sum = if (passes.size > 1) passes(1).map(_._2).sum else 0.0
     // ---- sf1 subset: a 10×-documents tier for the heaviest dedup/
     // text queries — measures the SCALING EXPONENT (log10 t10/t1), not
     // just absolute sf0.1 time. Each copy's tokens are prefixed c0..c9
@@ -240,7 +239,13 @@ object Bench {
     // per-query stderr lines above.
     def r2(v: Double): String = f"$v%.2f"
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + r2(kv._2)
+    // "value" IS min_sum (sum of per-query mins across the passes) —
+    // the cross-round-comparable total; pass sums ride along so the
+    // additive-noise magnitude of this run is itself recorded
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val passesPart = s""","min_sum":${r2(total)},"n_passes":$nPasses""" +
+      s""","pass1_sum":${r2(pass1Sum)}""" +
+      (if (nPasses > 1) s""","pass2_sum":${r2(pass2Sum)}""" else "")
     val bySlowest = results.sortBy(-_._2)
     val sf1Part =
       if (sf1.isEmpty) ""
@@ -272,9 +277,11 @@ object Bench {
       s""","calib_end_ms":${r2(calibEnd)}""" +
       s""","loaded_host":$loadedHost""" +
       s""","heap_max_gb":${r2(Runtime.getRuntime.maxMemory / 1e9)}}"""
+    // "spread" (was retry_spread through r12, when only outliers ran
+    // twice): |max - min| across the passes, now for EVERY query
     val spreadPart =
       if (spreads.isEmpty) ""
-      else s""","retry_spread":${spreads.map { case (n, sp) =>
+      else s""","spread":${spreads.map { case (n, sp) =>
         "\"" + n + "\":" + r2(sp)
       }.mkString("{", ",", "}")}"""
     val failedPart =
@@ -287,7 +294,7 @@ object Bench {
         else s""","rest_sec":${r2(rest.map(_._2).sum)},"n_rest":${rest.size}"""
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${
         results.size},"queries":${
-        kept.map(entry).mkString("{", ",", "}")}$restPart$failedPart$sf1Part$envPart,"value":${r2(total)}}"""
+        kept.map(entry).mkString("{", ",", "}")}$restPart$failedPart$sf1Part$envPart$passesPart,"value":${r2(total)}}"""
     }
     val kept = (bySlowest.size to 0 by -1).view
       .map(bySlowest.take).find(k => line(k).length <= 1400)
@@ -298,7 +305,7 @@ object Bench {
       "\"" + n + "\":" + mainJobCounts.getOrElse(n, 0)
     }.mkString("{", ",", "}")}"""
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${
-      bySlowest.map(entry).mkString("{", ",", "}")}$jobsPart$failedPart$sf1Part$envPart$spreadPart,"value":${r2(total)}}"""
+      bySlowest.map(entry).mkString("{", ",", "}")}$jobsPart$failedPart$sf1Part$envPart$spreadPart$passesPart,"value":${r2(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_full_last.json")
       try w.println(full) finally w.close()
