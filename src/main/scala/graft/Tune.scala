@@ -40,6 +40,27 @@ object Tune {
       .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
   }
 
+  /** The 1000×-documents tier (5M docs): 10 super-copies of the 100×
+    * tier, d0..d9 token tags keep shingle spaces disjoint across
+    * super-copies (duplicate density — hence the true answer — stays
+    * linear), doc_id stride 1e9. Shared by the sf100 table and the
+    * ss1000 adjudication probe.
+    */
+  private def ensureTier1000(spark: SparkSession): Unit = {
+    val t1000 = "/tmp/graft_sf100"
+    if (new java.io.File(s"$t1000/documents.parquet/_SUCCESS").exists) return
+    println(s"[tune] building $t1000 (10 super-copies of /tmp/graft_sf10)")
+    val d = spark.read.parquet("/tmp/graft_sf10/documents.parquet")
+    (0 until 10).map { k =>
+      d.withColumn("doc_id", col("doc_id") + lit(k * 1000000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
+            t => concat(lit(s"d$k"), t))))
+    }.reduce(_.unionByName(_))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$t1000/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,6 +72,13 @@ object Tune {
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val spill = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-run decomposition counters (r13): shuffle bytes crossing the
+    // exchanges and task-summed GC time — the two candidate mechanisms
+    // whenever a wall-clock alpha exceeds the candidate-volume alpha
+    // (disk-bandwidth-bound exchanges vs heap pressure)
+    val shWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -61,7 +89,10 @@ object Tune {
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val m = sc.stageInfo.taskMetrics
           if (m != null) {
-            spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled); ()
+            spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+            shWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            gcMs.addAndGet(m.jvmGCTime); ()
           }
         }
       })
@@ -91,15 +122,19 @@ object Tune {
         System.gc()
         val j0 = jobs.get()
         val s0 = spill.get()
+        val (w0, r0, g0) = (shWrite.get(), shRead.get(), gcMs.get())
         val t0 = System.nanoTime()
         val n = f.count()
         val t = (System.nanoTime() - t0) / 1e9
         // listener delivery is async — settle before reading
-        (t, ListenerSettle.settled(jobs) - j0, n, spill.get() - s0)
+        (t, ListenerSettle.settled(jobs) - j0, n, spill.get() - s0,
+          shWrite.get() - w0, shRead.get() - r0, gcMs.get() - g0)
       }
       val best = ts.minBy(_._1)
       println(f"[tune] $name%-28s ${best._1}%7.2f s  ${best._2}%3d jobs  " +
-        f"${best._3}%9d rows  spill ${best._4 / 1048576}%5d MB")
+        f"${best._3}%9d rows  spill ${best._4 / 1048576}%5d MB  " +
+        f"shW ${best._5 / 1048576}%6d MB  shR ${best._6 / 1048576}%6d MB  " +
+        f"gc ${best._7 / 1000.0}%6.1f s")
       best._1
     }
 
@@ -192,21 +227,9 @@ object Tune {
         "Tune sf100 builds an aggregate scaling table; drop the filter arg")
       import graft.text.Decontaminate
       ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
-      val t1000 = "/tmp/graft_sf100"
-      if (!new java.io.File(s"$t1000/documents.parquet/_SUCCESS").exists) {
-        println(s"[tune] building $t1000 (10 super-copies of /tmp/graft_sf10)")
-        val d = spark.read.parquet("/tmp/graft_sf10/documents.parquet")
-        (0 until 10).map { k =>
-          d.withColumn("doc_id", col("doc_id") + lit(k * 1000000000L))
-            .withColumn("text", concat_ws(" ",
-              transform(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
-                t => concat(lit(s"d$k"), t))))
-        }.reduce(_.unionByName(_))
-          .repartition(64)
-          .write.mode("overwrite").parquet(s"$t1000/documents.parquet")
-      }
+      ensureTier1000(spark)
       val d100 = spark.read.parquet("/tmp/graft_sf10/documents.parquet")
-      val d1000 = spark.read.parquet(s"$t1000/documents.parquet")
+      val d1000 = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
       // production defaults everywhere (fast kernel); scope note: the
       // legacy-kernel arms and ngram_prefix are EXCLUDED by cost (the
       // ngram 100× steady state is ~33 s → ~several min/run at 1000×;
@@ -281,6 +304,89 @@ object Tune {
       spark.stop(); return
     }
 
+    // ---- staged-index REPRESENTATION A/B at the 10× tier (r13): the
+    // staged shingle table in raw strings (the pre-r13 format) vs
+    // sorted xxhash64 longs (repr=xxh64) — parquet footprint of each,
+    // staging-write cost, and the incremental-probe cost against each,
+    // interleaved in one JVM with pair equality asserted. The staged
+    // table IS the persistent footprint of a 100 TB dedup pipeline, so
+    // bytes-at-rest is the headline; probe time moves because the
+    // corpus side no longer re-hashes strings at verify.
+    if (args.drop(1).headOption.contains("repr")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf1", 10)
+      val d = spark.read.parquet("/tmp/graft_sf1/documents.parquet")
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      val delta = d.filter(col("doc_id") % 2 === 1)
+      val base = "/tmp/graft_repr"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def staged(name: String)(write: String => Unit): Unit = {
+        val t0 = System.nanoTime()
+        write(s"$base/$name")
+        val t = (System.nanoTime() - t0) / 1e9
+        val bytes = fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$base/$name")).getLength
+        println(f"[tune] stage $name%-8s ${t}%6.2f s  ${bytes / 1048576.0}%8.1f MB")
+      }
+      for (rep <- 1 to 2) {
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val built = Dedup.minhashIndexView(corpus, "doc_id", "text")
+        staged("bk")(p => built.buckets.write.parquet(p))
+        staged("sh_str")(p => built.shingles.write.parquet(p))
+        staged("sh_xxh")(p => built.shingles
+          .select(col("id"), Dedup.hashShingles(col("sh")).as("sh"))
+          .write.parquet(p))
+        def probe(shPath: String): DataFrame =
+          Dedup.incrementalMinhashPairsFromIndex(
+            Dedup.MinhashIndex(spark.read.parquet(shPath),
+              spark.read.parquet(s"$base/bk")),
+            Dedup.minhashIndexView(delta, "doc_id", "text"), 0.1)
+        time(f"probe STR staged r$rep") { probe(s"$base/sh_str") }
+        time(f"probe XXH staged r$rep") { probe(s"$base/sh_xxh") }
+        if (rep == 1) {
+          val a = probe(s"$base/sh_str").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+          val b = probe(s"$base/sh_xxh").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+          require(a == b, s"repr probe results differ: ${(a -- b).take(3)}")
+          println(s"[tune] repr equivalence OK (${a.size} pairs)")
+        }
+      }
+      spark.stop(); return
+    }
+
+    // ---- substr_dedup decade-3 adjudication (r13): the sf100 table
+    // measured alpha 1.08 (8.57 s @100x/p=32 -> 103.96 s @1000x/p=128)
+    // for duplicateSpans, the only non-fuzzy arm above 1.02. The two
+    // tiers ran at DIFFERENT partition counts, so before naming an
+    // algorithmic term this interleaves partition-matched cells (plus
+    // a p=256 cell — maybe 128 partitions is simply too few for 10x
+    // the span rows) with per-cell spill printed; prefix-disjoint
+    // copies mean per-digest doc counts are tier-invariant, so the
+    // combine efficiency of the digest aggregate cannot be the term.
+    if (args.drop(1).headOption.contains("ss1000")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      ensureTier1000(spark)
+      val d100 = spark.read.parquet("/tmp/graft_sf10/documents.parquet")
+      val d1000 = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
+      for (rep <- 1 to 2) {
+        for (p <- Seq(32, 128)) {
+          spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+          time(f"substr @100x p=$p%-3d r$rep") {
+            Dedup.duplicateSpans(d100, "doc_id", "text", 8)
+          }
+        }
+        for (p <- Seq(128, 256)) {
+          spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+          time(f"substr @1000x p=$p%-3d r$rep") {
+            Dedup.duplicateSpans(d1000, "doc_id", "text", 8)
+          }
+        }
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.stop(); return
+    }
+
     // ---- 1000×-tier retry for the two disk-heaviest arms: the full
     // sf100 pass lost minhash_fast and incremental_fast to a probe-host
     // disk wall (their verify joins exchange the corpus shingle arrays;
@@ -288,22 +394,34 @@ object Tune {
     // JVMs' blockmgr dirs were still on disk). One rep each, 1000×
     // only, p=128, nothing else competing for /tmp.
     if (args.drop(1).headOption.contains("mh1000")) {
+      val d100 = spark.read.parquet("/tmp/graft_sf10/documents.parquet")
       val d1000 = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
-      spark.conf.set("spark.sql.shuffle.partitions", "128")
       def cell(name: String)(f: => DataFrame): Unit =
         try { time(name)(f); () } catch {
           case e: Exception =>
             println(s"[tune] $name FAILED: ${e.getMessage.take(200)}")
         }
-      cell("minhash_fast @1000x solo") {
-        Dedup.minhashPairs(d1000, "doc_id", "text", 2, 16, 8, 0.1)
+      def arms(d: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+        ("minhash_fast", () =>
+          Dedup.minhashPairs(d, "doc_id", "text", 2, 16, 8, 0.1)),
+        ("incremental_fast", () =>
+          Dedup.incrementalMinhashPairs(
+            Dedup.minhashIndexView(d.filter(col("doc_id") % 2 === 0),
+              "doc_id", "text"),
+            d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            threshold = 0.1)))
+      // both tiers in one solo JVM so the shuffle/GC decomposition of
+      // the third-decade wall reads off the SAME session (the r13
+      // sf100 table measured candidate volume linear but wall-clock
+      // alpha 1.4-1.6 on these two — the per-cell shW/shR/gc columns
+      // name which mechanism eats the extra decade)
+      for ((name, mk100) <- arms(d100)) {
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        cell(s"$name @100x solo")(mk100())
       }
-      cell("incremental_fast @1000x solo") {
-        Dedup.incrementalMinhashPairs(
-          Dedup.minhashIndexView(d1000.filter(col("doc_id") % 2 === 0),
-            "doc_id", "text"),
-          d1000.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-          threshold = 0.1)
+      for ((name, mk1000) <- arms(d1000)) {
+        spark.conf.set("spark.sql.shuffle.partitions", "128")
+        cell(s"$name @1000x solo")(mk1000())
       }
       spark.stop(); return
     }
