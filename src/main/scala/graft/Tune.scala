@@ -79,6 +79,10 @@ object Tune {
     val shWrite = new java.util.concurrent.atomic.AtomicLong(0L)
     val shRead = new java.util.concurrent.atomic.AtomicLong(0L)
     val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-stage attribution buffer (mhdiag prints it): which exchange
+    // owns the bytes, by stage id/name/tasks
+    val stageLog = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long, Int)]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -92,7 +96,14 @@ object Tune {
             spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
             shWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             shRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-            gcMs.addAndGet(m.jvmGCTime); ()
+            gcMs.addAndGet(m.jvmGCTime)
+            stageLog.synchronized {
+              stageLog += ((sc.stageInfo.stageId,
+                sc.stageInfo.name.linesIterator.next().take(72),
+                m.shuffleWriteMetrics.bytesWritten,
+                m.shuffleReadMetrics.totalBytesRead,
+                sc.stageInfo.numTasks)); ()
+            }
           }
         }
       })
@@ -382,6 +393,90 @@ object Tune {
             Dedup.duplicateSpans(d1000, "doc_id", "text", 8)
           }
         }
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.stop(); return
+    }
+
+    // ---- verify-exchange bytes probe (r13): the mh1000 decomposition
+    // measured minhash_fast's shuffle bytes growing 15.9× for 10× docs
+    // (2.78 → 44.3 GB) with LINEAR candidates — the prime suspect is
+    // the shingle table's exchange being REUSED across the two verify
+    // joins at the small tier but duplicated at the big one (AQE
+    // exchange reuse is best-effort). This interleaves reuse on/off at
+    // the 100× tier: if bytes with reuse OFF ≈ the big tier's
+    // per-decade bytes, the mechanism is named.
+    if (args.drop(1).headOption.contains("mhbytes")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      val d100 = spark.read.parquet("/tmp/graft_sf10/documents.parquet")
+      for (rep <- 1 to 2; reuse <- Seq(true, false)) {
+        spark.conf.set("spark.sql.exchange.reuse", reuse.toString)
+        time(f"minhash_fast 100x reuse=$reuse%-5s r$rep") {
+          Dedup.minhashPairs(d100, "doc_id", "text", 2, 16, 8, 0.1)
+        }
+      }
+      spark.conf.set("spark.sql.exchange.reuse", "true")
+      // broadcast-flip arm: past some tier the verify joins' small side
+      // outgrows the broadcast threshold and the corpus shingle table
+      // starts paying sort-merge exchanges — force that plan at 100×
+      // and read the bytes delta off the same session
+      for (rep <- 1 to 2) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        time(f"minhash_fast 100x nobcast r$rep") {
+          Dedup.minhashPairs(d100, "doc_id", "text", 2, 16, 8, 0.1)
+        }
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        time(f"minhash_fast 100x bcast   r$rep") {
+          Dedup.minhashPairs(d100, "doc_id", "text", 2, 16, 8, 0.1)
+        }
+      }
+      spark.stop(); return
+    }
+
+    // ---- minhash stage-by-stage rows/bytes diagnosis (r13): the
+    // reuse and broadcast-flip hypotheses both measured FLAT, so the
+    // 15.9× bytes growth lives in some stage's own rows/bytes — run
+    // the pipeline's prefixes (bucket self-join pre-distinct, distinct
+    // candidates, full verify) at both tiers and read rows + shuffle
+    // bytes per prefix off one session.
+    if (args.drop(1).headOption.contains("mhdiag")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      ensureTier1000(spark)
+      val tiers = Seq(
+        ("100x", 32, "/tmp/graft_sf10/documents.parquet"),
+        ("1000x", 128, "/tmp/graft_sf100/documents.parquet"))
+      for ((tname, p, path) <- tiers) {
+        val d = spark.read.parquet(path)
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        def idx = Dedup.minhashIndexView(d, "doc_id", "text")
+        def preDistinct = {
+          val b = idx.buckets
+          b.select(col("band"), col("bucket"), col("id").as("id_a"))
+            .join(b.select(col("band"), col("bucket"), col("id").as("id_b")),
+              Seq("band", "bucket"))
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b")
+        }
+        def dumpStages(tag: String): Unit = stageLog.synchronized {
+          println(s"[tune] -- stages >100MB for $tag --")
+          stageLog.filter(s => s._3 > 100000000L || s._4 > 100000000L)
+            .foreach { case (id, nm, w, r, nt) =>
+              println(f"[tune]   stage $id%4d $nm%-72s  " +
+                f"shW ${w / 1048576}%6d MB  shR ${r / 1048576}%6d MB  $nt%4d tasks")
+            }
+          stageLog.clear()
+        }
+        stageLog.synchronized(stageLog.clear())
+        time(s"a: pre-distinct $tname") { preDistinct }
+        dumpStages(s"a $tname")
+        time(s"b: distinct     $tname") { preDistinct.distinct() }
+        dumpStages(s"b $tname")
+        time(s"c: full         $tname") {
+          Dedup.minhashPairs(d, "doc_id", "text", 2, 16, 8, 0.1)
+        }
+        dumpStages(s"c $tname")
       }
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
       spark.stop(); return
