@@ -636,9 +636,13 @@ object Dedup {
     // the one shuffle: only colliding (id_a, id_b, sh_a) rows; first()
     // is a pick, not a computation — sh_a is constant per id_a
     val cand = hits.groupBy("id_a", "id_b").agg(first("sh_a").as("sh_a"))
+    // verifySh, not hashedSh: the index side is caller-supplied and may
+    // be a round-13 hashed-format staged table (array<long>) — blind
+    // re-hashing would silently verify garbage (the corpus side above
+    // is built in-function from raw text, so hashedSh is right there)
     cand
       .join(broadcast(smallIndex.shingles.select(col("id").as("id_b"),
-        hashedSh(col("sh")).as("sh_b"))), Seq("id_b"))
+        verifySh(smallIndex.shingles).as("sh_b"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -519,6 +519,18 @@ class DedupSpec extends SparkTestBase {
           spark.read.parquet(s"$dir/bk"))), 0.1)
         .as[Long].collect().toSet
     assert(dropsWith(s"$dir/sh_xxh") === dropsWith(s"$dir/sh_str"))
+    // the BROADCAST probe path (maxIndexDocs=0 disables the fallback,
+    // so this exercises the broadcast verify itself, not the
+    // incremental shape the fallback would pick): its index side is
+    // caller-supplied and must schema-dispatch too — a blind re-hash
+    // of staged longs would verify garbage while still returning rows
+    def bcastWith(shPath: String): Set[(Long, Long, Double)] =
+      Dedup.minhashPairsBroadcastIndex(
+        Dedup.MinhashIndex(spark.read.parquet(shPath),
+          spark.read.parquet(s"$dir/bk")),
+        delta, "doc_id", "text", threshold = 0.1, maxIndexDocs = 0L)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(bcastWith(s"$dir/sh_xxh") === bcastWith(s"$dir/sh_str"))
   }
 
   test("fast kernel: incremental ≡ batch on delta-vs-corpus, kernels never mix") {
