@@ -482,6 +482,41 @@ object Tune {
       spark.stop(); return
     }
 
+    // ---- per-pair-bytes adjudication at the 1000× tier (r13): mhdiag
+    // attributed the superlinear shuffle to ONE stage — the verify
+    // join-1 output carrying sh_a per candidate pair — with candidates
+    // LINEAR (10.64M → 106.2M) but bytes/pair up 1.76× (194 → 343 B).
+    // The tiers ran at different partition counts (32 vs 128), and the
+    // carried arrays compress by adjacency (SMJ emits join-1 output
+    // ordered by id_a, so consecutive rows repeat sh_a; more reducer
+    // buckets scatter those repeats apart before LZ4 sees them). Arm 1
+    // re-runs the 1000× cell at p=32: bytes back near ~20 GB confirms
+    // the compression-adjacency mechanism (a partitioning artifact a
+    // cluster tunes, not an algorithmic term); flat bytes means the
+    // term is data and needs a different hunt. Arm 2 keeps p=128 but
+    // hints SHUFFLE_HASH on the shingle sides of both verify joins:
+    // same bytes, no 36 GB sort — the wall-clock share of SMJ sorting
+    // (and its GC) reads off the delta.
+    if (args.drop(1).headOption.contains("mhp")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      ensureTier1000(spark)
+      val d1000 = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
+      for (p <- Seq(32, 128)) {
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        time(f"minhash_fast 1000x p=$p%-3d") {
+          Dedup.minhashPairs(d1000, "doc_id", "text", 2, 16, 8, 0.1)
+        }
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      time("minhash_fast 1000x p=128 shj") {
+        Dedup.minhashPairs(d1000, "doc_id", "text", 2, 16, 8, 0.1)
+      }
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.stop(); return
+    }
+
     // ---- 1000×-tier retry for the two disk-heaviest arms: the full
     // sf100 pass lost minhash_fast and incremental_fast to a probe-host
     // disk wall (their verify joins exchange the corpus shingle arrays;
