@@ -75,11 +75,16 @@ object CorpusStreams {
     //
     // repr=xxh64 (r13) versions the STAGED SHINGLE REPRESENTATION:
     // new indexes stage sorted xxhash64 longs instead of raw shingle
-    // strings — the staged table is the pipeline's persistent
-    // footprint, and the hashed form is the same ~3-4× smaller that
-    // the r12 hashed-VERIFY fix made the exchanges (and a probe pays
-    // no per-batch corpus-side re-hash of strings it already hashed
-    // at admission). Both representations verify correctly in-session
+    // strings. What this buys, measured (Tune repr, 10× tier): probe
+    // EXCHANGES ship the staged longs as-is (the ~3-4× bytes win the
+    // r12 hashed-verify fix measured lives in shuffle format, which
+    // is row-oriented LZ4), and a probe pays no per-batch corpus-side
+    // re-hash of strings it already hashed at admission. What it does
+    // NOT buy: at-rest parquet bytes — dictionary encoding compresses
+    // repeated shingle STRINGS better than incompressible hashes
+    // (measured 4.0 MB str vs 4.5 MB xxh64 at the 10× tier), so the
+    // staged footprint is ≈equal, not smaller; the win is probe-side.
+    // Both representations verify correctly in-session
     // (every verify site schema-dispatches — Dedup.verifySh), so a
     // LEGACY string-format index keeps working AND keeps appending
     // strings (each dir stays internally one representation). The
