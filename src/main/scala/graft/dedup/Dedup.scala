@@ -434,14 +434,18 @@ object Dedup {
     * a fix to the pipeline cannot silently apply to one and not the
     * other.
     *
-    * The shingle sides of the verify joins carry a SHUFFLE_HASH hint
-    * (see [[shuffleHashSh]]): sort-merge would SORT the candidate
-    * stream — Θ(candidates × |sh|) bytes, the pipeline's dominant
-    * exchange (mhdiag: 36.4 of 44.3 GB at the 1000× tier) — to join
-    * it against a build side that is unique-keyed (one row per doc)
-    * and uniform by construction. Measured at the 1000× tier, same
-    * partitioning, same bytes: 212.7 s hashed vs 403.2 s sort-merge
-    * (1.9×), task-summed GC 85.9 → 22.3 s (SCALE.md r13).
+    * Join strategy for the verify joins: sort-merge, and NOT by
+    * default-accident — a SHUFFLE_HASH hint on the unique-keyed
+    * shingle build side was tried and measured WORSE (reverted, r13,
+    * SCALE.md): the SMJ's sort of join-1's output is what makes the
+    * pipeline's dominant exchange (the Θ(candidates × |sh|) sh_a
+    * carry — mhdiag: 36.4 of 44.3 GB at the 1000× tier) compressible.
+    * Sorted by id_a, each doc's ~10 candidate rows repeat the same
+    * sh_a array back-to-back and LZ4 collapses the repeats (~194
+    * B/pair); hash-join output arrives in probe order, the adjacency
+    * is gone, and the same stage measured 478 B/pair (2,069 →
+    * 5,087 MB at the 100× tier). The sort is the carry exchange's
+    * compression engine, not overhead.
     */
   private def scoredCandidates(index: MinhashIndex): DataFrame = {
     val candidates = index.buckets
@@ -452,29 +456,13 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
     candidates
-      .join(shuffleHashSh(index.shingles, "id_a", "sh_a"), Seq("id_a"))
-      .join(shuffleHashSh(index.shingles, "id_b", "sh_b"), Seq("id_b"))
+      .join(index.shingles.select(col("id").as("id_a"),
+        verifySh(index.shingles).as("sh_a")), Seq("id_a"))
+      .join(index.shingles.select(col("id").as("id_b"),
+        verifySh(index.shingles).as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
-
-  /** A shingle table prepared as the BUILD side of a verify join:
-    * (idAlias, shAlias) in the canonical hashed representation, with a
-    * SHUFFLE_HASH strategy hint. The hint is safe by the table's own
-    * contract — ids are unique (one row per doc) so per-key size is
-    * bounded, rows are uniform so per-task build memory is
-    * corpus_sh/p, the same partition-sizing contract as every other
-    * shuffle here — and it removes the sort-merge sort of the verify
-    * stream, whose carried arrays dominate the pipeline's bytes
-    * (1.9× wall at the 1000× tier, SCALE.md r13). At bench scale AQE
-    * would sometimes pick broadcast instead; the hint pins the
-    * strategy that survives a corpus too big to broadcast, which is
-    * the design point.
-    */
-  private def shuffleHashSh(shingles: DataFrame, idAlias: String,
-      shAlias: String): DataFrame =
-    shingles.select(col("id").as(idAlias), verifySh(shingles).as(shAlias))
-      .hint("shuffle_hash")
 
   def minhashPairsFromIndex(index: MinhashIndex,
       threshold: Double): DataFrame =
@@ -494,8 +482,10 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
     candidates
-      .join(shuffleHashSh(delta.shingles, "id_a", "sh_a"), Seq("id_a"))
-      .join(shuffleHashSh(corpus.shingles, "id_b", "sh_b"), Seq("id_b"))
+      .join(delta.shingles.select(col("id").as("id_a"),
+        verifySh(delta.shingles).as("sh_a")), Seq("id_a"))
+      .join(corpus.shingles.select(col("id").as("id_b"),
+        verifySh(corpus.shingles).as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -532,11 +522,11 @@ object Dedup {
     }
     val batchSh = batchIdx.shingles
       .select(col("id").as("id_b"), verifySh(batchIdx.shingles).as("sh_b"))
-    val otherSh = (staged match {
+    val otherSh = staged match {
       case None => batchSh
       case Some(s) => batchSh.unionByName(s.shingles
         .select(col("id").as("id_b"), verifySh(s.shingles).as("sh_b")))
-    }).hint("shuffle_hash")
+    }
     // the staged flag rides the bucket join so the lower-id rule only
     // binds batch-vs-batch candidates; candidate pairs dedupe BEFORE
     // the shingle verify (each (id_a, id_b) can collide in up to
@@ -548,7 +538,8 @@ object Dedup {
       .filter(col("__staged") || col("id_b") < col("id_a"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(shuffleHashSh(batchIdx.shingles, "id_a", "sh_a"), Seq("id_a"))
+      .join(batchIdx.shingles.select(col("id").as("id_a"),
+        verifySh(batchIdx.shingles).as("sh_a")), Seq("id_a"))
       .join(otherSh, Seq("id_b"))
       .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
       .select(col("id_a").as("id")).distinct()
