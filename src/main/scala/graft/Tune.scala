@@ -196,7 +196,9 @@ object Tune {
             d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
             threshold = 0.1, fastKernel = false)),
         ("substr_dedup", () =>
-          Dedup.duplicateSpans(d, "doc_id", "text", 8)))
+          Dedup.duplicateSpans(d, "doc_id", "text", 8)),
+        ("para_dedup", () =>
+          Dedup.paragraphDedup(d, "doc_id", "text", 20)))
       val p10 = pipes(d10); val p100 = pipes(d100)
       // TWO full passes, min per cell: a single sequential pass bakes
       // session ordering into the numbers (the first heavy run eats
@@ -251,6 +253,8 @@ object Tune {
       // mostly-complete table
       def pipes(d: DataFrame): Seq[(String, () => DataFrame)] = Seq(
         ("simhash64", () => Dedup.simhashPairs64(d, "doc_id", "text", 3)),
+        ("para_dedup", () =>
+          Dedup.paragraphDedup(d, "doc_id", "text", 20)),
         ("cluster_star", () =>
           Dedup.clusters(Dedup.simhashPairs64(d, "doc_id", "text", 3),
             driverEdgeLimit = 0)),

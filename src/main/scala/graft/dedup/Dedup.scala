@@ -201,6 +201,71 @@ object Dedup {
           .as("clean_md5"))
   }
 
+  /** CCNet-style corpus-wide paragraph dedup with reassembly (Wenzek
+    * et al. 2020): split each doc into `k`-token paragraphs (the
+    * fixture corpus is single-line, so fixed token blocks stand in for
+    * newline paragraphs; a real crawl passes its newline-split blocks
+    * through the same digest pipeline), keep only the FIRST occurrence
+    * of each distinct paragraph corpus-wide — ordered by (doc id,
+    * paragraph position) — and reassemble every doc from its surviving
+    * paragraphs in original order. Output per doc: `n_paras`,
+    * `n_kept`, and `kept_md5` (md5 of the space-joined surviving
+    * paragraphs — when nothing is dropped it equals the md5 of the
+    * whitespace-normalized text, and the multi-KB reassembled texts
+    * never cross to the oracle comparison, same convention as
+    * [[removeDuplicateSpans]]).
+    *
+    * Scale shape: the winner per digest is a map-combinable
+    * `min(struct(id, pos))` AGGREGATE, not a `row_number` window. At
+    * 100 TB the hot key is boilerplate — one navigation paragraph
+    * repeated 10⁹ times — and a window must sort every copy of the hot
+    * digest in one task, while the agg collapses them to one row per
+    * map partition before the shuffle; the join-back that flags
+    * survivors is then AQE-skew-splittable because the winner side is
+    * exactly one row per digest. Two text-carrying shuffles total (the
+    * digest join and the reassembly groupBy) — the floor for
+    * reassembly semantics. Complements [[duplicateSpans]] /
+    * [[removeDuplicateSpans]] (rolling-window span dedup): paragraphs
+    * are aligned disjoint blocks, the unit real pipelines (CCNet,
+    * RefinedWeb) dedup before any fuzzy pass.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"paragraph size k=$k must be >= 1")
+    val toks = col("__toks")
+    val base = df.select(col(idCol),
+      split(trim(col(textCol)), "[ \\t\\n\\r\\f]+").as("__toks"))
+    // ceil(n/k) paragraphs; the trailing short block keeps the tail.
+    // split("") = [""] on both engines, so an all-whitespace doc still
+    // yields one (empty) paragraph and every input id survives.
+    val nb = ceil(size(toks).cast("double") / lit(k.toDouble)).cast("int")
+    // 16-byte binary digest keys the winner agg and the join-back,
+    // same convention (and reason) as spanStream's __dig
+    val ex = base.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nb - 1),
+          i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
+          .as(Seq("__pos", "__para")))
+      .withColumn("__dig", unhex(md5(col("__para"))))
+    val wins = ex.groupBy("__dig")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
+      .select(col("__dig"), col("__w").getField(idCol).as("__wid"),
+        col("__w").getField("__pos").as("__wpos"))
+    val kept = ex.join(wins, Seq("__dig"))
+      .where(col(idCol) === col("__wid") && col("__pos") === col("__wpos"))
+    // array_sort on struct(pos, para) orders by pos (unique per doc);
+    // collect_list + sort is the standard deterministic reassembly
+    val assembled = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          s => s.getField("__para")))).as("kept_md5"))
+    base.select(col(idCol), nb.cast("long").as("n_paras"))
+      .join(assembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
   /** Distinct word n-shingles of the text, sorted (set semantics).
     * Native single-pass expression; semantics identical to the
     * composable split→slice→concat_ws→distinct→sort chain the oracle

@@ -974,6 +974,42 @@ object ExtQueries {
         w = 8)
         .orderBy("doc_id")),
 
+    // ---- dedup: CCNet-style corpus-wide paragraph keep-first with
+    // reassembly (Wenzek et al. 2020) — 20-token aligned blocks stand
+    // in for newline paragraphs on the single-line fixture; winner per
+    // digest is a map-combinable min(struct) agg, not a window sort
+    // (boilerplate paragraphs are THE hot key at crawl scale) ----
+    QueryDef("q_paragraph_dedup",
+      Some("""WITH t AS (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS toks
+                FROM documents),
+              b AS (SELECT doc_id, toks,
+                  CAST(ceil(len(toks) / 20.0) AS BIGINT) AS n_paras
+                FROM t),
+              ex AS (SELECT doc_id,
+                  CAST(unnest(range(0, n_paras)) AS BIGINT) AS pos, toks
+                FROM b),
+              p AS (SELECT doc_id, pos,
+                  array_to_string(
+                    toks[CAST(pos*20+1 AS INT):CAST(pos*20+20 AS INT)],
+                    ' ') AS para
+                FROM ex),
+              w AS (SELECT doc_id, pos, para,
+                  row_number() OVER (PARTITION BY md5(para)
+                    ORDER BY doc_id, pos) AS rn
+                FROM p),
+              a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  md5(string_agg(para, ' ' ORDER BY pos)) AS kept_md5
+                FROM w WHERE rn = 1 GROUP BY doc_id)
+              SELECT b.doc_id, b.n_paras,
+                COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+                COALESCE(a.kept_md5, md5('')) AS kept_md5
+              FROM b LEFT JOIN a ON b.doc_id = a.doc_id
+              ORDER BY b.doc_id"""),
+      (s, d) => Dedup.paragraphDedup(documents(s, d), "doc_id", "text",
+        k = 20)
+        .orderBy("doc_id")),
+
     // ---- dedup: embedding-cosine near-dup within label block ----
     QueryDef("q_embed_dupes",
       Some(s"""WITH e AS (SELECT label AS blk, vec_id AS id, embedding AS v

@@ -397,6 +397,56 @@ class DedupSpec extends SparkTestBase {
       "fixture should keep some owner docs intact")
   }
 
+  test("paragraphDedup: corpus-wide keep-first with reassembly") {
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      // doc 1 owns all five of its 2-token paragraphs
+      (1L, 5L, 5L, md5hex("the quick brown fox jumps over the lazy dog")),
+      // verbatim copy of 1: every paragraph already seen → empty doc
+      (2L, 5L, 0L, md5hex("")),
+      // near dup: only the block carrying the changed word survives
+      (3L, 5L, 1L, md5hex("leaps over")),
+      (4L, 4L, 4L,
+        md5hex("completely different words about spark engines here")),
+      // "spark engines" was doc 4's third paragraph — dropped here;
+      // the survivors reassemble in original order
+      (5L, 3L, 2L, md5hex("process completely different words"))))
+  }
+
+  test("paragraphDedup ≡ driver reference on a random dup-rich corpus") {
+    // tiny vocabulary + short docs = plenty of accidental block
+    // sharing, including WITHIN-doc repeats; an independent
+    // plain-Scala keep-first implementation is the oracle
+    val k = 2
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c")
+    val corpus: Seq[(Long, String)] = (1L to 150L).map { i =>
+      val len = 1 + rnd.nextInt(8)
+      (i, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val expected = {
+      val seen = scala.collection.mutable.Set.empty[String]
+      corpus.sortBy(_._1).map { case (id, t) =>
+        val tr = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        val toks = if (tr.isEmpty) Vector("")
+                   else tr.split("[ \t\n\r\f]+", -1).toVector
+        val paras = toks.grouped(k).map(_.mkString(" ")).toVector
+        val kept = paras.filter(p => seen.add(p))
+        (id, paras.length.toLong, kept.length.toLong,
+          md5hex(kept.mkString(" ")))
+      }
+    }
+    val got = Dedup.paragraphDedup(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === expected)
+    assert(expected.exists(_._3 == 0L),
+      "fixture should fully dedup at least one doc")
+    assert(expected.exists(r => r._3 > 0L && r._3 < r._2),
+      "fixture should partially dedup at least one doc")
+  }
+
   test("incrementalMinhashPairs ≡ batch minhashPairs on delta-vs-corpus") {
     // corpus = even ids, delta = odd ids (the daily-snapshot split);
     // the incremental probe must find exactly the cross pairs the full
