@@ -149,6 +149,45 @@ object Tune {
       best._1
     }
 
+    // ---- paragraph-dedup tier cells (r13): three decades for the
+    // CCNet paragraph keep-first pipeline in one run. count() on the
+    // operator's bare output lets Catalyst eliminate the unique-key
+    // LEFT join and prune the whole dedup subtree (the first sf10
+    // para cells read 0.1 s / 0 shuffle MB that way) — the timed plan
+    // filters on kept_md5 so every stage must execute. Partitions
+    // scale with the tier for the same reason as sf100's loop.
+    // Usage: runMain graft.Tune /root/testdata/sf0.1 para
+    if (args.drop(1).headOption.contains("para")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf1", 10)
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      ensureTier1000(spark)
+      val tiers = Seq(("para @10x", "/tmp/graft_sf1", "32"),
+        ("para @100x", "/tmp/graft_sf10", "32"),
+        ("para @1000x", "/tmp/graft_sf100", "128"))
+      val best = Array.fill(tiers.size)(Double.MaxValue)
+      for (rep <- 1 to 2; i <- tiers.indices) {
+        val (name, dir, p) = tiers(i)
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val t = time(f"$name%s r$rep")(
+          Dedup.paragraphDedup(d, "doc_id", "text", 20)
+            .where(col("kept_md5") =!= lit("")))
+        if (!t.isNaN) best(i) = math.min(best(i), t)
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      println("[tune] ---- para_dedup scaling (alpha = log10 t-ratio; 1.0 = linear) ----")
+      for (i <- 1 until tiers.size) {
+        val (a, b) = (best(i - 1), best(i))
+        if (a != Double.MaxValue && b != Double.MaxValue && a > 0) {
+          val alpha = math.log(b / a) / math.log(10.0)
+          val flag = if (alpha > 1.02) "  ** SUPERLINEAR **" else ""
+          println(f"[tune] ${tiers(i - 1)._1}%s -> ${tiers(i)._1}%s: " +
+            f"${a}%7.2f s -> ${b}%8.2f s   alpha $alpha%5.2f$flag")
+        }
+      }
+      spark.stop(); return
+    }
+
     // ---- 100×-documents probe tier: turns the sf1 (10×) alpha
     // EXTRAPOLATION into a 10×→100× MEASUREMENT for the heavy sketch
     // pipelines, and catches candidate-set blowups the 10× tier is too
@@ -197,8 +236,12 @@ object Tune {
             threshold = 0.1, fastKernel = false)),
         ("substr_dedup", () =>
           Dedup.duplicateSpans(d, "doc_id", "text", 8)),
+        // the kept_md5 filter defeats unique-key LEFT-JOIN elimination:
+        // count() on the bare operator let Catalyst prune the ENTIRE
+        // dedup subtree (first para cells read 0.1 s / 0 shuffle MB)
         ("para_dedup", () =>
-          Dedup.paragraphDedup(d, "doc_id", "text", 20)))
+          Dedup.paragraphDedup(d, "doc_id", "text", 20)
+            .where(col("kept_md5") =!= lit(""))))
       val p10 = pipes(d10); val p100 = pipes(d100)
       // TWO full passes, min per cell: a single sequential pass bakes
       // session ordering into the numbers (the first heavy run eats
@@ -253,8 +296,10 @@ object Tune {
       // mostly-complete table
       def pipes(d: DataFrame): Seq[(String, () => DataFrame)] = Seq(
         ("simhash64", () => Dedup.simhashPairs64(d, "doc_id", "text", 3)),
+        // kept_md5 filter: see the sf10 para_dedup arm
         ("para_dedup", () =>
-          Dedup.paragraphDedup(d, "doc_id", "text", 20)),
+          Dedup.paragraphDedup(d, "doc_id", "text", 20)
+            .where(col("kept_md5") =!= lit(""))),
         ("cluster_star", () =>
           Dedup.clusters(Dedup.simhashPairs64(d, "doc_id", "text", 3),
             driverEdgeLimit = 0)),
