@@ -40,6 +40,29 @@ object Tune {
       .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
   }
 
+  /** ×`copies` embeddings tier: vec_id stride 10M; each copy's FIRST
+    * component is nudged by 1e-3·copy so super-copies never tie in a
+    * top-k window (timing must not hinge on tie-break order), while
+    * sims/cell geometry stay realistic (the nudge is ~1e-3 of a
+    * unit-scale component).
+    */
+  private def ensureEmbTier(spark: SparkSession, srcDir: String,
+      dstDir: String, copies: Int): Unit = {
+    if (new java.io.File(s"$dstDir/embeddings.parquet/_SUCCESS").exists) return
+    require(srcDir.contains("sf0.1"),
+      s"tier builder expects the sf0.1 fixture as source, got $srcDir")
+    println(s"[tune] building $dstDir ($copies copies of $srcDir embeddings)")
+    val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    (0 until copies).map { c =>
+      e.withColumn("vec_id", col("vec_id") + lit(c * 10000000L))
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => when(i === 0, (x + lit((c * 1e-3).toFloat)).cast("float"))
+            .otherwise(x)))
+    }.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+  }
+
   /** The 1000×-documents tier (5M docs): 10 super-copies of the 100×
     * tier, d0..d9 token tags keep shingle spaces disjoint across
     * super-copies (duplicate density — hence the true answer — stays
@@ -182,6 +205,48 @@ object Tune {
           val alpha = math.log(b / a) / math.log(10.0)
           val flag = if (alpha > 1.02) "  ** SUPERLINEAR **" else ""
           println(f"[tune] ${tiers(i - 1)._1}%s -> ${tiers(i)._1}%s: " +
+            f"${a}%7.2f s -> ${b}%8.2f s   alpha $alpha%5.2f$flag")
+        }
+      }
+      spark.stop(); return
+    }
+
+    // ---- ANN probe tiers (r13): fixed 100-query probe set against a
+    // growing corpus (1×/10×/100× embeddings = ~5k/50k/500k vecs).
+    // Expectation: BOTH search paths are Θ(N) at a fixed pivot count —
+    // the cells pin the constants (brute = Q×N sims behind the
+    // broadcast nested loop; IVF = N×P assignment + Q×N×nprobe/P probe
+    // arithmetic) and that neither spills nor goes superlinear. The
+    // rank<=k filter forces the windowed sims, so count() cannot prune
+    // the search (unlike the para_dedup left-join lesson above).
+    // Usage: runMain graft.Tune /root/testdata/sf0.1 annt
+    if (args.drop(1).headOption.contains("annt")) {
+      import graft.similarity.Ann
+      ensureEmbTier(spark, sfDir, "/tmp/graft_emb10", 10)
+      ensureEmbTier(spark, sfDir, "/tmp/graft_emb100", 100)
+      val q0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .orderBy("vec_id").limit(100).select("vec_id", "embedding")
+        .localCheckpoint(true)
+      val tiers = Seq(("@1x", s"$sfDir"), ("@10x", "/tmp/graft_emb10"),
+        ("@100x", "/tmp/graft_emb100"))
+      val arms: Seq[(String, DataFrame => DataFrame)] = Seq(
+        ("ann_brute", c => Ann.bruteForceTopK(q0, c, 10, excludeSelf = false)),
+        ("ann_ivf", c =>
+          Ann.ivfTopK(q0, c, 10, nPivots = 16, excludeSelf = false)))
+      val best = Array.fill(arms.size, tiers.size)(Double.MaxValue)
+      for (rep <- 1 to 2; ti <- tiers.indices; ai <- arms.indices) {
+        val (tname, dir) = tiers(ti); val (aname, mk) = arms(ai)
+        val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+        val t = time(f"$aname%s $tname%s r$rep")(mk(corpus))
+        if (!t.isNaN) best(ai)(ti) = math.min(best(ai)(ti), t)
+      }
+      println("[tune] ---- ANN corpus scaling (alpha = log10 t-ratio; 1.0 = linear) ----")
+      for (ai <- arms.indices; ti <- 1 until tiers.size) {
+        val (a, b) = (best(ai)(ti - 1), best(ai)(ti))
+        if (a != Double.MaxValue && b != Double.MaxValue && a > 0) {
+          val alpha = math.log(b / a) / math.log(10.0)
+          val flag = if (alpha > 1.02) "  ** SUPERLINEAR **" else ""
+          println(f"[tune] ${arms(ai)._1}%s ${tiers(ti - 1)._1}%s -> ${tiers(ti)._1}%s: " +
             f"${a}%7.2f s -> ${b}%8.2f s   alpha $alpha%5.2f$flag")
         }
       }
