@@ -125,7 +125,15 @@ object Bench {
     // first-pass sum is retained as pass1_sum for continuity with
     // rounds <= 12. SPARK_GRAFT_PASSES=1 restores the single-pass
     // shape for quick local iteration.
-    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map { s =>
+      val v = try s.toInt catch {
+        case _: NumberFormatException =>
+          sys.error(s"SPARK_GRAFT_PASSES must be a positive int, got '$s'")
+      }
+      require(v >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $v " +
+        "(use 1 for the quick single-pass shape)")
+      v
+    }.getOrElse(2)
     val passes = (1 to nPasses).map { p =>
       System.err.println(s"[bench] ---- pass $p/$nPasses ----")
       names.map { n => val t = run(n); (n, t, jobCounts(n)) }

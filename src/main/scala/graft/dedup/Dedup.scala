@@ -359,19 +359,37 @@ object Dedup {
     */
   def hashShingles(c: Column): Column = hashedSh(c)
 
-  /** Representation dispatch for a shingle frame (id, sh): already-
-    * hashed staged tables (array<long>, sorted at write) pass through;
-    * raw string sets hash here. Keyed on the SCHEMA so a staged index
-    * in either representation verifies correctly with no caller flag —
-    * a mixed-REPRESENTATION probe cannot produce wrong Jaccards the
-    * way a mixed-kernel probe silently could, because both sides of
-    * every verify go through this dispatch and meet as xxhash64 longs.
+  /** True iff `dt` is the hashed shingle representation (array<long>).
+    * THE single repr-dispatch predicate — [[verifySh]] and the staging
+    * writers' `_index_params` stamping (CorpusStreams) both key on it,
+    * so the two sites cannot drift if the representation ever evolves.
     */
-  private def verifySh(df: DataFrame): Column = df.schema("sh").dataType match {
+  private[graft] def isHashedShingles(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.LongType, _) => col("sh")
-    case _ => hashedSh(col("sh"))
+      org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
   }
+
+  /** Representation dispatch for a shingle frame (id, sh): already-
+    * hashed staged tables (array<long>, sorted at write) pass through
+    * a defensive sort_array; raw string sets hash here. Keyed on the
+    * SCHEMA so a staged index in either representation verifies
+    * correctly with no caller flag — a mixed-REPRESENTATION probe
+    * cannot produce wrong Jaccards the way a mixed-kernel probe
+    * silently could, because both sides of every verify go through
+    * this dispatch and meet as SORTED xxhash64 longs. The sort is
+    * idempotent (hence free of semantic effect) on the staged form,
+    * which [[hashShingles]] sorts at write; it exists because the
+    * merge-walk intersect treats sortedness as a correctness invariant
+    * and a caller-supplied UNSORTED long array would otherwise
+    * silently undercount intersections (dropped near-dup pairs, no
+    * error) — an O(|sh| log |sh|) per-row insurance against a wrong-
+    * answer class, negligible next to the verify exchange it feeds.
+    */
+  private def verifySh(df: DataFrame): Column =
+    if (isHashedShingles(df.schema("sh").dataType)) sort_array(col("sh"))
+    else hashedSh(col("sh"))
 
   /** MinHash+LSH near-duplicate pairs over `df(idCol, textCol)`:
     * candidates from shared LSH buckets, verified with exact Jaccard on
@@ -695,7 +713,13 @@ object Dedup {
         // corpus instead (the corpus sketches itself as the delta).
         // Same output contract; the corpus-sized shingle exchange the
         // broadcast shape avoids is exactly the trade that WINS once
-        // the per-task broadcast build dominates.
+        // the per-task broadcast build dominates. ANNOUNCED, because a
+        // silent plan switch poisons cross-tier timing comparisons (a
+        // Tune alpha row mixing the broadcast plan at one tier with
+        // this shape at the next is not one pipeline's exponent).
+        println(s"[dedup] minhashPairsBroadcastIndex: index has $nDocs " +
+          s"docs > maxIndexDocs=$maxIndexDocs — auto-falling back to the " +
+          "big-vs-big incremental probe plan")
         return incrementalMinhashPairsFromIndex(smallIndex,
           minhashIndexView(corpus, idCol, textCol, n, k, bands, fastKernel),
           threshold)

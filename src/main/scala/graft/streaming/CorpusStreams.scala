@@ -110,11 +110,8 @@ object CorpusStreams {
       // params file lost (pre-params-era dir or manual surgery): the
       // staged shingle SCHEMA is self-describing — recover the repr
       // from it rather than stamping a guess
-      val isHashed = spark.read.parquet(shPath).schema("sh").dataType match {
-        case org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType, _) => true
-        case _ => false
-      }
+      val isHashed =
+        Dedup.isHashedShingles(spark.read.parquet(shPath).schema("sh").dataType)
       val out = fs.create(paramsPath, true)
       try out.write(((if (isHashed) newParams else baseParams) + "\n")
         .getBytes("UTF-8"))
@@ -152,10 +149,18 @@ object CorpusStreams {
     // the index files this step is about to grow
     val out = admitted.localCheckpoint(true)
     // stage the admitted rows' sketches by FILTERING the batch index —
-    // no re-shingle, no re-hash of what the verify already computed.
-    // New-format dirs stage the hashed (sorted xxhash64 long) form;
-    // legacy dirs keep appending strings so one parquet dir never
-    // mixes element types.
+    // no re-SHINGLE (the k-md5 sketch pass, the dominant CPU, runs
+    // once in batchIdx). New-format dirs stage the hashed (sorted
+    // xxhash64 long) form; legacy dirs keep appending strings so one
+    // parquet dir never mixes element types. Honest cost note: the
+    // hashShingles below IS one extra xxhash64+sort pass over the
+    // admitted docs' string arrays — the verify's hashed projection
+    // lives inside admissionDrops' own plan and is not shared here.
+    // It is ~1% of the sketch pass (one xxhash64 per shingle vs k=16
+    // md5/affine ops) and buys every FUTURE probe's corpus side
+    // reading longs at rest; fusing the two plans to share the
+    // projection would couple the verify's shape to the sink's for a
+    // term that small.
     val admIds = out.select(col(idCol).as("id"))
     val stagedSh = batchIdx.shingles.join(admIds, Seq("id"), "left_semi")
     (if (hashedRepr)
