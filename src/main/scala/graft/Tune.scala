@@ -211,6 +211,49 @@ object Tune {
       spark.stop(); return
     }
 
+    // ---- paragraph-dedup SKEW A/B (r13): the probe that DECIDED the
+    // production winner formulation. The initial design assumed a
+    // row_number window sorts every hot-digest copy in one task and
+    // shipped the map-combinable min(struct)+join-back instead; this
+    // A/B measured the window FASTER on both corpora and the plan
+    // audit showed why — WindowGroupLimit (Spark 3.5+) collapses the
+    // rn==1 winner map-side, so the window is skew-safe too and saves
+    // the join-back's text exchange. Production is now the window;
+    // the agg+join twin stays as the portable pre-3.5 shape. Corpora
+    // at the 100× tier (500k docs): NATURAL and SKEWED (a constant
+    // 20-token boilerplate paragraph prepended to every 3rd doc → one
+    // digest with ~167k copies). Interleaved arms, outputs pinned
+    // equal in DedupSpec.
+    // Usage: runMain graft.Tune /root/testdata/sf0.1 paraskew
+    if (args.drop(1).headOption.contains("paraskew")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      val d = spark.read.parquet("/tmp/graft_sf10/documents.parquet")
+      val boiler = (1 to 20).map(i => s"boilertok$i").mkString(" ")
+      val skewed = d.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat_ws(" ", lit(boiler), col("text"))).otherwise(col("text")))
+        .localCheckpoint(true)
+      val corpora = Seq(("natural", d), ("skewed", skewed))
+      val arms: Seq[(String, DataFrame => DataFrame)] = Seq(
+        ("agg+join", dd =>
+          Dedup.paragraphDedupAggJoin(dd, "doc_id", "text", 20)
+            .where(col("kept_md5") =!= lit(""))),
+        ("window", dd => Dedup.paragraphDedup(dd, "doc_id", "text", 20)
+          .where(col("kept_md5") =!= lit(""))))
+      // plan-shape audit: WindowGroupLimit firing is the premise of
+      // the production choice — if an engine version ever stops
+      // rewriting rn==1, this line flags that the portable agg+join
+      // twin should take over
+      println("[tune] window plan: " +
+        (if (arms(1)._2(d).queryExecution.executedPlan.toString
+             .contains("WindowGroupLimit")) "WindowGroupLimit FIRES"
+         else "no WindowGroupLimit (full sort per dig partition) — " +
+           "prefer paragraphDedupAggJoin on this engine"))
+      for (rep <- 1 to 2; (cname, dd) <- corpora; (aname, mk) <- arms)
+        time(f"para $aname%-8s $cname%-7s r$rep")(mk(dd))
+      spark.stop(); return
+    }
+
     // ---- ANN probe tiers (r13): fixed 100-query probe set against a
     // growing corpus (1×/10×/100× embeddings = ~5k/50k/500k vecs).
     // Expectation: BOTH search paths are Θ(N) at a fixed pivot count —

@@ -215,19 +215,27 @@ object Dedup {
     * never cross to the oracle comparison, same convention as
     * [[removeDuplicateSpans]]).
     *
-    * Scale shape: the winner per digest is a map-combinable
-    * `min(struct(id, pos))` AGGREGATE, not a `row_number` window. At
-    * 100 TB the hot key is boilerplate — one navigation paragraph
-    * repeated 10⁹ times — and a window must sort every copy of the hot
-    * digest in one task, while the agg collapses them to one row per
-    * map partition before the shuffle; the join-back that flags
-    * survivors is then AQE-skew-splittable because the winner side is
-    * exactly one row per digest. Two text-carrying shuffles total (the
-    * digest join and the reassembly groupBy) — the floor for
-    * reassembly semantics. Complements [[duplicateSpans]] /
-    * [[removeDuplicateSpans]] (rolling-window span dedup): paragraphs
-    * are aligned disjoint blocks, the unit real pipelines (CCNet,
-    * RefinedWeb) dedup before any fuzzy pass.
+    * Scale shape — MEASURED, not assumed (Tune paraskew, r13): the
+    * winner per digest is a `row_number() == 1` window over
+    * (id, pos), because on Spark 3.5+ the rank-limit rewrite
+    * (WindowGroupLimit, plan-audited to fire here) collapses hot
+    * digests MAP-SIDE — at most one candidate row per digest per map
+    * partition reaches the exchange, so the crawl-scale hot key (one
+    * boilerplate paragraph repeated 10⁹ times) is bounded by the map
+    * partition count, never sorted in one task. The window also keeps
+    * the paragraph text ON the winner row, which deletes the
+    * join-back a min(struct)-aggregate formulation needs: at the 100×
+    * tier the window plan moves 271 vs 341 MB of text and runs 5 vs 7
+    * jobs, faster on both the natural and the hot-key corpus. The
+    * aggregate formulation survives as [[paragraphDedupAggJoin]] —
+    * the portable skew-safe shape for engines WITHOUT the
+    * WindowGroupLimit rewrite, where a bare window really does sort
+    * every hot-key copy in one task (output equality is spec-pinned).
+    * Two text-carrying shuffles total (digest window, reassembly
+    * groupBy) — the floor for reassembly semantics. Complements
+    * [[duplicateSpans]] / [[removeDuplicateSpans]] (rolling-window
+    * span dedup): paragraphs are aligned disjoint blocks, the unit
+    * real pipelines (CCNet, RefinedWeb) dedup before any fuzzy pass.
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
@@ -239,21 +247,67 @@ object Dedup {
     // split("") = [""] on both engines, so an all-whitespace doc still
     // yields one (empty) paragraph and every input id survives.
     val nb = ceil(size(toks).cast("double") / lit(k.toDouble)).cast("int")
-    // 16-byte binary digest keys the winner agg and the join-back,
-    // same convention (and reason) as spanStream's __dig
+    // 16-byte binary digest keys the winner window, same convention
+    // (and reason) as spanStream's __dig
     val ex = base.select(col(idCol),
         posexplode(transform(sequence(lit(0), nb - 1),
           i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
           .as(Seq("__pos", "__para")))
       .withColumn("__dig", unhex(md5(col("__para"))))
+    // row_number + rn==1 is the shape WindowGroupLimit rewrites into a
+    // map-side partial top-1 per digest (see scaladoc); rank() would
+    // qualify too but row_number states the intent exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__dig").orderBy(col(idCol), col("__pos"))
+    val kept = ex.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    // array_sort on struct(pos, para) orders by pos (unique per doc);
+    // collect_list + sort is the standard deterministic reassembly
+    val assembled = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          s => s.getField("__para")))).as("kept_md5"))
+    base.select(col(idCol), nb.cast("long").as("n_paras"))
+      .join(assembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
+  /** Harness twin of [[paragraphDedup]] with the min(struct) AGGREGATE
+    * + join-back winner formulation — the portable skew-safe shape for
+    * engines WITHOUT the WindowGroupLimit rank-limit rewrite, where a
+    * bare window really does sort every hot-key copy in one task. On
+    * Spark 3.5+ it is strictly the worse plan (the join-back adds a
+    * text exchange and two jobs; Tune paraskew measured it slower on
+    * both the natural and the hot-key corpus), so the production
+    * operator uses the window; this stays for the A/B and as the
+    * documented fallback shape, the same convention as
+    * `clustersLabelProp`. Output is identical by construction
+    * (min(struct(id, pos)) ≡ row_number 1 ordered by (id, pos);
+    * pinned in DedupSpec).
+    */
+  private[graft] def paragraphDedupAggJoin(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"paragraph size k=$k must be >= 1")
+    val toks = col("__toks")
+    val base = df.select(col(idCol),
+      split(trim(col(textCol)), "[ \\t\\n\\r\\f]+").as("__toks"))
+    val nb = ceil(size(toks).cast("double") / lit(k.toDouble)).cast("int")
+    val ex = base.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nb - 1),
+          i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
+          .as(Seq("__pos", "__para")))
+      .withColumn("__dig", unhex(md5(col("__para"))))
+    // map-combinable winner agg; the join-back that flags survivors is
+    // AQE-skew-splittable because the winner side is one row per digest
     val wins = ex.groupBy("__dig")
       .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
       .select(col("__dig"), col("__w").getField(idCol).as("__wid"),
         col("__w").getField("__pos").as("__wpos"))
     val kept = ex.join(wins, Seq("__dig"))
       .where(col(idCol) === col("__wid") && col("__pos") === col("__wpos"))
-    // array_sort on struct(pos, para) orders by pos (unique per doc);
-    // collect_list + sort is the standard deterministic reassembly
     val assembled = kept.groupBy(idCol).agg(
       count(lit(1)).as("n_kept"),
       md5(concat_ws(" ",

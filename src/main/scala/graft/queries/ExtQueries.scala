@@ -977,8 +977,9 @@ object ExtQueries {
     // ---- dedup: CCNet-style corpus-wide paragraph keep-first with
     // reassembly (Wenzek et al. 2020) — 20-token aligned blocks stand
     // in for newline paragraphs on the single-line fixture; winner per
-    // digest is a map-combinable min(struct) agg, not a window sort
-    // (boilerplate paragraphs are THE hot key at crawl scale) ----
+    // digest is a rn==1 window that WindowGroupLimit collapses
+    // map-side (measured skew-safe AND cheaper than the agg+join
+    // formulation, Tune paraskew — see Dedup.paragraphDedup) ----
     QueryDef("q_paragraph_dedup",
       Some("""WITH t AS (SELECT doc_id,
                   string_split_regex(trim(text), '\s+') AS toks

@@ -447,6 +447,24 @@ class DedupSpec extends SparkTestBase {
       "fixture should partially dedup at least one doc")
   }
 
+  test("paragraphDedup ≡ agg+join harness twin (incl. hot key)") {
+    // the Tune paraskew A/B is only meaningful if the two plans
+    // compute the same function; a shared boilerplate paragraph makes
+    // the winner rule actually contested across docs
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = (1L to 80L).map { i =>
+      val len = 1 + rnd.nextInt(7)
+      val body = (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, if (i % 3 == 0) s"x y $body" else body)
+    }.toDF("doc_id", "text")
+    val a = Dedup.paragraphDedup(corpus, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.paragraphDedupAggJoin(corpus, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("incrementalMinhashPairs ≡ batch minhashPairs on delta-vs-corpus") {
     // corpus = even ids, delta = odd ids (the daily-snapshot split);
     // the incremental probe must find exactly the cross pairs the full
