@@ -254,6 +254,38 @@ object Tune {
       spark.stop(); return
     }
 
+    // ---- fuzzy-decontamination crossover sweep (r13): the broadcast
+    // guard's 100k-doc default sits between a measured-good 50k and a
+    // measured-superlinear 500k — this sweep measures BOTH plans at
+    // index sizes bracketing the cap, so the cap itself becomes a
+    // measurement instead of an interpolation. Fixed ~1M-doc corpus
+    // slice of the 1000× tier; index slices are id-disjoint
+    // deterministic subsamples of a second slice. Broadcast arm forces
+    // its plan with maxIndexDocs=0; incremental arm calls the fallback
+    // shape directly. Usage: runMain graft.Tune /root/testdata/sf0.1 fuzzyxo
+    if (args.drop(1).headOption.contains("fuzzyxo")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      ensureTier1000(spark)
+      val d = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val corpus = d.filter(col("doc_id") % 5 === 0)
+      val idxPool = d.filter(col("doc_id") % 5 === 1)
+      val sizes = Seq(50000, 100000, 200000, 400000)
+      for (rep <- 1 to 2; nIdx <- sizes) {
+        val bench = idxPool.filter(
+          pmod(xxhash64(col("doc_id")), lit(1000000L)) < nIdx)
+        val iv = Dedup.minhashIndexView(bench, "doc_id", "text")
+        time(f"bcast idx=${nIdx / 1000}%3dk r$rep")(
+          Dedup.minhashPairsBroadcastIndex(iv, corpus, "doc_id", "text",
+            threshold = 0.1, maxIndexDocs = 0))
+        time(f"incr  idx=${nIdx / 1000}%3dk r$rep")(
+          Dedup.incrementalMinhashPairsFromIndex(iv,
+            Dedup.minhashIndexView(corpus, "doc_id", "text"), 0.1))
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.stop(); return
+    }
+
     // ---- ANN probe tiers (r13): fixed 100-query probe set against a
     // growing corpus (1×/10×/100× embeddings = ~5k/50k/500k vecs).
     // Expectation: BOTH search paths are Θ(N) at a fixed pivot count —

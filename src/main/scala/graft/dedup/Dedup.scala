@@ -753,6 +753,20 @@ object Dedup {
     * instead of require-failing: past the crossover the incremental
     * shape IS the right plan, so the guard picks it rather than
     * punting to the caller. 0 disables the check (always broadcast).
+    *
+    * Crossover nuance (r13 `Tune fuzzyxo` sweep): index doc count
+    * alone is NOT the wall — at a FIXED 1M-doc corpus the broadcast
+    * plan beat the incremental shape at every index size through
+    * 400k docs (mins 8.1/7.0/8.7/11.6 s vs 12.8/14.1/13.9/18.2 s at
+    * 50k/100k/200k/400k), scaling ~linearly in index size, while the
+    * r12 wall ([4.5M corpus, 500k index]: broadcast ~2× slower than
+    * the fallback) stands as the other bracket. The binding term is
+    * the corpus×index INTERACTION, not either side alone, so a
+    * doc-count cap is a conservative proxy: below it the broadcast
+    * plan is measured-good at both corpus sizes; above it the guard
+    * may pick a ~1.6× slower plan on mid-size corpora (the safe
+    * direction). Callers probing a corpus ≲1M docs can raise the cap
+    * to ~400k on the sweep's evidence.
     */
   def minhashPairsBroadcastIndex(smallIndex: MinhashIndex,
       corpus: DataFrame, idCol: String, textCol: String, n: Int = 2,
