@@ -166,6 +166,9 @@ object Bench {
       "q_ngram_jaccard", "q_dedup_eval", "q_dedup_simhash",
       "q_dedup_simhash64", "q_substr_dedup",
       "q_incremental_minhash", "q_substr_apply", "q_containment",
+      // paragraph keep-first: prefix-disjoint copies scale paragraph
+      // digests linearly; the WindowGroupLimit winner should too
+      "q_paragraph_dedup",
       // fuzzy decontamination reads only documents; its LSH probe
       // should scale like the other banded pipelines
       "q_fuzzy_decontaminate",
