@@ -275,6 +275,42 @@ object Dedup {
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
   }
 
+  /** WITHIN-doc paragraph keep-first (the per-document repeated-block
+    * removal step of RefinedWeb/Dolma-style pipelines, run before any
+    * corpus-wide pass): drop every repeat of a `k`-token block inside
+    * the SAME document, keep first occurrences in order, reassemble.
+    * Output shape matches [[paragraphDedup]] (n_paras, n_kept,
+    * kept_md5) so the two compose as stages of one cleaning story.
+    *
+    * Scale shape: entirely MAP-SIDE — every decision is a function of
+    * one row (order-preserving distinct via first-index test inside
+    * the blocks array), so the plan is a single projection over the
+    * scan with ZERO exchanges at any corpus size; it composes with
+    * any downstream op without adding a shuffle boundary. The
+    * first-index membership test is O(blocks²) per doc with tiny
+    * constants (array_position over ≤ a few hundred blocks), bounded
+    * by document length, not corpus size.
+    */
+  def paragraphDedupWithinDoc(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"paragraph size k=$k must be >= 1")
+    val toks = col("__toks")
+    val nb = ceil(size(toks).cast("double") / lit(k.toDouble)).cast("int")
+    val blocks = transform(sequence(lit(0), nb - 1),
+      i => concat_ws(" ", slice(toks, i * k + 1, lit(k))))
+    df.select(col(idCol), split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
+        .as("__toks"))
+      .withColumn("__paras", blocks)
+      // keep block i iff its FIRST occurrence index is i (1-based
+      // array_position; order-preserving distinct)
+      .withColumn("__kept", filter(col("__paras"),
+        (p, i) => array_position(col("__paras"), p) === (i + 1).cast("long")))
+      .select(col(idCol),
+        size(col("__paras")).cast("long").as("n_paras"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("__kept"))).as("kept_md5"))
+  }
+
   /** Harness twin of [[paragraphDedup]] with the min(struct) AGGREGATE
     * + join-back winner formulation — the portable skew-safe shape for
     * engines WITHOUT the WindowGroupLimit rank-limit rewrite, where a

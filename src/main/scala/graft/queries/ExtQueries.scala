@@ -1011,6 +1011,48 @@ object ExtQueries {
         k = 20)
         .orderBy("doc_id")),
 
+    // ---- dedup: WITHIN-doc repeated-block removal (RefinedWeb-style
+    // per-document cleanup; map-side only — the operator adds ZERO
+    // exchanges, the shuffle-free complement to q_paragraph_dedup's
+    // corpus-wide pass). The word-salad fixture never aligns a
+    // repeated 5-token block on its own, so every 4th doc PREPENDS its
+    // own first block (block 0 then equals block 1 — a guaranteed
+    // aligned within-doc repeat, same construction on both engines) ----
+    QueryDef("q_line_dedup",
+      Some("""WITH t0 AS (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS tk
+                FROM documents),
+              t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 0 AND len(tk) >= 5
+                    THEN list_concat(tk[1:5], tk) ELSE tk END AS toks
+                FROM t0),
+              b AS (SELECT doc_id,
+                  list_transform(range(0,
+                      CAST(ceil(len(toks) / 5.0) AS BIGINT)), i ->
+                    array_to_string(
+                      toks[CAST(i*5+1 AS INT):CAST(i*5+5 AS INT)], ' '))
+                    AS paras
+                FROM t),
+              kx AS (SELECT doc_id, paras,
+                  list_filter(paras, (x, i) ->
+                    list_position(paras, x) = i) AS kept
+                FROM b)
+              SELECT doc_id, CAST(len(paras) AS BIGINT) AS n_paras,
+                CAST(len(kept) AS BIGINT) AS n_kept,
+                md5(array_to_string(kept, ' ')) AS kept_md5
+              FROM kx ORDER BY doc_id"""),
+      (s, d) => {
+        // [ \t\n\r\f]+ not \s+: Java \s includes VT where RE2's (the
+        // oracle's) does not — the r9 adversarial-gate lesson
+        val tk = split(trim(col("text")), "[ \\t\\n\\r\\f]+")
+        val withRep = documents(s, d).withColumn("text",
+          when(col("doc_id") % 4 === 0 && size(tk) >= 5,
+            concat_ws(" ", concat_ws(" ", slice(tk, 1, 5)), col("text")))
+            .otherwise(col("text")))
+        Dedup.paragraphDedupWithinDoc(withRep, "doc_id", "text", k = 5)
+          .orderBy("doc_id")
+      }),
+
     // ---- dedup: embedding-cosine near-dup within label block ----
     QueryDef("q_embed_dupes",
       Some(s"""WITH e AS (SELECT label AS blk, vec_id AS id, embedding AS v

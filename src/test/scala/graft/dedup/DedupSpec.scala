@@ -465,6 +465,37 @@ class DedupSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("paragraphDedupWithinDoc: order-preserving per-doc keep-first") {
+    val in = Seq(
+      (1L, "a b c d a b c d e f"),   // k=2 blocks: ab cd ab cd ef → ab cd ef
+      (2L, "a b a b a b"),            // ab ab ab → ab
+      (3L, "x y z w"))                // no repeats
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDedupWithinDoc(in, "doc_id", "text", k = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 5L, 3L, md5hex("a b c d e f")),
+      (2L, 3L, 1L, md5hex("a b")),
+      (3L, 2L, 2L, md5hex("x y z w"))))
+  }
+
+  test("paragraphDedupWithinDoc is independent per doc (vs corpus-wide)") {
+    // two identical docs: the within-doc pass keeps both intact while
+    // the corpus-wide pass empties the second — the two operators'
+    // scopes must not be conflated
+    val in = Seq((1L, "p q r s"), (2L, "p q r s")).toDF("doc_id", "text")
+    val within = Dedup.paragraphDedupWithinDoc(in, "doc_id", "text", k = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(within === Seq(
+      (1L, 2L, 2L, md5hex("p q r s")),
+      (2L, 2L, 2L, md5hex("p q r s"))))
+    val corpusWide = Dedup.paragraphDedup(in, "doc_id", "text", k = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(corpusWide === Seq(
+      (1L, 2L, 2L, md5hex("p q r s")),
+      (2L, 2L, 0L, md5hex(""))))
+  }
+
   test("incrementalMinhashPairs ≡ batch minhashPairs on delta-vs-corpus") {
     // corpus = even ids, delta = odd ids (the daily-snapshot split);
     // the incremental probe must find exactly the cross pairs the full
