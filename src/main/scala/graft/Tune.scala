@@ -41,10 +41,13 @@ object Tune {
   }
 
   /** ×`copies` embeddings tier: vec_id stride 10M; each copy's FIRST
-    * component is nudged by 1e-3·copy so super-copies never tie in a
-    * top-k window (timing must not hinge on tie-break order), while
-    * sims/cell geometry stay realistic (the nudge is ~1e-3 of a
-    * unit-scale component).
+    * component is nudged by 1e-5·copy so super-copies never tie in a
+    * top-k window (timing must not hinge on tie-break order — the
+    * nudge only needs DISTINCTNESS per copy, not growth with the copy
+    * index) while sims/cell geometry stay realistic: even at
+    * copies=100 the largest shift is 1e-3 of a unit-scale component
+    * (the previous 1e-3 stride shifted the last copy by 0.099 — ~100×
+    * the realism the tier promises).
     */
   private def ensureEmbTier(spark: SparkSession, srcDir: String,
       dstDir: String, copies: Int): Unit = {
@@ -56,7 +59,7 @@ object Tune {
     (0 until copies).map { c =>
       e.withColumn("vec_id", col("vec_id") + lit(c * 10000000L))
         .withColumn("embedding", transform(col("embedding"),
-          (x, i) => when(i === 0, (x + lit((c * 1e-3).toFloat)).cast("float"))
+          (x, i) => when(i === 0, (x + lit((c * 1e-5).toFloat)).cast("float"))
             .otherwise(x)))
     }.reduce(_.unionByName(_))
       .repartition(32)
@@ -104,6 +107,7 @@ object Tune {
     val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
     // per-stage attribution buffer (mhdiag prints it): which exchange
     // owns the bytes, by stage id/name/tasks
+    val REP_MARK = "__rep_boundary__"
     val stageLog = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, Long, Long, Int)]
     spark.sparkContext.addSparkListener(
@@ -161,8 +165,17 @@ object Tune {
         val n = f.count()
         val t = (System.nanoTime() - t0) / 1e9
         // listener delivery is async — settle before reading
-        (t, ListenerSettle.settled(jobs) - j0, n, spill.get() - s0,
+        val out = (t, ListenerSettle.settled(jobs) - j0, n, spill.get() - s0,
           shWrite.get() - w0, shRead.get() - r0, gcMs.get() - g0)
+        // rep-boundary sentinel for dumpStages: Spark SQL stage names
+        // are the ACTION call site, so distinct stages within one
+        // execution commonly share a name — per-execution attribution
+        // needs (name, occurrence-within-rep), and the occurrence
+        // index is only well-defined once the log is split at rep
+        // boundaries (zero-byte row, filtered by every consumer's
+        // >100 MB threshold)
+        stageLog.synchronized { stageLog += ((-1, REP_MARK, 0L, 0L, 0)); () }
+        out
       }
       val best = ts.minBy(_._1)
       println(f"[tune] $name%-28s ${best._1}%7.2f s  ${best._2}%3d jobs  " +
@@ -170,6 +183,55 @@ object Tune {
         f"shW ${best._5 / 1048576}%6d MB  shR ${best._6 / 1048576}%6d MB  " +
         f"gc ${best._7 / 1000.0}%6.1f s")
       best._1
+    }
+
+    // Per-execution stage attribution over the listener log (shared by
+    // the mhdiag/mhrv dumps). Spark SQL stage names are the action
+    // call site (e.g. "count at Tune.scala:161"), so distinct stages
+    // within ONE execution commonly share a name — grouping by name
+    // alone collapses them to a single max row and under-reports the
+    // execution's shuffle. The log is instead split at the rep
+    // sentinels time() appends, each stage gets an occurrence index
+    // within its rep (stages of one rep are logged in stage-id order,
+    // and a given logical exchange keeps its position across reps),
+    // and the report is the per-(name, occurrence) max across reps —
+    // reconciling against the cell's printed shW (a single-execution
+    // number), not 2× it.
+    def dumpStages(tag: String): Unit = stageLog.synchronized {
+      println(s"[tune] -- stages >100MB for $tag (per execution; " +
+        "max across the timed reps) --")
+      val reps = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, Long, Long, Int)])
+      stageLog.foreach { s =>
+        if (s._2 == REP_MARK) {
+          if (reps.last.nonEmpty) {
+            reps += scala.collection.mutable.ArrayBuffer
+              .empty[(Int, String, Long, Long, Int)]; ()
+          }
+        } else { reps.last += s; () }
+      }
+      reps.filter(_.nonEmpty)
+        .flatMap { rep =>
+          val occ = scala.collection.mutable.Map.empty[String, Int]
+          rep.sortBy(_._1).map { s =>
+            val i = occ.getOrElse(s._2, 0)
+            occ(s._2) = i + 1
+            ((s._2, i), s)
+          }
+        }
+        .groupBy(_._1).toSeq
+        .map { case ((nm, i), ss) =>
+          val best = ss.map(_._2).maxBy(s => s._3 max s._4)
+          (best._1, nm, i, best._3, best._4, best._5)
+        }
+        .filter(s => s._4 > 100000000L || s._5 > 100000000L)
+        .sortBy(_._1)
+        .foreach { case (id, nm, i, w, r, nt) =>
+          println(f"[tune]   stage $id%4d #$i $nm%-70s  " +
+            f"shW ${w / 1048576}%6d MB  shR ${r / 1048576}%6d MB  $nt%4d tasks")
+        }
+      stageLog.clear()
     }
 
     // ---- paragraph-dedup tier cells (r13): three decades for the
@@ -659,27 +721,6 @@ object Tune {
               Seq("band", "bucket"))
             .filter(col("id_a") < col("id_b"))
             .select("id_a", "id_b")
-        }
-        def dumpStages(tag: String): Unit = stageLog.synchronized {
-          // time() executes the pipeline TWICE (inner min-of-2), so the
-          // raw log holds each logical stage once per rep — group by
-          // stage NAME and report per-EXECUTION bytes (max across reps)
-          // so the listing reconciles against the cell's printed shW
-          // (also a single-execution number), not 2× it
-          println(s"[tune] -- stages >100MB for $tag (per execution; " +
-            "max across the 2 timed reps) --")
-          stageLog.filter(s => s._3 > 100000000L || s._4 > 100000000L)
-            .groupBy(_._2).toSeq
-            .map { case (nm, ss) =>
-              val best = ss.maxBy(s => s._3 max s._4)
-              (best._1, nm, best._3, best._4, best._5)
-            }
-            .sortBy(_._1)
-            .foreach { case (id, nm, w, r, nt) =>
-              println(f"[tune]   stage $id%4d $nm%-72s  " +
-                f"shW ${w / 1048576}%6d MB  shR ${r / 1048576}%6d MB  $nt%4d tasks")
-            }
-          stageLog.clear()
         }
         stageLog.synchronized(stageLog.clear())
         time(s"a: pre-distinct $tname") { preDistinct }

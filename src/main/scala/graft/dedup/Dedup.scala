@@ -236,6 +236,10 @@ object Dedup {
     * [[duplicateSpans]] / [[removeDuplicateSpans]] (rolling-window
     * span dedup): paragraphs are aligned disjoint blocks, the unit
     * real pipelines (CCNet, RefinedWeb) dedup before any fuzzy pass.
+    * `idCol` must be unique per row (the library-wide dedup
+    * convention): the window orders winners by (id, pos), and the
+    * aggregate twin's join-back relies on (id, pos) being a unique
+    * key for its spec-pinned output equality.
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
@@ -322,7 +326,12 @@ object Dedup {
     * documented fallback shape, the same convention as
     * `clustersLabelProp`. Output is identical by construction
     * (min(struct(id, pos)) ≡ row_number 1 ordered by (id, pos);
-    * pinned in DedupSpec).
+    * pinned in DedupSpec) — PROVIDED `idCol` is unique per row, the
+    * same id-uniqueness convention every dedup operator here assumes:
+    * with duplicate doc ids, (id, pos) is no longer a unique key, so
+    * the join-back keeps EVERY row matching the winning (id, pos)
+    * where row_number keeps exactly one, and the two formulations
+    * silently diverge rather than fail.
     */
   private[graft] def paragraphDedupAggJoin(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
