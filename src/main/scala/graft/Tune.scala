@@ -771,6 +771,78 @@ object Tune {
       spark.stop(); return
     }
 
+    // ---- rendezvous-vs-carry verify A/B (r14): the carry shape's
+    // join-1 output owned 36.4 of 44.3 GB of 1000×-tier shuffle
+    // (mhdiag) with wall alphas 1.18-1.41 across the third decade.
+    // The rendezvous verify routes each pair to its min shared LSH
+    // bucket and ships shingle arrays once per (group, doc), so the
+    // per-pair carry crosses no exchange at all (DedupSpec plan pin).
+    // Interleaved blocks (carry, rv, carry, rv — each time() is
+    // itself min-of-2) at both tiers, partition counts matched to the
+    // r13 cells, stage dumps after each cell so the carry stage's
+    // disappearance is visible, not inferred.
+    if (args.drop(1).headOption.contains("mhrv10")) {
+      // small-tier guard cell: the bench sf1 tier (10× docs) has no
+      // carry arm of its own, so a uniform session inflation there
+      // cannot be told apart from a small-scale rendezvous regression
+      // without this interleaved A/B
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf1", 10)
+      val d = spark.read.parquet("/tmp/graft_sf1/documents.parquet")
+      for (block <- 1 to 2; fast <- Seq(false, true)) {
+        time(f"mh10 carry fast=$fast b$block") {
+          Dedup.minhashPairsCarry(d, "doc_id", "text", 2, 16, 8, 0.1,
+            fastKernel = fast)
+        }
+        time(f"mh10 rv    fast=$fast b$block") {
+          Dedup.minhashPairsRendezvous(d, "doc_id", "text", 2, 16, 8, 0.1,
+            fastKernel = fast)
+        }
+      }
+      spark.stop(); return
+    }
+
+    // ---- 30×-tier crossover bracket for the verify size gate: the
+    // 10× cell (1.06M candidates) measured carry 2× ahead, the 100×
+    // cell (10.6M) a slight rv win — this runs the tier between them
+    // so RendezvousMinPairs sits at a measured near-tie, not a guess.
+    if (args.drop(1).headOption.contains("mhrv30")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf3", 30)
+      val d = spark.read.parquet("/tmp/graft_sf3/documents.parquet")
+      for (block <- 1 to 2) {
+        time(f"mh30 carry b$block") {
+          Dedup.minhashPairsCarry(d, "doc_id", "text", 2, 16, 8, 0.1)
+        }
+        time(f"mh30 rv    b$block") {
+          Dedup.minhashPairsRendezvous(d, "doc_id", "text", 2, 16, 8, 0.1)
+        }
+      }
+      spark.stop(); return
+    }
+
+    if (args.drop(1).headOption.contains("mhrv")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      ensureTier1000(spark)
+      val tiers = Seq(("100x", 32, "/tmp/graft_sf10/documents.parquet"),
+        ("1000x", 128, "/tmp/graft_sf100/documents.parquet"))
+      for ((tname, p, path) <- tiers) {
+        val d = spark.read.parquet(path)
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        for (block <- 1 to 2) {
+          stageLog.synchronized(stageLog.clear())
+          time(f"mh carry $tname b$block") {
+            Dedup.minhashPairsCarry(d, "doc_id", "text", 2, 16, 8, 0.1)
+          }
+          dumpStages(s"carry $tname b$block")
+          time(f"mh rv    $tname b$block") {
+            Dedup.minhashPairsRendezvous(d, "doc_id", "text", 2, 16, 8, 0.1)
+          }
+          dumpStages(s"rv $tname b$block")
+        }
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.stop(); return
+    }
+
     // ---- 1000×-tier retry for the two disk-heaviest arms: the full
     // sf100 pass lost minhash_fast and incremental_fast to a probe-host
     // disk wall (their verify joins exchange the corpus shingle arrays;

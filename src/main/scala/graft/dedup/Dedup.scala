@@ -204,8 +204,9 @@ object Dedup {
   /** CCNet-style corpus-wide paragraph dedup with reassembly (Wenzek
     * et al. 2020): split each doc into `k`-token paragraphs (the
     * fixture corpus is single-line, so fixed token blocks stand in for
-    * newline paragraphs; a real crawl passes its newline-split blocks
-    * through the same digest pipeline), keep only the FIRST occurrence
+    * newline paragraphs; [[paragraphDedupNewline]] is the literal
+    * newline-unit mode over the same pipeline), keep only the FIRST
+    * occurrence
     * of each distinct paragraph corpus-wide — ordered by (doc id,
     * paragraph position) — and reassemble every doc from its surviving
     * paragraphs in original order. Output per doc: `n_paras`,
@@ -245,18 +246,50 @@ object Dedup {
       k: Int): DataFrame = {
     require(k >= 1, s"paragraph size k=$k must be >= 1")
     val toks = col("__toks")
-    val base = df.select(col(idCol),
-      split(trim(col(textCol)), "[ \\t\\n\\r\\f]+").as("__toks"))
     // ceil(n/k) paragraphs; the trailing short block keeps the tail.
     // split("") = [""] on both engines, so an all-whitespace doc still
     // yields one (empty) paragraph and every input id survives.
     val nb = ceil(size(toks).cast("double") / lit(k.toDouble)).cast("int")
+    val base = df.select(col(idCol),
+        split(trim(col(textCol)), "[ \\t\\n\\r\\f]+").as("__toks"))
+      .select(col(idCol), transform(sequence(lit(0), nb - 1),
+        i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))).as("__paras"))
+    paragraphKeepFirst(base, idCol, " ")
+  }
+
+  /** [[paragraphDedup]] in TRUE CCNet paragraph units: newline-split
+    * paragraphs (Wenzek et al. 2020 split docs on `\n`; the k-token
+    * form exists because the bundled fixture corpus is single-line).
+    * Same corpus-wide keep-first rule, same (n_paras, n_kept,
+    * kept_md5) output contract with `\n` as the reassembly joiner.
+    *
+    * Empty paragraphs ARE paragraphs: split keeps leading/trailing
+    * empties and empty runs (limit -1 semantics, matching DuckDB's
+    * string_split), so the corpus's FIRST blank line survives and
+    * every later blank line drops — the uniform keep-first rule, with
+    * blank-line boilerplate treated like any other repeated
+    * paragraph (spec-pinned, incl. empty-run fixtures). Same id-
+    * uniqueness precondition and WindowGroupLimit scale shape as
+    * [[paragraphDedup]].
+    */
+  def paragraphDedupNewline(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    paragraphKeepFirst(
+      df.select(col(idCol), split(col(textCol), "\n", -1).as("__paras")),
+      idCol, "\n")
+
+  /** Shared corpus-wide keep-first core of [[paragraphDedup]] /
+    * [[paragraphDedupNewline]]: `base` = (idCol, __paras array), `sep`
+    * = the reassembly joiner. Winner per digest is the rn==1 window —
+    * see [[paragraphDedup]]'s scaladoc for why that shape (map-side
+    * WindowGroupLimit) beats the agg+join twin.
+    */
+  private def paragraphKeepFirst(base: DataFrame, idCol: String,
+      sep: String): DataFrame = {
     // 16-byte binary digest keys the winner window, same convention
     // (and reason) as spanStream's __dig
     val ex = base.select(col(idCol),
-        posexplode(transform(sequence(lit(0), nb - 1),
-          i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
-          .as(Seq("__pos", "__para")))
+        posexplode(col("__paras")).as(Seq("__pos", "__para")))
       .withColumn("__dig", unhex(md5(col("__para"))))
     // row_number + rn==1 is the shape WindowGroupLimit rewrites into a
     // map-side partial top-1 per digest (see scaladoc); rank() would
@@ -269,10 +302,10 @@ object Dedup {
     // collect_list + sort is the standard deterministic reassembly
     val assembled = kept.groupBy(idCol).agg(
       count(lit(1)).as("n_kept"),
-      md5(concat_ws(" ",
+      md5(concat_ws(sep,
         transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
           s => s.getField("__para")))).as("kept_md5"))
-    base.select(col(idCol), nb.cast("long").as("n_paras"))
+    base.select(col(idCol), size(col("__paras")).cast("long").as("n_paras"))
       .join(assembled, Seq(idCol), "left")
       .select(col(idCol), col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -527,6 +560,32 @@ object Dedup {
     minhashPairsFromIndex(
       oneShotIndex(df, idCol, textCol, n, k, bands, fastKernel), threshold)
 
+  /** [[minhashPairs]] on the array-carry verify ([[verifyCarry]]) —
+    * the Tune A/B twin of the production rendezvous pipeline, stage-
+    * identical to the r13 shape (the unused __bk column prunes out of
+    * the carry's distinct).
+    */
+  private[graft] def minhashPairsCarry(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 2, k: Int = 16, bands: Int = 8,
+      threshold: Double = 0.3, fastKernel: Boolean = true): DataFrame = {
+    val idx = oneShotIndex(df, idCol, textCol, n, k, bands, fastKernel)
+    verifyCarry(selfCollisions(idx), idx.shingles, idx.shingles)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[minhashPairs]] with the rendezvous verify FORCED (size gate
+    * off) — the other Tune A/B twin; production [[minhashPairs]]
+    * routes by the measured [[RendezvousMinPairs]] crossover instead.
+    */
+  private[graft] def minhashPairsRendezvous(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 2, k: Int = 16, bands: Int = 8,
+      threshold: Double = 0.3, fastKernel: Boolean = true): DataFrame = {
+    val idx = oneShotIndex(df, idCol, textCol, n, k, bands, fastKernel)
+    verifyRendezvous(selfCollisions(idx), idx.shingles, idx.shingles,
+        minPairs = 0L)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** [[minhashIndexView]] with ONLY the bucket table persisted — the
     * one-shot pipeline shape (see [[minhashPairs]]). StageCache-
     * registered: Verify/Bench release it between queries.
@@ -614,37 +673,184 @@ object Dedup {
     * the shared candidate+verify stage behind [[minhashPairsFromIndex]]
     * (threshold filter) and [[minhashEval]] (precision aggregate), so
     * a fix to the pipeline cannot silently apply to one and not the
-    * other.
-    *
-    * Join strategy for the verify joins: sort-merge, and NOT by
-    * default-accident — a SHUFFLE_HASH hint on the unique-keyed
-    * shingle build side was tried and measured WORSE (reverted, r13,
-    * SCALE.md): the SMJ's sort of join-1's output is what makes the
-    * pipeline's dominant exchange (the Θ(candidates × |sh|) sh_a
-    * carry — mhdiag: 36.4 of 44.3 GB at the 1000× tier) compressible.
-    * Sorted by id_a, each doc's ~10 candidate rows repeat the same
-    * sh_a array back-to-back and LZ4 collapses the repeats (~194
-    * B/pair); hash-join output arrives in probe order, the adjacency
-    * is gone, and the same stage measured 478 B/pair (2,069 →
-    * 5,087 MB at the 100× tier). The sort is the carry exchange's
-    * compression engine, not overhead.
+    * other. Verify shape: [[verifyRendezvous]] (the r14 production
+    * path); the r13-and-earlier array-carry shape survives as
+    * [[verifyCarry]] for the A/B harness and the equivalence pins.
     */
-  private def scoredCandidates(index: MinhashIndex): DataFrame = {
-    val candidates = index.buckets
+  private def scoredCandidates(index: MinhashIndex): DataFrame =
+    verifyRendezvous(selfCollisions(index), index.shingles, index.shingles)
+
+  /** Bucket-collision rows of an index's self-join, WITH the bucket
+    * identity each pair collided in: (__bk = xxhash64(band, bucket),
+    * id_a < id_b), one row per (bucket, pair) collision. The __bk key
+    * is what [[verifyRendezvous]] picks its rendezvous from; a
+    * 64-bit __bk collision between two distinct buckets is harmless
+    * there (it only merges two rendezvous groups — routing stays
+    * consistent because docs are routed by the VALUE, never decoded
+    * back to a bucket).
+    */
+  private[graft] def selfCollisions(index: MinhashIndex): DataFrame =
+    index.buckets
       .select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(index.buckets.select(col("band"), col("bucket"),
         col("id").as("id_b")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    candidates
-      .join(index.shingles.select(col("id").as("id_a"),
-        verifySh(index.shingles).as("sh_a")), Seq("id_a"))
-      .join(index.shingles.select(col("id").as("id_b"),
-        verifySh(index.shingles).as("sh_b")), Seq("id_b"))
+      .select(xxhash64(col("band"), col("bucket")).as("__bk"),
+        col("id_a"), col("id_b"))
+
+  /** Rendezvous-bucket exact-Jaccard verify — the r14 replacement for
+    * the array-carry shape ([[verifyCarry]]), built on one structural
+    * fact: every LSH candidate pair already CO-OCCURS in at least one
+    * bucket, so the pair can be verified AT a bucket instead of
+    * carrying shingle arrays through per-pair joins.
+    *
+    * Input: `collisions` = (__bk, id_a, id_b), one row per
+    * (bucket, pair) collision; `docsA`/`docsB` = (id, sh) shingle
+    * sources for the two pair sides (raw strings or staged xxh64
+    * longs — [[verifySh]] dispatches per side). Output: one
+    * (id_a, id_b, jaccard) row per distinct collision pair, exactly
+    * the [[verifyCarry]] result set (spec-pinned, all kernels/reprs).
+    *
+    * Shape, and why it beats the carry at scale:
+    *  1. The per-pair dedupe the carry path spent a `.distinct()` on
+    *     becomes `min(__bk)` — same exchange keys, +8 bytes/row — so
+    *     each pair picks a deterministic rendezvous bucket it is
+    *     GUARANTEED to share.
+    *  2. Each side's shingle set ships ONCE PER DISTINCT RENDEZVOUS a
+    *     doc appears in — Θ(docs × |sh|) bytes when near-dup clusters
+    *     collide in the same bands (copies sketch to identical
+    *     signatures, so their pairs' min-bucket coincides), degrading
+    *     gracefully toward the carry's Θ(pairs × |sh|) only if every
+    *     pair of a doc rendezvouses in a different bucket.
+    *  3. The group's shingle sets are aggregated into ONE map row per
+    *     rendezvous (id → sh), and the pair spine joins that map table
+    *     on __rv alone — a single-key join, so there is no multi-key
+    *     co-partitioning for `requireAllClusterKeysForCoPartition`
+    *     (default true) to reject, and both per-pair lookups happen
+    *     in the SAME projection via try_element_at. The per-pair
+    *     arrays exist only transiently inside that project: the sh_a
+    *     carry that was 36.4 of 44.3 GB of 1000×-tier shuffle (r13
+    *     mhdiag) crosses NO exchange and NO sort (plan-pinned), and
+    *     the partition-count-sensitive LZ4-adjacency story that came
+    *     with it (194 vs 343 B/pair at p=32 vs 128) retires with it.
+    *
+    * Costs taken knowingly: (a) try_element_at on a Spark map is a
+    * linear key scan, so verify CPU gains a factor of the rendezvous
+    * GROUP size — bounded by the corpus's largest near-dup clique,
+    * and any corpus whose cliques are huge has already exploded
+    * quadratically at the candidate stage (m²/2 pairs), before this
+    * term matters; (b) one map row buffers a whole group's arrays in
+    * the aggregate and the join, the same clique-bounded memory the
+    * candidate explosion gates first.
+    *
+    * The pair table is StageCache-persisted (three consumers: the
+    * rendezvous routing frame(s) and the join spine) — same release
+    * contract as [[minhashPairs]].
+    */
+  /** Candidate-count crossover between the two verify shapes (Tune
+    * mhrv/mhrv10/mhrv30, r14, all interleaved min-of-4): below it the
+    * carry shape wins because AQE keeps its verify joins broadcast-
+    * side and the per-pair arrays never shuffle at all (10×: 1.06M
+    * candidates, carry 1.9-2.5 s / 9 MB vs rendezvous 4.3-5.3 s /
+    * 180 MB; 30×: 3.2M, 3.6 vs 6.9 s / 28 vs 571 MB); above it the
+    * broadcast regime dies and the rendezvous shape wins increasingly
+    * (100×: 10.6M candidates, 9.77 vs 10.36 s and 2.41 vs 2.78 GB;
+    * 1000×: 106M, 129.8 vs 228.8 s and 25.9 vs 44.3 GB, GC 88 vs
+    * 108-122 s). Default = geometric midpoint of the 3.2M-carry-wins
+    * and 10.6M-rv-wins brackets.
+    */
+  private[graft] val RendezvousMinPairs: Long = 6000000L
+
+  private[graft] def verifyRendezvous(collisions: DataFrame,
+      docsA: DataFrame, docsB: DataFrame,
+      minPairs: Long = RendezvousMinPairs): DataFrame = {
+    val pairTable = graft.ops.StageCache.persisted(
+      collisions.groupBy("id_a", "id_b").agg(min(col("__bk")).as("__rv")))
+    // size-routed: ONE count over the (persisted, needed-anyway) pair
+    // table picks the measured-faster shape — the small side of the
+    // crossover is also the streaming-admission micro-batch case, so
+    // per-batch probes stay on the broadcast-friendly carry plan.
+    // minPairs = 0 forces the rendezvous shape (specs, Tune arms).
+    if (minPairs > 0 && pairTable.count() < minPairs)
+      return verifyCarryOn(pairTable.select("id_a", "id_b"), docsA, docsB)
+    val pairs = pairTable
+    // (rv, id → sorted hashed shingles) — one row per rendezvous group,
+    // arrays shipped once per (group, doc). array_distinct before the
+    // map build: a docs source may legitimately carry EXACT duplicate
+    // (id, sh) rows (an admission batch replayed after recovery unions
+    // batch + staged copies of the same doc — the carry path's joins
+    // absorbed those as duplicate verify rows), and map_from_entries
+    // raises on duplicate keys; dropping exact-duplicate ENTRIES keeps
+    // the replay harmless while a same-id-different-content collision
+    // (a real id-uniqueness contract violation) still fails loudly.
+    def groupMap(docs: DataFrame, rvIds: DataFrame, name: String) =
+      docs.select(col("id"), verifySh(docs).as("sh"))
+        .join(rvIds, Seq("id"))
+        .groupBy("__rv")
+        .agg(map_from_entries(array_distinct(
+          collect_list(struct(col("id"), col("sh"))))).as(name))
+    // missing-doc semantics match the carry's inner joins: a pair
+    // whose side is absent from its docs source drops (try_element_at
+    // → NULL → filter), never errors
+    val scored =
+      if (docsA eq docsB) {
+        // self-verify: one combined map — a doc pairing as id_a in one
+        // pair and id_b in another still ships once per group
+        val rvIds = pairTable.select(col("__rv"), col("id_a").as("id"))
+          .unionByName(pairTable.select(col("__rv"), col("id_b").as("id")))
+          .distinct()
+        pairs.join(groupMap(docsA, rvIds, "__shm"), Seq("__rv"))
+          .select(col("id_a"), col("id_b"),
+            try_element_at(col("__shm"), col("id_a")).as("sh_a"),
+            try_element_at(col("__shm"), col("id_b")).as("sh_b"))
+      } else {
+        val mA = groupMap(docsA,
+          pairTable.select(col("__rv"), col("id_a").as("id")).distinct(),
+          "__shma")
+        val mB = groupMap(docsB,
+          pairTable.select(col("__rv"), col("id_b").as("id")).distinct(),
+          "__shmb")
+        pairs.join(mA.join(mB, Seq("__rv")), Seq("__rv"))
+          .select(col("id_a"), col("id_b"),
+            try_element_at(col("__shma"), col("id_a")).as("sh_a"),
+            try_element_at(col("__shmb"), col("id_b")).as("sh_b"))
+      }
+    scored
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
+
+  /** The r13-and-earlier verify shape: dedupe candidate pairs, then
+    * carry each pair's sh_a array through two per-pair equi-joins.
+    * Correct, but its join-1 output exchanges Θ(pairs × |sh|) array
+    * bytes (36.4 of 44.3 GB at the 1000× tier, r13 mhdiag), rescued
+    * only partially — and partition-count-sensitively — by SMJ/LZ4
+    * run-length adjacency (~194 B/pair at p=32, 343 at p=128; a
+    * SHUFFLE_HASH hint that broke the adjacency measured 478 B/pair
+    * and was reverted, SCALE.md r13). Kept for the Tune A/B and the
+    * DedupSpec equivalence pins against [[verifyRendezvous]], the
+    * same convention as `clustersLabelProp` / `paragraphDedupAggJoin`.
+    */
+  private[graft] def verifyCarry(collisions: DataFrame,
+      docsA: DataFrame, docsB: DataFrame): DataFrame =
+    verifyCarryOn(collisions.select("id_a", "id_b").distinct(),
+      docsA, docsB)
+
+  /** [[verifyCarry]] minus the dedupe — for callers whose candidate
+    * frame is unique per (id_a, id_b) already (the size-routed small
+    * path reuses the persisted min-agg pair table, which dedupes by
+    * construction; re-distincting it would add a pointless exchange).
+    */
+  private def verifyCarryOn(candidates: DataFrame,
+      docsA: DataFrame, docsB: DataFrame): DataFrame =
+    candidates
+      .join(docsA.select(col("id").as("id_a"),
+        verifySh(docsA).as("sh_a")), Seq("id_a"))
+      .join(docsB.select(col("id").as("id_b"),
+        verifySh(docsB).as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
 
   def minhashPairsFromIndex(index: MinhashIndex,
       threshold: Double): DataFrame =
@@ -656,22 +862,24 @@ object Dedup {
     * rows).
     */
   def incrementalMinhashPairsFromIndex(corpus: MinhashIndex,
-      delta: MinhashIndex, threshold: Double): DataFrame = {
-    val candidates = delta.buckets
+      delta: MinhashIndex, threshold: Double): DataFrame =
+    verifyRendezvous(deltaCollisions(corpus, delta),
+      delta.shingles, corpus.shingles)
+      .filter(col("jaccard") >= threshold)
+
+  /** Delta-vs-corpus bucket collisions with their bucket identity —
+    * the [[selfCollisions]] analog for the incremental probe
+    * (id_a = delta id, id_b = corpus id; no ordering filter, the
+    * sides are disjoint by contract).
+    */
+  private[graft] def deltaCollisions(corpus: MinhashIndex,
+      delta: MinhashIndex): DataFrame =
+    delta.buckets
       .select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(corpus.buckets.select(col("band"), col("bucket"),
         col("id").as("id_b")), Seq("band", "bucket"))
-      .select("id_a", "id_b")
-      .distinct()
-    candidates
-      .join(delta.shingles.select(col("id").as("id_a"),
-        verifySh(delta.shingles).as("sh_a")), Seq("id_a"))
-      .join(corpus.shingles.select(col("id").as("id_b"),
-        verifySh(corpus.shingles).as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+      .select(xxhash64(col("band"), col("bucket")).as("__bk"),
+        col("id_a"), col("id_b"))
 
   /** The admission DROP set of a micro-batch, in ONE candidate+verify
     * pass: a batch doc is dropped exactly when a qualifying neighbor
@@ -702,28 +910,30 @@ object Dedup {
         .select(col("band"), col("bucket"), col("id").as("id_b"),
           lit(true).as("__staged")))
     }
+    // both sides pre-normalized to the hashed representation so the
+    // union is schema-stable whatever repr the staged table carries
+    // (verifySh dispatches per SOURCE frame; a raw batch unioned with
+    // a staged-long table would otherwise type-clash)
     val batchSh = batchIdx.shingles
-      .select(col("id").as("id_b"), verifySh(batchIdx.shingles).as("sh_b"))
+      .select(col("id"), verifySh(batchIdx.shingles).as("sh"))
     val otherSh = staged match {
       case None => batchSh
       case Some(s) => batchSh.unionByName(s.shingles
-        .select(col("id").as("id_b"), verifySh(s.shingles).as("sh_b")))
+        .select(col("id"), verifySh(s.shingles).as("sh")))
     }
     // the staged flag rides the bucket join so the lower-id rule only
-    // binds batch-vs-batch candidates; candidate pairs dedupe BEFORE
-    // the shingle verify (each (id_a, id_b) can collide in up to
+    // binds batch-vs-batch candidates; candidate pairs dedupe inside
+    // the rendezvous verify (each (id_a, id_b) can collide in up to
     // `bands` buckets — verifying once per pair, not per collision,
     // is the same shape as scoredCandidates)
     val cand = batchIdx.buckets
       .select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(others, Seq("band", "bucket"))
       .filter(col("__staged") || col("id_b") < col("id_a"))
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(batchIdx.shingles.select(col("id").as("id_a"),
-        verifySh(batchIdx.shingles).as("sh_a")), Seq("id_a"))
-      .join(otherSh, Seq("id_b"))
-      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(xxhash64(col("band"), col("bucket")).as("__bk"),
+        col("id_a"), col("id_b"))
+    verifyRendezvous(cand, batchIdx.shingles, otherSh)
+      .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("id")).distinct()
   }
 
@@ -782,57 +992,66 @@ object Dedup {
     * for big-vs-big.
     *
     * The small-by-contract side is ENFORCED, not scaladoc-only, and
-    * the guard is MEASUREMENT-based (r13; the r12 1000×-tier probe):
-    * on a 32-thread/96 GB host the broadcast shape was sublinear with
-    * a 50k-doc index (alpha 0.64, decade 2) but SUPERLINEAR with a
-    * 500k-doc index (alpha 1.32, 5.22 → 108.86 s, decade 3) — the
-    * per-task broadcast hash build plus the driver collect stop
-    * amortizing well before Spark's 8 GB broadcast hard limit is in
-    * sight. `maxIndexDocs` (default 100k: 2× the measured-good point,
-    * 1/5 of the measured-superlinear point) caps the index document
-    * count with one cheap count job over the (pre-broadcast) shingle
-    * view; ABOVE the cap the call now AUTO-FALLS-BACK to the big-vs-
-    * big staged-index probe ([[incrementalMinhashPairsFromIndex]] with
+    * the guard is a TWO-SIDED measurement-based gate (r12-r14 probes).
+    * The r13 `Tune fuzzyxo` sweep showed index doc count alone is NOT
+    * the wall: at a FIXED 1M-doc corpus the broadcast plan beat the
+    * incremental shape at every index size through 400k docs (mins
+    * 8.1/7.0/8.7/11.6 s vs 12.8/14.1/13.9/18.2 s at 50k/100k/200k/
+    * 400k), while at [4.5M corpus × 500k index] it was ~2× SLOWER
+    * (108.86 vs 55.28 s, r12/r13) — the binding term is the
+    * corpus×index INTERACTION (the per-task broadcast hash build is
+    * paid by every corpus partition, so its cost scales with the
+    * product), not either side alone. The gate therefore:
+    *  - falls back when indexDocs × corpusDocs > `maxProductDocs`
+    *    (default 1e12 ≈ the geometric midpoint between the measured-
+    *    good 1M×400k = 4×10¹¹ and the measured-bad 4.5M×500k =
+    *    2.25×10¹² brackets; `Tune fuzzyxo2` re-verifies the gate
+    *    picks the measured winner on BOTH brackets);
+    *  - falls back when indexDocs > `maxIndexDocs` (default 2M) — an
+    *    ABSOLUTE broadcast-size bound (≈0.8 GB of hashed shingle
+    *    sets, safely under Spark's 8 GB broadcast limit and a sane
+    *    driver-collect ceiling), not a perf crossover.
+    * Both counts are one cheap job each (the index count over the
+    * pre-broadcast shingle view; the corpus count over the raw input,
+    * metadata-served for a bare parquet scan) — trivially amortized
+    * against picking a 2× wrong plan for the whole probe. ABOVE
+    * either bound the call AUTO-FALLS-BACK to the big-vs-big staged-
+    * index probe ([[incrementalMinhashPairsFromIndex]] with
     * `smallIndex` as the probed corpus — same (id_a=corpus,
     * id_b=index, jaccard) contract, equivalence pinned in DedupSpec)
     * instead of require-failing: past the crossover the incremental
     * shape IS the right plan, so the guard picks it rather than
-    * punting to the caller. 0 disables the check (always broadcast).
-    *
-    * Crossover nuance (r13 `Tune fuzzyxo` sweep): index doc count
-    * alone is NOT the wall — at a FIXED 1M-doc corpus the broadcast
-    * plan beat the incremental shape at every index size through
-    * 400k docs (mins 8.1/7.0/8.7/11.6 s vs 12.8/14.1/13.9/18.2 s at
-    * 50k/100k/200k/400k), scaling ~linearly in index size, while the
-    * r12 wall ([4.5M corpus, 500k index]: broadcast ~2× slower than
-    * the fallback) stands as the other bracket. The binding term is
-    * the corpus×index INTERACTION, not either side alone, so a
-    * doc-count cap is a conservative proxy: below it the broadcast
-    * plan is measured-good at both corpus sizes; above it the guard
-    * may pick a ~1.6× slower plan on mid-size corpora (the safe
-    * direction). Callers probing a corpus ≲1M docs can raise the cap
-    * to ~400k on the sweep's evidence.
+    * punting to the caller. maxIndexDocs = 0 disables BOTH checks
+    * (always broadcast); maxProductDocs = 0 disables the product term
+    * only.
     */
   def minhashPairsBroadcastIndex(smallIndex: MinhashIndex,
       corpus: DataFrame, idCol: String, textCol: String, n: Int = 2,
       k: Int = 16, bands: Int = 8, threshold: Double = 0.3,
       fastKernel: Boolean = true,
-      maxIndexDocs: Long = 100000L): DataFrame = {
+      maxIndexDocs: Long = 2000000L,
+      maxProductDocs: Long = 1000000000000L): DataFrame = {
     if (maxIndexDocs > 0) {
-      val nDocs = smallIndex.shingles.count()
-      if (nDocs > maxIndexDocs) {
-        // big-vs-big fallback: the index side is past the broadcast
-        // probe's measured economical regime — probe it as a staged
-        // corpus instead (the corpus sketches itself as the delta).
-        // Same output contract; the corpus-sized shingle exchange the
+      val nIdx = smallIndex.shingles.count()
+      val overProduct = maxProductDocs > 0 && {
+        val nCorpus = corpus.count()
+        nIdx * nCorpus > maxProductDocs
+      }
+      if (nIdx > maxIndexDocs || overProduct) {
+        // big-vs-big fallback: past the broadcast probe's measured
+        // economical regime — probe the index as a staged corpus
+        // instead (the corpus sketches itself as the delta). Same
+        // output contract; the corpus-sized shingle exchange the
         // broadcast shape avoids is exactly the trade that WINS once
         // the per-task broadcast build dominates. ANNOUNCED, because a
         // silent plan switch poisons cross-tier timing comparisons (a
         // Tune alpha row mixing the broadcast plan at one tier with
         // this shape at the next is not one pipeline's exponent).
-        println(s"[dedup] minhashPairsBroadcastIndex: index has $nDocs " +
-          s"docs > maxIndexDocs=$maxIndexDocs — auto-falling back to the " +
-          "big-vs-big incremental probe plan")
+        val why = if (nIdx > maxIndexDocs)
+          s"index has $nIdx docs > maxIndexDocs=$maxIndexDocs"
+        else s"index x corpus doc product exceeds maxProductDocs=$maxProductDocs"
+        println(s"[dedup] minhashPairsBroadcastIndex: $why — auto-falling " +
+          "back to the big-vs-big incremental probe plan")
         return incrementalMinhashPairsFromIndex(smallIndex,
           minhashIndexView(corpus, idCol, textCol, n, k, bands, fastKernel),
           threshold)

@@ -661,6 +661,143 @@ object AdvancedQueries {
                lit(0.0)))
               .as("corr_qty_price"))
           .orderBy("rflag")
+      }),
+
+    // Composite: the reference's widest cleanup pipeline in ONE plan
+    // (reference `awarxe_cleanup.py:14-131`) — DEA regex screen (:47),
+    // DEA mod-10 checksum (:57-69), NPI Luhn+24 (:183-199), the
+    // suffix-not-resident/fellow rule (:85-96), the multi-DEA list
+    // pipeline (:108-141: strip → upper → split(',') → partition into
+    // active/inactive by membership against the active-DEA table →
+    // ' | ' joins, all/some-inactive flags), and the role-count window
+    // the role reports aggregate by. Registrant fields are synthesized
+    // from `orders` with the same arithmetic on both engines (the
+    // q_dea_checksum / q_npi_checksum convention).
+    //
+    // Scale shape: the reference collects the active-DEA list to the
+    // driver and runs is_in against a Python list; here membership is
+    // a LEFT JOIN of the posexploded association list against the
+    // (distinct, dimension-sized) active-DEA frame — AQE broadcasts
+    // it while it is small and shuffle-joins past that — and the
+    // per-registrant lists reassemble order-preserving via
+    // array_sort(collect_list(struct(pos, elem))), so no stage ever
+    // holds a corpus-scale list on one node. collect_list skips NULLs,
+    // which is exactly the per-branch filter the reference's
+    // list.filter expresses.
+    QueryDef("q_awarxe_cleanup",
+      Some("""WITH base AS (
+                SELECT o_orderkey AS okey,
+                       'AB' || lpad(CAST(o_orderkey % 10000000 AS VARCHAR), 7, '0') AS dea,
+                       lpad(CAST((o_orderkey * 7919) % 10000000000 AS VARCHAR), 10, '0') AS npi,
+                       CASE o_orderkey % 5
+                         WHEN 0 THEN 'Physician Resident'
+                         WHEN 1 THEN 'Surgical Fellow'
+                         WHEN 2 THEN 'Pharmacist'
+                         WHEN 3 THEN 'Physician'
+                         ELSE 'Nurse Practitioner' END AS role,
+                       CASE WHEN o_orderkey % 7 = 0
+                            THEN 'R' || CAST(o_orderkey % 97 AS VARCHAR) END AS suffix,
+                       ' ab' || lpad(CAST(o_custkey % 10000000 AS VARCHAR), 7, '0') ||
+                       ' , ab' || lpad(CAST((o_custkey + 1) % 10000000 AS VARCHAR), 7, '0')
+                         AS assoc
+                FROM orders),
+              act_list AS (
+                SELECT list(DISTINCT 'AB' || lpad(CAST(o_custkey % 10000000 AS VARCHAR), 7, '0')) AS al
+                FROM orders WHERE o_orderstatus = 'F'),
+              lists AS (
+                SELECT okey,
+                       string_split(upper(regexp_replace(assoc, '\s', '', 'g')), ',') AS l
+                FROM base),
+              ag AS (
+                SELECT okey,
+                       COALESCE(array_to_string(
+                         list_filter(l, x -> list_contains(al, x)), ' | '), '')
+                         AS active_deas,
+                       COALESCE(array_to_string(
+                         list_filter(l, x -> NOT list_contains(al, x)), ' | '), '')
+                         AS inactive_deas,
+                       len(list_filter(l, x -> list_contains(al, x))) AS n_act,
+                       len(list_filter(l, x -> NOT list_contains(al, x))) AS n_inact
+                FROM lists, act_list)
+              SELECT b.okey, b.dea,
+                     (regexp_matches(b.dea, '^[ABCFGHMPR][A-Z][0-9]{7}$')
+                      AND substr(b.dea, 3, 7) <> '0000000') AS pattern_ok,
+                     (regexp_matches(b.dea, '^[ABCFGHMPR][A-Z][0-9]{7}$')
+                      AND substr(b.dea, 3, 7) <> '0000000'
+                      AND (CAST(substr(b.dea,3,1) AS INT) + CAST(substr(b.dea,5,1) AS INT)
+                         + CAST(substr(b.dea,7,1) AS INT)
+                         + 2 * (CAST(substr(b.dea,4,1) AS INT) + CAST(substr(b.dea,6,1) AS INT)
+                              + CAST(substr(b.dea,8,1) AS INT))) % 10
+                          = CAST(substr(b.dea,9,1) AS INT)) AS dea_ok,
+                     (regexp_matches(b.npi, '^[0-9]{10}$')
+                      AND (list_sum(list_transform(range(1, 10), i ->
+                             CASE WHEN i % 2 = 1 THEN
+                               CASE WHEN 2 * CAST(substr(b.npi, CAST(i AS INT), 1) AS INT) > 9
+                                    THEN 2 * CAST(substr(b.npi, CAST(i AS INT), 1) AS INT) - 9
+                                    ELSE 2 * CAST(substr(b.npi, CAST(i AS INT), 1) AS INT) END
+                             ELSE CAST(substr(b.npi, CAST(i AS INT), 1) AS INT) END))
+                           + 24 + CAST(substr(b.npi, 10, 1) AS INT)) % 10 = 0) AS npi_ok,
+                     (b.suffix IS NOT NULL
+                      AND NOT contains(lower(b.role), 'resident')
+                      AND NOT contains(lower(b.role), 'fellow')) AS bad_suffix,
+                     b.role, ag.active_deas, ag.inactive_deas,
+                     ag.n_act = 0 AS all_inactive,
+                     (ag.n_act > 0 AND ag.n_inact > 0) AS some_inactive,
+                     count(*) OVER (PARTITION BY b.role) AS role_n
+              FROM base b JOIN ag USING (okey) ORDER BY okey"""),
+      (s, d) => {
+        def deaOf(c: org.apache.spark.sql.Column, lower: Boolean) =
+          concat(lit(if (lower) "ab" else "AB"),
+            lpad((c % 10000000L).cast("string"), 7, "0"))
+        val base = orders(s, d).select(
+          col("o_orderkey").as("okey"),
+          deaOf(col("o_orderkey"), lower = false).as("dea"),
+          lpad(((col("o_orderkey") * 7919) % 10000000000L).cast("string"),
+            10, "0").as("npi"),
+          (col("o_orderkey") % 5).cast("int").as("role5"),
+          when(col("o_orderkey") % 7 === 0,
+            concat(lit("R"), (col("o_orderkey") % 97).cast("string")))
+            .as("suffix"),
+          concat(lit(" "), deaOf(col("o_custkey"), lower = true),
+            lit(" , "), deaOf(col("o_custkey") + 1, lower = true)).as("assoc"))
+          .withColumn("role",
+            when(col("role5") === 0, "Physician Resident")
+              .when(col("role5") === 1, "Surgical Fellow")
+              .when(col("role5") === 2, "Pharmacist")
+              .when(col("role5") === 3, "Physician")
+              .otherwise("Nurse Practitioner"))
+        val active = orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(deaOf(col("o_custkey"), lower = false).as("adea")).distinct()
+        val mem = base
+          .select(col("okey"), posexplode(
+            split(upper(regexp_replace(col("assoc"), "\\s", "")), ","))
+            .as(Seq("pos", "elem")))
+          .join(active, col("elem") === col("adea"), "left")
+          .withColumn("act", col("adea").isNotNull)
+        def sideList(keep: org.apache.spark.sql.Column) =
+          array_join(transform(
+            array_sort(collect_list(when(keep, struct(col("pos"), col("elem"))))),
+            e => e.getField("elem")), " | ")
+        val ag = mem.groupBy("okey").agg(
+          sideList(col("act")).as("active_deas"),
+          sideList(!col("act")).as("inactive_deas"),
+          sum(when(col("act"), 1L).otherwise(0L)).as("n_act"),
+          sum(when(!col("act"), 1L).otherwise(0L)).as("n_inact"))
+        val deaPat = col("dea").rlike("^[ABCFGHMPR][A-Z][0-9]{7}$") &&
+          substring(col("dea"), 3, 7) =!= "0000000"
+        base.join(ag, Seq("okey"))
+          .select(col("okey"), col("dea"),
+            deaPat.as("pattern_ok"),
+            graft.functions.Checksums.deaValid(col("dea")).as("dea_ok"),
+            graft.functions.Checksums.npiValid(col("npi")).as("npi_ok"),
+            (col("suffix").isNotNull &&
+              !lower(col("role")).contains("resident") &&
+              !lower(col("role")).contains("fellow")).as("bad_suffix"),
+            col("role"), col("active_deas"), col("inactive_deas"),
+            (col("n_act") === 0).as("all_inactive"),
+            (col("n_act") > 0 && col("n_inact") > 0).as("some_inactive"),
+            count(lit(1)).over(Window.partitionBy("role")).as("role_n"))
+          .orderBy("okey")
       })
   )
 }

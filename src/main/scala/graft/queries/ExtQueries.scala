@@ -1011,6 +1011,58 @@ object ExtQueries {
         k = 20)
         .orderBy("doc_id")),
 
+    // ---- dedup: newline-unit CCNet paragraph keep-first — the
+    // literal Wenzek et al. split('\n') semantics over the same
+    // window pipeline as q_paragraph_dedup. The single-line fixture
+    // corpus is regrouped into multiline super-docs (doc_id % 401,
+    // paragraphs joined by \n in doc_id order — WHOLE original docs
+    // become paragraphs, so the corpus's real dup structure becomes
+    // paragraph-level dup structure), and every gid % 3 == 0 group
+    // gains a leading blank line and a trailing blank-line RUN, so
+    // empty paragraphs and empty runs exercise the keep-first rule
+    // (first blank line corpus-wide survives, all others drop) ----
+    QueryDef("q_paragraph_newline",
+      Some("""WITH g AS (SELECT doc_id % 401 AS gid,
+                  string_agg(text, chr(10) ORDER BY doc_id) AS t0
+                FROM documents GROUP BY 1),
+              t AS (SELECT gid,
+                  CASE WHEN gid % 3 = 0
+                    THEN chr(10) || t0 || chr(10) || chr(10)
+                    ELSE t0 END AS text
+                FROM g),
+              px AS (SELECT gid, l,
+                  CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos1
+                FROM (SELECT gid, string_split(text, chr(10)) AS l FROM t)),
+              p AS (SELECT gid, pos1 - 1 AS pos,
+                  l[CAST(pos1 AS INT)] AS para
+                FROM px),
+              w AS (SELECT gid, pos, para,
+                  row_number() OVER (PARTITION BY md5(para)
+                    ORDER BY gid, pos) AS rn
+                FROM p),
+              a AS (SELECT gid, CAST(count(*) AS BIGINT) AS n_kept,
+                  md5(string_agg(para, chr(10) ORDER BY pos)) AS kept_md5
+                FROM w WHERE rn = 1 GROUP BY gid),
+              n AS (SELECT gid,
+                  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_paras
+                FROM t)
+              SELECT n.gid, n.n_paras,
+                COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+                COALESCE(a.kept_md5, md5('')) AS kept_md5
+              FROM n LEFT JOIN a USING (gid) ORDER BY gid"""),
+      (s, d) => {
+        val g = documents(s, d)
+          .groupBy((col("doc_id") % 401).as("gid"))
+          .agg(concat_ws("\n", transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            e => e.getField("text"))).as("t0"))
+        val multi = g.withColumn("text",
+          when(col("gid") % 3 === 0,
+            concat(lit("\n"), col("t0"), lit("\n\n")))
+            .otherwise(col("t0")))
+        Dedup.paragraphDedupNewline(multi, "gid", "text").orderBy("gid")
+      }),
+
     // ---- dedup: WITHIN-doc repeated-block removal (RefinedWeb-style
     // per-document cleanup; map-side only — the operator adds ZERO
     // exchanges, the shuffle-free complement to q_paragraph_dedup's

@@ -758,4 +758,186 @@ class DedupSpec extends SparkTestBase {
       "doc_id", "text").collect().head
     assert((eval.getLong(0), eval.getLong(1), eval.getLong(2)) === ((0L, 0L, 0L)))
   }
+
+  /** Clustered corpus for the rendezvous≡carry pins: 12 clusters of
+    * one base + one exact dup + two near variants, plus 24 unique
+    * docs — enough candidate pairs (incl. multi-bucket collisions)
+    * that a routing bug in the rendezvous verify cannot hide.
+    */
+  private def rvFixture = {
+    val rows = (0 until 12).flatMap { c =>
+      val toks = (0 until 10).map(i => s"w${c}_$i")
+      val base = toks.mkString(" ")
+      Seq(
+        (c * 100L + 0L, base),
+        (c * 100L + 1L, base),
+        (c * 100L + 2L, toks.updated(3, s"x${c}").mkString(" ")),
+        (c * 100L + 3L, toks.updated(7, s"y${c}").mkString(" ")))
+    } ++ (0 until 24).map(u =>
+      (10000L + u, (0 until 8).map(i => s"u${u}_$i").mkString(" ")))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("verifyRendezvous ≡ verifyCarry: self pairs, both kernels") {
+    val corpus = rvFixture
+    for (fast <- Seq(true, false)) {
+      val idx = Dedup.minhashIndexView(corpus, "doc_id", "text",
+        fastKernel = fast)
+      val coll = Dedup.selfCollisions(idx)
+      val rv = Dedup.verifyRendezvous(coll, idx.shingles, idx.shingles,
+          minPairs = 0L)
+        .as[(Long, Long, Double)].collect().toSet
+      val carry = Dedup.verifyCarry(coll, idx.shingles, idx.shingles)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rv === carry, s"fastKernel=$fast")
+      // LSH may miss some variant↔variant pairs (2 token edits apart);
+      // the base/dup/variant triangle per cluster is the robust floor
+      assert(rv.size >= 12 * 3,
+        s"clusters must pair densely, got ${rv.size}")
+    }
+  }
+
+  test("verifyRendezvous ≡ verifyCarry: delta probe, raw and hashed repr") {
+    val corpus = rvFixture.filter($"doc_id" % 2 === 0)
+    val delta = rvFixture.filter($"doc_id" % 2 === 1)
+    val cIdx = Dedup.minhashIndexView(corpus, "doc_id", "text")
+    val dIdx = Dedup.minhashIndexView(delta, "doc_id", "text")
+    val coll = Dedup.deltaCollisions(cIdx, dIdx)
+    // raw-string corpus side (gate off: the tiny fixture must exercise
+    // the rendezvous shape itself, not the small-route)
+    val rv = Dedup.verifyRendezvous(coll, dIdx.shingles, cIdx.shingles,
+        minPairs = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    val carry = Dedup.verifyCarry(coll, dIdx.shingles, cIdx.shingles)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rv === carry)
+    assert(rv.nonEmpty, "cross pairs must form")
+    // staged-hashed corpus side (repr=xxh64): both shapes dispatch on
+    // the schema and must agree with each other AND with the raw run
+    val hashedSh = cIdx.shingles.select($"id",
+      Dedup.hashShingles($"sh").as("sh"))
+    val hIdx = Dedup.MinhashIndex(hashedSh, cIdx.buckets)
+    val rvH = Dedup.verifyRendezvous(coll, dIdx.shingles, hIdx.shingles,
+        minPairs = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    val carryH = Dedup.verifyCarry(coll, dIdx.shingles, hIdx.shingles)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rvH === carryH)
+    assert(rvH === rv)
+  }
+
+  test("broadcast probe two-sided gate: the product term alone routes to fallback") {
+    // r14: the r13 fuzzyxo sweep pinned the crossover as a
+    // corpus×index INTERACTION — the gate's second term. With the
+    // absolute index cap slack, a tiny product cap must still pick
+    // the big-vs-big plan (no broadcast hint), and a disabled product
+    // term must keep the broadcast plan; results identical either way.
+    val bench = docs.filter($"doc_id" % 2 === 0)
+    val probe = docs.filter($"doc_id" % 2 === 1)
+    val benchIdx = Dedup.minhashIndexView(bench, "doc_id", "text")
+    def planOf(maxProduct: Long): String =
+      Dedup.minhashPairsBroadcastIndex(benchIdx, probe, "doc_id", "text",
+        threshold = 0.1, maxIndexDocs = 1000000L,
+        maxProductDocs = maxProduct)
+        .queryExecution.optimizedPlan.toString
+    // marker: in optimizedPlan the broadcast() hint survives as a
+    // JoinHint (strategy=broadcast) — ResolvedHint nodes are already
+    // eliminated at that stage
+    assert(!planOf(1L).contains("strategy=broadcast"),
+      "product cap of 1 must route to the incremental fallback")
+    assert(planOf(0L).contains("strategy=broadcast"),
+      "disabled product term must keep the broadcast plan")
+    def rows(maxProduct: Long): Set[(Long, Long, Double)] =
+      Dedup.minhashPairsBroadcastIndex(benchIdx, probe, "doc_id", "text",
+        threshold = 0.1, maxIndexDocs = 1000000L,
+        maxProductDocs = maxProduct)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(rows(1L) === rows(0L))
+    assert(rows(0L).nonEmpty)
+  }
+
+  test("paragraphDedupNewline: keep-first over \\n paragraphs incl. empty runs") {
+    // independent plain-Scala reference of the CCNet rule: split('\n')
+    // keeping ALL empties, keep first occurrence corpus-wide ordered
+    // by (id, pos), reassemble with '\n'
+    val fixture = Seq(
+      (1L, "alpha\nbeta\n\nalpha"),   // repeat of own para 0 at pos 3
+      (2L, "beta\ngamma\n"),          // 'beta' already owned by doc 1
+      (3L, "\n\ndelta"),              // leading empty run: 2nd empty drops
+      (4L, ""))                       // single empty para, already owned
+    val byPara = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, t) <- fixture; (p, i) <- t.split("\n", -1).zipWithIndex) {
+      val cur = byPara.get(p)
+      if (cur.isEmpty || Ordering[(Long, Int)].lt((id, i), cur.get))
+        byPara(p) = (id, i)
+    }
+    val expect = fixture.map { case (id, t) =>
+      val paras = t.split("\n", -1).zipWithIndex
+      val kept = paras.filter { case (p, i) => byPara(p) == ((id, i)) }
+      (id, paras.length.toLong, kept.length.toLong,
+        md5Hex(kept.map(_._1).mkString("\n")))
+    }.toSet
+    val got = Dedup.paragraphDedupNewline(
+        fixture.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === expect)
+    // the empty-run pin, explicitly: doc 3's SECOND leading blank and
+    // doc 4's whole text lose to doc 1's blank at (1, 2)
+    val d3 = got.find(_._1 == 3L).get
+    assert(d3._2 === 3L && d3._3 === 1L, "only 'delta' survives in doc 3")
+    val d4 = got.find(_._1 == 4L).get
+    assert(d4._2 === 1L && d4._3 === 0L && d4._4 === md5Hex(""))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("rendezvous verify: per-pair shingle arrays cross no exchange") {
+    // the design's whole point: the group map table joins the pair
+    // spine on __rv ALONE, both per-pair lookups happen inside one
+    // projection, and the per-pair sh_a/sh_b columns exist only
+    // transiently in that stage — no Exchange may carry them (the
+    // carry shape's join-1 output, 36.4 of 44.3 GB at the 1000× tier,
+    // did exactly that). Broadcast and AQE are disabled so the small
+    // fixture plans the at-scale static SMJ shape, not a BHJ that
+    // would vacuously pass.
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val idx = Dedup.minhashIndexView(rvFixture, "doc_id", "text")
+      val out = Dedup.verifyRendezvous(
+        Dedup.selfCollisions(idx), idx.shingles, idx.shingles,
+        minPairs = 0L)
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      val carrying = exchanges.filter(
+        _.output.exists(a => a.name == "sh_a" || a.name == "sh_b"))
+      assert(carrying.isEmpty,
+        s"per-pair shingle arrays crossed an exchange:\n${carrying.mkString}")
+      // and the carry twin really does carry (the pin would be
+      // vacuous if the attribute names never hit an exchange at all)
+      val carryEx = Dedup.verifyCarry(
+        Dedup.selfCollisions(idx), idx.shingles, idx.shingles)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.output.exists(_.name == "sh_a") => e
+        }
+      assert(carryEx.nonEmpty, "carry twin must exchange sh_a")
+      // and the DEFAULT size gate routes this tiny candidate set to
+      // the carry shape (broadcast-friendly small side of the
+      // measured crossover): per-pair arrays re-appear in the plan
+      val gatedEx = Dedup.verifyRendezvous(
+        Dedup.selfCollisions(idx), idx.shingles, idx.shingles)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.output.exists(_.name == "sh_a") => e
+        }
+      assert(gatedEx.nonEmpty,
+        "default gate must pick the carry shape below the crossover")
+      graft.ops.StageCache.releaseAll()
+    }
+  }
 }
