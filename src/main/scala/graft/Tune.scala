@@ -348,6 +348,94 @@ object Tune {
       spark.stop(); return
     }
 
+    // ---- DELTA-shape verify A/B (r14): mhrv bracketed the crossover
+    // for the SELF-join shape only; the incremental probe (delta vs
+    // corpus — also the fuzzy-decon fallback and the admission probe)
+    // has different geometry (asymmetric sides, two group maps), and
+    // the fuzzyxo2 gateB cells read its rendezvous form slower than
+    // r13's carry at the same bracket. Two geometries, interleaved:
+    // B = [4.5M corpus probing a 500k index]; C = the mh1000 split
+    // (2.5M delta vs 2.5M corpus).
+    // Usage: runMain graft.Tune /root/testdata/sf0.1 mhrvd
+    if (args.drop(1).headOption.contains("mhrvd")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      ensureTier1000(spark)
+      val d = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val geoms = Seq(
+        ("B 4.5Mx500k", () => (d.filter(col("doc_id") % 10 =!= 0),
+          d.filter(col("doc_id") % 10 === 0)),
+          32),
+        ("C 2.5Mx2.5M", () => (d.filter(col("doc_id") % 2 === 1),
+          d.filter(col("doc_id") % 2 === 0)),
+          128))
+      for (block <- 1 to 2; (gname, mk, p) <- geoms) {
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        val (delta, corpus) = mk()
+        def dIdx = Dedup.minhashIndexView(delta, "doc_id", "text")
+        def cIdx = Dedup.minhashIndexView(corpus, "doc_id", "text")
+        time(f"incr carry $gname b$block") {
+          Dedup.verifyCarry(Dedup.deltaCollisions(cIdx, dIdx),
+            dIdx.shingles, cIdx.shingles)
+            .filter(col("jaccard") >= 0.1)
+        }
+        time(f"incr rv    $gname b$block") {
+          Dedup.verifyRendezvous(Dedup.deltaCollisions(cIdx, dIdx),
+            dIdx.shingles, cIdx.shingles, minPairs = 0L)
+            .filter(col("jaccard") >= 0.1)
+        }
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.stop(); return
+    }
+
+    // ---- two-sided broadcast-probe gate re-sweep (r14): the r13
+    // fuzzyxo sweep pinned the crossover as a corpus×index
+    // interaction; the gate now routes on indexDocs × corpusDocs >
+    // 1e12. This runs the PRODUCTION entry (defaults, gate live) at
+    // both measured brackets plus the not-picked plan as an
+    // interleaved in-session reference — done = the gate's choice is
+    // the measured winner at BOTH brackets (watch for the announced
+    // fallback line at bracket B only).
+    // Usage: runMain graft.Tune /root/testdata/sf0.1 fuzzyxo2
+    if (args.drop(1).headOption.contains("fuzzyxo2")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      ensureTier1000(spark)
+      val d = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      // bracket A: [1M corpus × 400k index] — broadcast measured-good
+      // (r13 fuzzyxo: 11.6 vs 18.2 s); product 4×10¹¹ < 1e12 → gate
+      // must pick broadcast (no fallback line)
+      val corpusA = d.filter(col("doc_id") % 5 === 0)
+      def benchA = d.filter(col("doc_id") % 5 === 1)
+        .filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < 400000)
+      // bracket B: [4.5M corpus × 500k index] — broadcast measured-bad
+      // (r12: 108.9 s vs the fallback's 55.3 s); product 2.25×10¹² >
+      // 1e12 → gate must pick the fallback (announced)
+      val corpusB = d.filter(col("doc_id") % 10 =!= 0)
+      def benchB = d.filter(col("doc_id") % 10 === 0)
+      for (rep <- 1 to 2) {
+        time(f"gateA [1M x 400k] r$rep")(
+          Dedup.minhashPairsBroadcastIndex(
+            Dedup.minhashIndexView(benchA, "doc_id", "text"), corpusA,
+            "doc_id", "text", threshold = 0.1))
+        time(f"refA  incr forced r$rep")(
+          Dedup.incrementalMinhashPairsFromIndex(
+            Dedup.minhashIndexView(benchA, "doc_id", "text"),
+            Dedup.minhashIndexView(corpusA, "doc_id", "text"), 0.1))
+        time(f"gateB [4.5M x 500k] r$rep")(
+          Dedup.minhashPairsBroadcastIndex(
+            Dedup.minhashIndexView(benchB, "doc_id", "text"), corpusB,
+            "doc_id", "text", threshold = 0.1))
+        time(f"refB  bcast forced r$rep")(
+          Dedup.minhashPairsBroadcastIndex(
+            Dedup.minhashIndexView(benchB, "doc_id", "text"), corpusB,
+            "doc_id", "text", threshold = 0.1, maxIndexDocs = 0))
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.stop(); return
+    }
+
     // ---- ANN probe tiers (r13): fixed 100-query probe set against a
     // growing corpus (1×/10×/100× embeddings = ~5k/50k/500k vecs).
     // Expectation: BOTH search paths are Θ(N) at a fixed pivot count —

@@ -992,45 +992,43 @@ object Dedup {
     * for big-vs-big.
     *
     * The small-by-contract side is ENFORCED, not scaladoc-only, and
-    * the guard is a TWO-SIDED measurement-based gate (r12-r14 probes).
-    * The r13 `Tune fuzzyxo` sweep showed index doc count alone is NOT
-    * the wall: at a FIXED 1M-doc corpus the broadcast plan beat the
-    * incremental shape at every index size through 400k docs (mins
-    * 8.1/7.0/8.7/11.6 s vs 12.8/14.1/13.9/18.2 s at 50k/100k/200k/
-    * 400k), while at [4.5M corpus × 500k index] it was ~2× SLOWER
-    * (108.86 vs 55.28 s, r12/r13) — the binding term is the
-    * corpus×index INTERACTION (the per-task broadcast hash build is
-    * paid by every corpus partition, so its cost scales with the
-    * product), not either side alone. The gate therefore:
-    *  - falls back when indexDocs × corpusDocs > `maxProductDocs`
-    *    (default 1e12 ≈ the geometric midpoint between the measured-
-    *    good 1M×400k = 4×10¹¹ and the measured-bad 4.5M×500k =
-    *    2.25×10¹² brackets; `Tune fuzzyxo2` re-verifies the gate
-    *    picks the measured winner on BOTH brackets);
-    *  - falls back when indexDocs > `maxIndexDocs` (default 2M) — an
-    *    ABSOLUTE broadcast-size bound (≈0.8 GB of hashed shingle
-    *    sets, safely under Spark's 8 GB broadcast limit and a sane
-    *    driver-collect ceiling), not a perf crossover.
-    * Both counts are one cheap job each (the index count over the
-    * pre-broadcast shingle view; the corpus count over the raw input,
-    * metadata-served for a bare parquet scan) — trivially amortized
-    * against picking a 2× wrong plan for the whole probe. ABOVE
-    * either bound the call AUTO-FALLS-BACK to the big-vs-big staged-
-    * index probe ([[incrementalMinhashPairsFromIndex]] with
+    * the guard's history is itself a measurement lesson (r12→r14):
+    *  - r12 (STRING-repr verify era) measured the broadcast shape 2×
+    *    slower than the incremental fallback at [4.5M corpus × 500k
+    *    index] (108.9 vs 55.3 s) and the r13 guard capped index docs
+    *    at 100k on that evidence;
+    *  - r13's `Tune fuzzyxo` sweep showed broadcast WINNING at every
+    *    index size through 400k on a 1M-doc corpus (the "interaction
+    *    wall" hypothesis);
+    *  - r14's `Tune fuzzyxo2` re-ran BOTH brackets interleaved on the
+    *    hashed-verify code and the r12 wall is GONE: broadcast wins
+    *    both [1M × 400k] (13.8-28.2 s vs 25.4-49.4 s incremental) and
+    *    [4.5M × 500k] (39.2-44.5 s vs 82.3-112.9 s) — the r12 number
+    *    was the string-era verify's cost, not a broadcast property,
+    *    and a product gate calibrated on it picked the LOSER at
+    *    bracket B on current code.
+    * The default guard is therefore the ABSOLUTE broadcast-size bound
+    * only: `maxIndexDocs` (default 2M ≈ 0.8 GB of hashed shingle
+    * sets, safely under Spark's 8 GB broadcast limit and a sane
+    * driver-collect/per-task-build ceiling; no measured perf wall
+    * below it on this host). `maxProductDocs` (default 0 = OFF) keeps
+    * the corpus×index interaction term available for cluster owners
+    * who measure a wall this host does not show — when > 0, the call
+    * counts the corpus (one job, metadata-served for a bare parquet
+    * scan) and falls back when indexDocs × corpusDocs exceeds it.
+    * ABOVE either bound the call AUTO-FALLS-BACK to the big-vs-big
+    * staged-index probe ([[incrementalMinhashPairsFromIndex]] with
     * `smallIndex` as the probed corpus — same (id_a=corpus,
     * id_b=index, jaccard) contract, equivalence pinned in DedupSpec)
-    * instead of require-failing: past the crossover the incremental
-    * shape IS the right plan, so the guard picks it rather than
-    * punting to the caller. maxIndexDocs = 0 disables BOTH checks
-    * (always broadcast); maxProductDocs = 0 disables the product term
-    * only.
+    * instead of require-failing. maxIndexDocs = 0 disables BOTH
+    * checks (always broadcast).
     */
   def minhashPairsBroadcastIndex(smallIndex: MinhashIndex,
       corpus: DataFrame, idCol: String, textCol: String, n: Int = 2,
       k: Int = 16, bands: Int = 8, threshold: Double = 0.3,
       fastKernel: Boolean = true,
       maxIndexDocs: Long = 2000000L,
-      maxProductDocs: Long = 1000000000000L): DataFrame = {
+      maxProductDocs: Long = 0L): DataFrame = {
     if (maxIndexDocs > 0) {
       val nIdx = smallIndex.shingles.count()
       val overProduct = maxProductDocs > 0 && {
