@@ -595,14 +595,12 @@ object Tune {
             driverEdgeLimit = 0)),
         ("substr_dedup", () =>
           Dedup.duplicateSpans(d, "doc_id", "text", 8)),
-        // NOTE this arm measures the operator's PRODUCTION behavior,
-        // which since r13 includes the maxIndexDocs auto-fallback: the
-        // ~50k-doc index at 100x broadcasts, the ~500k-doc index at
-        // 1000x routes through the big-vs-big incremental plan (the
-        // switch is announced by a [dedup] log line). Its alpha row
-        // therefore spans TWO plans by design — it answers "how does
-        // the operator scale", not "how does the broadcast plan
-        // scale" (the r12 table measured the latter: alpha 1.32).
+        // NOTE this arm measures the operator's PRODUCTION behavior.
+        // Through r13 that spanned two plans (the 100k-doc guard sent
+        // the 1000x tier's 500k index to the incremental fallback);
+        // since the r14 fuzzyxo2 re-adjudication the guard is the
+        // absolute 2M-doc broadcast-size bound, so BOTH tiers
+        // broadcast and the alpha row is one plan again.
         ("fuzzy_decon_fast", () =>
           Decontaminate.fuzzyContamination(d.filter(col("doc_id") % 10 =!= 0),
             d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
