@@ -413,17 +413,41 @@ class PlanSpec extends SparkTestBase {
   ): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
     case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
       physicalNodes(a.executedPlan)
+    // a FINALIZED adaptive plan (e.g. a cached plan some action already
+    // materialized) wraps its stages in QueryStageExec leaves whose
+    // inner plan is not a child — unwrap or the walk sees nothing
+    // below the first shuffle boundary
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: physicalNodes(q.plan)
     case _ => p +: p.children.flatMap(physicalNodes)
   }
+
+  // Recurses into InMemoryRelations: since r14 the minhash pipelines
+  // StageCache-persist the candidate PAIR table, so the bucket-cache
+  // self-join (the structure these pins exist to check) lives inside
+  // a nested cached plan rather than the outer executedPlan.
+  private def nodesThroughCaches(
+      p: org.apache.spark.sql.execution.SparkPlan
+  ): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    physicalNodes(p).flatMap {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s +: nodesThroughCaches(s.relation.cachedPlan)
+      case n => Seq(n)
+    }
 
   private def sketchSitesOutsideCache(name: String,
       isKernel: org.apache.spark.sql.catalyst.expressions.Expression => Boolean)
       : (Int, Seq[AnyRef]) = {
-    val nodes = physicalNodes(
+    val all = nodesThroughCaches(
       SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
-    val kernelSites = nodes.map(n =>
+    // kernel sites that are NOT under any cache: walk only the outer
+    // plan for the sites count (a kernel inside a cached plan runs
+    // once per cache build by construction)
+    val outer = physicalNodes(
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+    val kernelSites = outer.map(n =>
       n.expressions.map(_.collect { case e if isKernel(e) => e }.size).sum).sum
-    val caches = nodes.collect {
+    val caches = all.collect {
       case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         s.relation.cacheBuilder
     }
@@ -440,10 +464,13 @@ class PlanSpec extends SparkTestBase {
       val (sites, caches) = sketchSitesOutsideCache(q, isKernel)
       assert(sites == 0,
         s"$q computes the k-MD5 minhash kernel outside the cache ($sites sites)")
-      assert(caches.size >= 2,
-        s"$q bucket self-join sides do not both read a cache (${caches.size})")
-      assert(caches.map(System.identityHashCode).distinct.size == 1,
-        s"$q join sides read SEPARATE caches — the sketch still runs twice")
+      // the bucket cache must be read by BOTH self-join sides (one
+      // SHARED cache, scanned >= 2 times — possibly nested inside the
+      // r14 pair-table cache); a second distinct cache (the pair
+      // table itself) is expected and fine
+      assert(caches.groupBy(System.identityHashCode).values.exists(_.size >= 2),
+        s"$q: no single cache is read by both bucket self-join sides " +
+          s"(${caches.size} cache scans) — the sketch may run twice")
       graft.ops.StageCache.releaseAll()
     }
   }
