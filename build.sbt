@@ -48,3 +48,9 @@ run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   "-XX:+AlwaysPreTouch",
 )
+// Measurement-harness passthrough (Tune/Bench forensics): extra JVM
+// flags for the forked run JVM, e.g. GC logging or a G1 region-size
+// sweep for the humongous-allocation adjudication —
+//   SPARK_GRAFT_JVM_OPTS="-Xlog:gc*=info:file=/tmp/gc.log -XX:G1HeapRegionSize=8m"
+run / javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

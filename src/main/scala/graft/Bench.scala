@@ -108,6 +108,117 @@ object Bench {
     // their timed sections (measured: q_keepfirst 3.4s cold vs 1.5s)
     (names.headOption.toSeq ++ Seq("q_keepfirst", "q_select_rename"))
       .filter(SparkEntry.queries.contains).distinct.foreach(run)
+
+    // ---- sf1 subset runs FIRST (r15 protocol change): a 10×-documents
+    // tier for the heaviest dedup/text queries — measures the SCALING
+    // EXPONENT (log10 t10/t1; alpha is computed after the main passes
+    // produce t1), not just absolute sf0.1 time. Each copy's tokens
+    // are prefixed c0..c9 so shingle spaces stay disjoint across
+    // copies: per-copy duplicate density (and so the true answer)
+    // scales linearly, and an exponent near 1.0 means the pipeline's
+    // cost does too.
+    // PROTOCOL (r14 watch-list 2): the subset must run BEFORE the two
+    // full passes. In r14 it ran last — in a JVM warm with ~2×201
+    // query executions' heap debt, over a /tmp holding ~15 GB of
+    // probe tiers — and all 16 arms read uniformly 1.7-2.5× high,
+    // touched and untouched alike, while min_sum improved: the
+    // per-query cross-round regression signal was dead. Immediately
+    // after warmup the subset's environment is reproducible across
+    // rounds, so its absolute seconds compare again.
+    // WARMUP PASS (r15, measured): at the front of the session the
+    // first tier-scale executions ride the JVM's C2/codegen warmup
+    // curve — the first arms read 2-7× their steady state
+    // (q_ngram_prefix 34.3/21.4 s where the same session's main pass
+    // read 3.07 s minutes later; entries beyond ~90 s of heavy
+    // execution were already steady, and a tier re-run seconds after
+    // run A was STILL falling). One UNCOUNTED full pass over the
+    // subset at the tier burns that curve for every plan before any
+    // measured execution; the min-of-2 below then reads steady state
+    // — comparable round-over-round at this fixed position, and
+    // within spread of the old warm-position (r13) levels. Enabled on
+    // the driver's sf0.1 full runs; override with SPARK_GRAFT_SF1=0/1.
+    val sf1Queries = Seq("q_dedup_minhash", "q_dedup_minhash_fast",
+      "q_ngram_prefix",
+      "q_ngram_jaccard", "q_dedup_eval", "q_dedup_simhash",
+      "q_dedup_simhash64", "q_substr_dedup",
+      "q_incremental_minhash", "q_substr_apply", "q_containment",
+      // paragraph keep-first: prefix-disjoint copies scale paragraph
+      // digests linearly; the WindowGroupLimit winner should too
+      "q_paragraph_dedup",
+      // fuzzy decontamination reads only documents; its LSH probe
+      // should scale like the other banded pipelines
+      "q_fuzzy_decontaminate",
+      // events-backed iterative/graph ops: the 10x tier shifts user and
+      // event ids per copy, so user partitions stay disjoint (10x
+      // transition rows over the same page-node set — iteration count
+      // and node-side state are scale-INdependent by design)
+      "q_pagerank", "q_triangles",
+      // native as-of operator: 10x disjoint users -> the sorted-merge
+      // exec should scale linearly in rows
+      "q_asof_native")
+    val sf1Spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val sf1Jobs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val sf1Enabled = sys.env.get("SPARK_GRAFT_SF1")
+      .map(_ != "0").getOrElse(sfDir.contains("sf0.1") && only.isEmpty)
+    val sf1Times: Seq[(String, Double)] = if (!sf1Enabled) Seq.empty else {
+      import org.apache.spark.sql.functions._
+      // heap telemetry reading rule (r11): the allocation-heavy entries
+      // (the md5-lex-min minhash kernel in particular) go GC-bound when
+      // the heap is small — a 34 GB run measured q_dedup_minhash at
+      // 24.5 s where the same commit at 96 GB (the driver's
+      // configuration, SPARK_DRIVER_MEM) measures 6.3 s. Label such
+      // runs loudly so a low-heap number is never read as a plan
+      // regression.
+      val heapGb = Runtime.getRuntime.maxMemory / 1e9
+      if (heapGb < 60)
+        System.err.println(f"[bench] WARNING: sf1 tier on a $heapGb%.0f GB " +
+          "heap — allocation-heavy entries can read 2-4x high from GC; " +
+          "compare only against runs with similar env.heap_max_gb")
+      val dir = "/tmp/graft_sf1"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until 10).map { k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text", concat_ws(" ",
+            transform(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
+              t => concat(lit("c" + k), t))))
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // 10x events: disjoint user/event id spaces per copy; ts/props
+      // pass through unchanged in whatever type the fixture ships
+      // (nanos-as-long or TIMESTAMP_NTZ micros — Tables.eventsRaw
+      // branches on the resolved type at re-read)
+      val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until 10).map { k =>
+        evs.withColumn("user_id", col("user_id") + lit(k * 10000000L))
+          .withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val subsetNames = sf1Queries.filter(n =>
+        SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
+      // uncounted tier-scale warmup pass over the WHOLE subset first:
+      // burns the session's C2/codegen warmup curve and each tier
+      // plan's codegen before any measured execution (see PROTOCOL
+      // note above; a per-query discard is not enough — the first
+      // queries' re-runs landed at 8-25 s of heavy execution, still
+      // on the curve)
+      System.err.println("[bench] ---- sf1 warmup pass (uncounted) ----")
+      subsetNames.foreach(n => runIn(n, dir))
+      System.err.println("[bench] ---- sf1 measured passes ----")
+      subsetNames.map { n =>
+        // min-of-2 like the sf0.1 passes: host/GC contention is
+        // strictly additive, and a single-shot sf1 number was observed
+        // 1.8x off the quiet-machine cost for the same plan
+        val tA = runIn(n, dir); val jA = jobCounts(n)
+        val tB = runIn(n, dir); val jB = jobCounts(n)
+        sf1Spreads(n) = math.abs(tA - tB)
+        val (t10, j10) = if (tB < tA) (tB, jB) else (tA, jA)
+        sf1Jobs(n) = j10
+        System.err.println(f"[bench] sf1 $n%-20s $t10%8.2f s " +
+          "(alpha printed after the main passes)")
+        n -> t10
+      }
+    }
+
     // TWO full passes, per-query MIN (r13). The r11/r12 adjudications
     // proved single-run totals carry ±5-10% additive noise (host/GC
     // contention lands multi-second pauses on whichever query is
@@ -154,90 +265,16 @@ object Bench {
     }
     val pass1Sum = pass1.map(_._2).sum
     val pass2Sum = if (passes.size > 1) passes(1).map(_._2).sum else 0.0
-    // ---- sf1 subset: a 10×-documents tier for the heaviest dedup/
-    // text queries — measures the SCALING EXPONENT (log10 t10/t1), not
-    // just absolute sf0.1 time. Each copy's tokens are prefixed c0..c9
-    // so shingle spaces stay disjoint across copies: per-copy duplicate
-    // density (and so the true answer) scales linearly, and an
-    // exponent near 1.0 means the pipeline's cost does too. Enabled on
-    // the driver's sf0.1 full runs; override with SPARK_GRAFT_SF1=0/1.
-    val sf1Queries = Seq("q_dedup_minhash", "q_dedup_minhash_fast",
-      "q_ngram_prefix",
-      "q_ngram_jaccard", "q_dedup_eval", "q_dedup_simhash",
-      "q_dedup_simhash64", "q_substr_dedup",
-      "q_incremental_minhash", "q_substr_apply", "q_containment",
-      // paragraph keep-first: prefix-disjoint copies scale paragraph
-      // digests linearly; the WindowGroupLimit winner should too
-      "q_paragraph_dedup",
-      // fuzzy decontamination reads only documents; its LSH probe
-      // should scale like the other banded pipelines
-      "q_fuzzy_decontaminate",
-      // events-backed iterative/graph ops: the 10x tier shifts user and
-      // event ids per copy, so user partitions stay disjoint (10x
-      // transition rows over the same page-node set — iteration count
-      // and node-side state are scale-INdependent by design)
-      "q_pagerank", "q_triangles",
-      // native as-of operator: 10x disjoint users -> the sorted-merge
-      // exec should scale linearly in rows
-      "q_asof_native")
+    // sf1 alphas: the subset ran FIRST (see above); its exponent needs
+    // the main passes' t1, so it is computed here at report time
     val resultMap = results.toMap
-    val sf1Spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    // snapshot the MAIN-run job counts before the sf1 tier runs the
-    // same query names and overwrites jobCounts with sf1-tier numbers
-    val mainJobCounts = jobCounts.toMap
-    val sf1Enabled = sys.env.get("SPARK_GRAFT_SF1")
-      .map(_ != "0").getOrElse(sfDir.contains("sf0.1") && only.isEmpty)
-    val sf1: Seq[(String, (Double, Double))] = if (!sf1Enabled) Seq.empty else {
-      import org.apache.spark.sql.functions._
-      // heap telemetry reading rule (r11): the sf1 tier runs in a JVM
-      // already warm with ~2×n_queries executions, and the
-      // allocation-heavy entries (the md5-lex-min minhash kernel in
-      // particular) go GC-bound when the heap is small — a 34 GB run
-      // measured q_dedup_minhash at 24.5 s where the same commit at
-      // 96 GB (the driver's configuration, SPARK_DRIVER_MEM) measures
-      // 6.3 s. Label such runs loudly so a low-heap number is never
-      // read as a plan regression.
-      val heapGb = Runtime.getRuntime.maxMemory / 1e9
-      if (heapGb < 60)
-        System.err.println(f"[bench] WARNING: sf1 tier on a $heapGb%.0f GB " +
-          "heap — allocation-heavy entries can read 2-4x high from GC; " +
-          "compare only against runs with similar env.heap_max_gb")
-      val dir = "/tmp/graft_sf1"
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      (0 until 10).map { k =>
-        docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
-          .withColumn("text", concat_ws(" ",
-            transform(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
-              t => concat(lit("c" + k), t))))
-      }.reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      // 10x events: disjoint user/event id spaces per copy; ts/props
-      // pass through unchanged in whatever type the fixture ships
-      // (nanos-as-long or TIMESTAMP_NTZ micros — Tables.eventsRaw
-      // branches on the resolved type at re-read)
-      val evs = spark.read.parquet(s"$sfDir/events.parquet")
-      (0 until 10).map { k =>
-        evs.withColumn("user_id", col("user_id") + lit(k * 10000000L))
-          .withColumn("event_id", col("event_id") + lit(k * 1000000000L))
-      }.reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
-      sf1Queries.filter(n => SparkEntry.queries.contains(n) &&
-          only.forall(_.contains(n))).map { n =>
-        // min-of-2 like the sf0.1 outlier pass: host/GC contention is
-        // strictly additive, and a single-shot sf1 number was observed
-        // 1.8x off the quiet-machine cost for the same plan
-        val tA = runIn(n, dir); val jA = jobCounts(n)
-        val tB = runIn(n, dir); val jB = jobCounts(n)
-        sf1Spreads(n) = math.abs(tA - tB)
-        val (t10, j10) = if (tB < tA) (tB, jB) else (tA, jA)
-        jobCounts(n) = j10
-        val t1 = resultMap.getOrElse(n, 0.0)
-        val alpha = if (t1 > 0 && t10 > 0) math.log(t10 / t1) / math.log(10.0)
-                    else 0.0
-        System.err.println(
-          f"[bench] sf1 $n%-20s $t10%8.2f s alpha $alpha%.2f")
-        n -> ((t10, alpha))
-      }
+    val sf1: Seq[(String, (Double, Double))] = sf1Times.map { case (n, t10) =>
+      val t1 = resultMap.getOrElse(n, 0.0)
+      val alpha = if (t1 > 0 && t10 > 0) math.log(t10 / t1) / math.log(10.0)
+                  else 0.0
+      System.err.println(
+        f"[bench] sf1 $n%-20s $t10%8.2f s alpha $alpha%.2f")
+      n -> ((t10, alpha))
     }
 
     // The harness that captures this output keeps only the LAST 2000
@@ -262,7 +299,7 @@ object Bench {
       if (sf1.isEmpty) ""
       else s""","sf1_subset":${sf1.sortBy(_._1).map { case (n, (t, a)) =>
         "\"" + n + "\":{\"sec\":" + r2(t) + ",\"alpha\":" + r2(a) +
-          ",\"jobs\":" + jobCounts.getOrElse(n, 0) +
+          ",\"jobs\":" + sf1Jobs.getOrElse(n, 0) +
           ",\"spread\":" + r2(sf1Spreads.getOrElse(n, 0.0)) + "}"
       }.mkString("{", ",", "}")}"""
     // host-contention markers: load averages straddling the run plus
@@ -311,9 +348,12 @@ object Bench {
       .map(bySlowest.take).find(k => line(k).length <= 1400)
       .getOrElse(Seq.empty)
     // full dump also carries per-query Spark JOB counts (the action-
-    // count tuning signal; compact line omits them to stay in-window)
+    // count tuning signal; compact line omits them to stay in-window).
+    // jobCounts holds MAIN-run numbers here: the sf1 subset ran first
+    // and snapshotted its own counts into sf1Jobs before the passes
+    // overwrote the shared map.
     val jobsPart = s""","jobs":${bySlowest.map { case (n, _) =>
-      "\"" + n + "\":" + mainJobCounts.getOrElse(n, 0)
+      "\"" + n + "\":" + jobCounts.getOrElse(n, 0)
     }.mkString("{", ",", "}")}"""
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${
       bySlowest.map(entry).mkString("{", ",", "}")}$jobsPart$failedPart$sf1Part$envPart$spreadPart$passesPart,"value":${r2(total)}}"""

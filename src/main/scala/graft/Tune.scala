@@ -48,6 +48,13 @@ object Tune {
     * copies=100 the largest shift is 1e-3 of a unit-scale component
     * (the previous 1e-3 stride shifted the last copy by 0.099 — ~100×
     * the realism the tier promises).
+    *
+    * TIER DIRS ARE VERSIONED (r14 ADVICE): the `_SUCCESS` early-return
+    * keeps whatever a previous session built, so a change to THIS
+    * generation recipe silently keeps measuring stale data on hosts
+    * with existing tiers — the stale-representation pitfall. Callers
+    * use `_v2`-suffixed dirs for the 1e-5-stride recipe; bump the
+    * suffix whenever the recipe changes again.
     */
   private def ensureEmbTier(spark: SparkSession, srcDir: String,
       dstDir: String, copies: Int): Unit = {
@@ -389,29 +396,31 @@ object Tune {
       spark.stop(); return
     }
 
-    // ---- two-sided broadcast-probe gate re-sweep (r14): the r13
-    // fuzzyxo sweep pinned the crossover as a corpus×index
-    // interaction; the gate now routes on indexDocs × corpusDocs >
-    // 1e12. This runs the PRODUCTION entry (defaults, gate live) at
-    // both measured brackets plus the not-picked plan as an
-    // interleaved in-session reference — done = the gate's choice is
-    // the measured winner at BOTH brackets (watch for the announced
-    // fallback line at bracket B only).
+    // ---- two-sided broadcast-probe gate re-sweep (r14, cell comments
+    // refreshed r15 after commit de266ac retired the product-gate
+    // default): the PRODUCTION gate is now the absolute 2M-doc
+    // broadcast-size bound alone (maxProductDocs defaults to 0 = off),
+    // so the gate picks BROADCAST at both brackets — no fallback line
+    // anywhere. Each bracket keeps a real interleaved A/B reference by
+    // FORCING the not-picked plan (the incremental fallback) — done =
+    // the gate's broadcast choice is the measured winner at BOTH
+    // brackets (r14 measured: A 13.8/28.2 vs 25.4/49.4 s; B 39.2/44.5
+    // vs 82.3/112.9 s).
     // Usage: runMain graft.Tune /root/testdata/sf0.1 fuzzyxo2
     if (args.drop(1).headOption.contains("fuzzyxo2")) {
       ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
       ensureTier1000(spark)
       val d = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
       spark.conf.set("spark.sql.shuffle.partitions", "128")
-      // bracket A: [1M corpus × 400k index] — broadcast measured-good
-      // (r13 fuzzyxo: 11.6 vs 18.2 s); product 4×10¹¹ < 1e12 → gate
-      // must pick broadcast (no fallback line)
+      // bracket A: [1M corpus × 400k index] — index < 2M → gate
+      // broadcasts (no fallback line)
       val corpusA = d.filter(col("doc_id") % 5 === 0)
       def benchA = d.filter(col("doc_id") % 5 === 1)
         .filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < 400000)
-      // bracket B: [4.5M corpus × 500k index] — broadcast measured-bad
-      // (r12: 108.9 s vs the fallback's 55.3 s); product 2.25×10¹² >
-      // 1e12 → gate must pick the fallback (announced)
+      // bracket B: [4.5M corpus × 500k index] — the r12 string-era
+      // "interaction wall" bracket; index still < 2M → gate broadcasts
+      // here too (no fallback line), and the forced-incremental ref
+      // checks the r14 re-adjudication still holds on current code
       val corpusB = d.filter(col("doc_id") % 10 =!= 0)
       def benchB = d.filter(col("doc_id") % 10 === 0)
       for (rep <- 1 to 2) {
@@ -427,10 +436,10 @@ object Tune {
           Dedup.minhashPairsBroadcastIndex(
             Dedup.minhashIndexView(benchB, "doc_id", "text"), corpusB,
             "doc_id", "text", threshold = 0.1))
-        time(f"refB  bcast forced r$rep")(
-          Dedup.minhashPairsBroadcastIndex(
-            Dedup.minhashIndexView(benchB, "doc_id", "text"), corpusB,
-            "doc_id", "text", threshold = 0.1, maxIndexDocs = 0))
+        time(f"refB  incr forced r$rep")(
+          Dedup.incrementalMinhashPairsFromIndex(
+            Dedup.minhashIndexView(benchB, "doc_id", "text"),
+            Dedup.minhashIndexView(corpusB, "doc_id", "text"), 0.1))
       }
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
       spark.stop(); return
@@ -447,13 +456,13 @@ object Tune {
     // Usage: runMain graft.Tune /root/testdata/sf0.1 annt
     if (args.drop(1).headOption.contains("annt")) {
       import graft.similarity.Ann
-      ensureEmbTier(spark, sfDir, "/tmp/graft_emb10", 10)
-      ensureEmbTier(spark, sfDir, "/tmp/graft_emb100", 100)
+      ensureEmbTier(spark, sfDir, "/tmp/graft_emb10_v2", 10)
+      ensureEmbTier(spark, sfDir, "/tmp/graft_emb100_v2", 100)
       val q0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .orderBy("vec_id").limit(100).select("vec_id", "embedding")
         .localCheckpoint(true)
-      val tiers = Seq(("@1x", s"$sfDir"), ("@10x", "/tmp/graft_emb10"),
-        ("@100x", "/tmp/graft_emb100"))
+      val tiers = Seq(("@1x", s"$sfDir"), ("@10x", "/tmp/graft_emb10_v2"),
+        ("@100x", "/tmp/graft_emb100_v2"))
       val arms: Seq[(String, DataFrame => DataFrame)] = Seq(
         ("ann_brute", c => Ann.bruteForceTopK(q0, c, 10, excludeSelf = false)),
         ("ann_ivf", c =>
@@ -474,6 +483,199 @@ object Tune {
           println(f"[tune] ${arms(ai)._1}%s ${tiers(ti - 1)._1}%s -> ${tiers(ti)._1}%s: " +
             f"${a}%7.2f s -> ${b}%8.2f s   alpha $alpha%5.2f$flag")
         }
+      }
+      spark.stop(); return
+    }
+
+    // ---- ANN 5M-vector tier (r15, verdict task 6): the annt evidence
+    // stops at the 100× tier; this extends the IVF search and the
+    // incremental-IVF maintenance probe to a 5M-vector corpus (25
+    // super-copies of the 100× tier — the largest round-number tier
+    // that keeps the whole corpus + cells comfortably in memory at
+    // local[32]/96g). Fixed 100-query probe set, nPivots=16 — the same
+    // geometry as annt, so the 200k cell here is the bridge to the
+    // annt table. Expectation stays Θ(N): assignment is N×P map-side
+    // arithmetic, the probe is Q×N/P sims behind the rank window.
+    // alpha is per-decade (log10 of the t-ratio / log10 25).
+    // Usage: runMain graft.Tune /root/testdata/sf0.1 annt5m
+    if (args.drop(1).headOption.contains("annt5m")) {
+      import graft.similarity.Ann
+      ensureEmbTier(spark, sfDir, "/tmp/graft_emb100_v2", 100)
+      val emb5m = "/tmp/graft_emb5m_v2"
+      if (!new java.io.File(s"$emb5m/embeddings.parquet/_SUCCESS").exists) {
+        println(s"[tune] building $emb5m (25 super-copies of /tmp/graft_emb100_v2)")
+        val e = spark.read.parquet("/tmp/graft_emb100_v2/embeddings.parquet")
+        // vec_id stride 1e9 (inner tier ids < 1e9); first-component
+        // nudge j·1e-3 — combined with the inner tier's c·1e-5 the
+        // total shift (100j+c)·1e-5 is unique per (super, inner) copy,
+        // so top-k ties never decide a timing, max shift 0.024
+        (0 until 25).map { j =>
+          e.withColumn("vec_id", col("vec_id") + lit(j * 1000000000L))
+            .withColumn("embedding", transform(col("embedding"),
+              (x, i) => when(i === 0, (x + lit((j * 1e-3).toFloat)).cast("float"))
+                .otherwise(x)))
+        }.reduce(_.unionByName(_))
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$emb5m/embeddings.parquet")
+      }
+      val q0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .orderBy("vec_id").limit(100).select("vec_id", "embedding")
+        .localCheckpoint(true)
+      val tiers = Seq(("@200k", "/tmp/graft_emb100_v2", "32"),
+        ("@5M", emb5m, "128"))
+      val arms: Seq[(String, DataFrame => DataFrame)] = Seq(
+        ("ivf", c => Ann.ivfTopK(q0, c, 10, nPivots = 16,
+          excludeSelf = false)),
+        // incremental maintenance: the even half owns pivots + cell
+        // index, the odd half is the day-2 delta assigned map-side
+        ("ivf_inc", c => Ann.ivfTopKIncremental(q0,
+          c.filter(col("vec_id") % 2 === 0),
+          c.filter(col("vec_id") % 2 === 1), 10, 16,
+          excludeSelf = false)))
+      val best = Array.fill(arms.size, tiers.size)(Double.MaxValue)
+      for (rep <- 1 to 2; ti <- tiers.indices; ai <- arms.indices) {
+        val (tname, dir, p) = tiers(ti); val (aname, mk) = arms(ai)
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+        val t = time(f"$aname%-7s $tname%s r$rep")(mk(corpus))
+        if (!t.isNaN) best(ai)(ti) = math.min(best(ai)(ti), t)
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      println("[tune] ---- ANN 200k -> 5M scaling (alpha per decade; 1.0 = linear) ----")
+      for (ai <- arms.indices) {
+        val (a, b) = (best(ai)(0), best(ai)(1))
+        if (a != Double.MaxValue && b != Double.MaxValue && a > 0) {
+          val alpha = math.log(b / a) / math.log(25.0)
+          val flag = if (alpha > 1.02) "  ** SUPERLINEAR **" else ""
+          println(f"[tune] ${arms(ai)._1}%-7s ${a}%7.2f s -> ${b}%8.2f s   " +
+            f"alpha $alpha%5.2f$flag")
+        }
+      }
+      spark.stop(); return
+    }
+
+    // ---- fourth-decade spot-cells for the flagship dedup arms (r15,
+    // verdict task 4): the scale story rests on 1×/10×/100×/1000× (5M
+    // docs); these cells push cluster_star to 20M docs (4 super-copies
+    // of the 1000× tier) and minhash_fast to 10M (the first 2 of those
+    // copies — its verify exchanges ~26 GB/5M docs and shuffle files
+    // live until the action completes, so 20M would need ~104 GB of
+    // /tmp headroom this 79 GB-free sandbox does not have; the 10M
+    // bound is recorded as the infeasibility line for 20M). Both run
+    // against an in-session 1000× reference cell so the ratio is not
+    // cross-session. A daemon samples /tmp free space so peak-disk
+    // rides the result line; per-cell gc/shW columns come from time().
+    // Usage: runMain graft.Tune /root/testdata/sf0.1 sf1000 [filter]
+    if (args.drop(1).headOption.contains("sf1000")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      ensureTier1000(spark)
+      val t4 = "/tmp/graft_sf1000"
+      if (!new java.io.File(s"$t4/documents.parquet/_SUCCESS").exists) {
+        println(s"[tune] building $t4 (4 super-copies of /tmp/graft_sf100)")
+        val d = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
+        // tag e0..e3 keeps shingle spaces disjoint across super-copies
+        // (duplicate density — the true answer — stays linear); doc_id
+        // stride 1e10 (sf100 ids < 1e10)
+        (0 until 4).map { k =>
+          d.withColumn("doc_id", col("doc_id") + lit(k * 10000000000L))
+            .withColumn("text", concat_ws(" ",
+              transform(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
+                t => concat(lit(s"e$k"), t))))
+        }.reduce(_.unionByName(_))
+          .repartition(128)
+          .write.mode("overwrite").parquet(s"$t4/documents.parquet")
+      }
+      val minFree = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+      val sampler = new Thread(() => while (true) {
+        minFree.updateAndGet(m =>
+          math.min(m, new java.io.File("/tmp").getUsableSpace)); Thread.sleep(2000)
+      })
+      sampler.setDaemon(true); sampler.start()
+      def freeGb: Double = new java.io.File("/tmp").getUsableSpace / 1e9
+      val d1000 = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
+      val d4000 = spark.read.parquet(s"$t4/documents.parquet")
+      // first two super-copies = 10M docs (ids < 2e10)
+      val d2000 = d4000.filter(col("doc_id") < 20000000000L)
+      def cell(name: String)(f: => DataFrame): Unit = {
+        println(f"[tune] /tmp free before $name: $freeGb%.1f GB")
+        try { time(name)(f); () } catch {
+          case e: Exception =>
+            println(s"[tune] $name FAILED: ${e.getMessage.take(200)}")
+        }
+        println(f"[tune] /tmp free after  $name: $freeGb%.1f GB " +
+          f"(session min ${minFree.get / 1e9}%.1f GB)")
+      }
+      // cheap arm first; partition count scales with the tier (the
+      // initial shuffle-partition count is the per-partition memory
+      // cap — see the sf100 loop's rationale)
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      cell("cluster_star @1000x (5M)")(
+        Dedup.clusters(Dedup.simhashPairs64(d1000, "doc_id", "text", 3),
+          driverEdgeLimit = 0))
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      cell("cluster_star @4000x (20M)")(
+        Dedup.clusters(Dedup.simhashPairs64(d4000, "doc_id", "text", 3),
+          driverEdgeLimit = 0))
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      cell("minhash_fast @1000x (5M)")(
+        Dedup.minhashPairs(d1000, "doc_id", "text", 2, 16, 8, 0.1))
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      cell("minhash_fast @2000x (10M)")(
+        Dedup.minhashPairs(d2000, "doc_id", "text", 2, 16, 8, 0.1))
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      println(f"[tune] /tmp free-space floor across the session: " +
+        f"${minFree.get / 1e9}%.1f GB")
+      spark.stop(); return
+    }
+
+    // ---- newline-paragraph dedup scale cells (r15, verdict task 7):
+    // q_paragraph_newline had only sf0.01 oracle evidence; these cells
+    // measure paragraphDedupNewline at the 10× and 100× documents
+    // tiers. The standard tier builder destroys newlines (it re-joins
+    // tokens with spaces), so a dedicated variant re-inserts '\n'
+    // every 20 tokens AFTER the per-copy token tagging: paragraph
+    // counts scale linearly, cross-copy paragraphs never collide
+    // (tags), and the trailing separator leaves some docs an empty
+    // final paragraph — the empty-run path stays exercised at scale.
+    // kept_md5 filter defeats unique-key LEFT-join elimination (the
+    // para-cell lesson above). Usage: runMain graft.Tune
+    // /root/testdata/sf0.1 paranl
+    if (args.drop(1).headOption.contains("paranl")) {
+      def ensureNl(dstDir: String, copies: Int): Unit = {
+        if (new java.io.File(s"$dstDir/documents.parquet/_SUCCESS").exists) return
+        println(s"[tune] building $dstDir ($copies newline-paragraph copies)")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val width = if (copies > 10) 2 else 1
+        (0 until copies).map { c =>
+          val tag = "c" + s"%0${width}d".format(c)
+          val tagged = transform(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
+            t => concat(lit(tag), t))
+          docs.withColumn("doc_id", col("doc_id") + lit(c * 10000000L))
+            .withColumn("text", concat_ws("",
+              transform(tagged, (t, i) => concat(t,
+                when((i + 1) % 20 === 0, lit("\n")).otherwise(lit(" "))))))
+        }.reduce(_.unionByName(_))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+      }
+      ensureNl("/tmp/graft_sf1nl", 10)
+      ensureNl("/tmp/graft_sf10nl", 100)
+      val tiers = Seq(("para_nl @10x", "/tmp/graft_sf1nl"),
+        ("para_nl @100x", "/tmp/graft_sf10nl"))
+      val best = Array.fill(tiers.size)(Double.MaxValue)
+      for (rep <- 1 to 2; i <- tiers.indices) {
+        val (name, dir) = tiers(i)
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val t = time(f"$name%s r$rep")(
+          Dedup.paragraphDedupNewline(d, "doc_id", "text")
+            .where(col("kept_md5") =!= lit("")))
+        if (!t.isNaN) best(i) = math.min(best(i), t)
+      }
+      if (best.forall(_ != Double.MaxValue) && best(0) > 0) {
+        val alpha = math.log(best(1) / best(0)) / math.log(10.0)
+        val flag = if (alpha > 1.02) "  ** SUPERLINEAR **" else ""
+        println(f"[tune] para_nl 10x -> 100x: ${best(0)}%7.2f s -> " +
+          f"${best(1)}%8.2f s   alpha $alpha%5.2f$flag")
       }
       spark.stop(); return
     }

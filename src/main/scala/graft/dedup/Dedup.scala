@@ -745,7 +745,11 @@ object Dedup {
     *
     * The pair table is StageCache-persisted (three consumers: the
     * rendezvous routing frame(s) and the join spine) — same release
-    * contract as [[minhashPairs]].
+    * contract as [[minhashPairs]]. `minPairs` routing: the default
+    * [[VerifyUseConf]] reads [[RendezvousMinPairsConfKey]] at call
+    * time; 0 forces this rendezvous shape; any negative value
+    * ([[VerifyForceCarry]]) forces the carry shape AND skips the
+    * persist + count job entirely (the micro-batch admission path).
     */
   /** Candidate-count crossover between the two verify shapes (Tune
     * mhrv/mhrv10/mhrv30, r14, all interleaved min-of-4): below it the
@@ -757,21 +761,57 @@ object Dedup {
     * (100×: 10.6M candidates, 9.77 vs 10.36 s and 2.41 vs 2.78 GB;
     * 1000×: 106M, 129.8 vs 228.8 s and 25.9 vs 44.3 GB, GC 88 vs
     * 108-122 s). Default = geometric midpoint of the 3.2M-carry-wins
-    * and 10.6M-rv-wins brackets.
+    * and 10.6M-rv-wins brackets — measured on THIS host (local[32],
+    * 96 GB heap); a cluster's broadcast-regime boundary differs, so
+    * the default is overridable per session via
+    * [[RendezvousMinPairsConfKey]] without touching call sites.
     */
   private[graft] val RendezvousMinPairs: Long = 6000000L
 
+  /** Session conf overriding [[RendezvousMinPairs]] — read at CALL
+    * time by [[verifyRendezvous]] whenever the caller leaves
+    * `minPairs` at its [[VerifyUseConf]] default, so one
+    * `spark.conf.set` retunes every size-routed verify in the session
+    * (routing pins per gate side in DedupSpec).
+    */
+  val RendezvousMinPairsConfKey: String = "spark.graft.rendezvousMinPairs"
+
+  /** `minPairs` sentinel: resolve the gate from
+    * [[RendezvousMinPairsConfKey]] (default [[RendezvousMinPairs]])
+    * at call time.
+    */
+  val VerifyUseConf: Long = Long.MinValue
+
+  /** `minPairs` sentinel: force the carry shape WITHOUT the pair-table
+    * persist or the count job the size gate needs. For callers whose
+    * candidate volume is bounded small by construction — the streaming
+    * admission path above all, where one extra scheduled job and a
+    * persist/unpersist PER MICRO-BATCH is exactly the per-batch fixed
+    * cost SCALE.md r12 measures as dominant for continuous ingest.
+    */
+  val VerifyForceCarry: Long = -1L
+
   private[graft] def verifyRendezvous(collisions: DataFrame,
       docsA: DataFrame, docsB: DataFrame,
-      minPairs: Long = RendezvousMinPairs): DataFrame = {
+      minPairs: Long = VerifyUseConf): DataFrame = {
+    val gate =
+      if (minPairs == VerifyUseConf)
+        collisions.sparkSession.conf.get(
+          RendezvousMinPairsConfKey, RendezvousMinPairs.toString).toLong
+      else minPairs
+    // forced carry (gate < 0): no pair-table persist, no count job —
+    // verifyCarry's own distinct() dedupes collisions in-plan. The
+    // micro-batch path: below the crossover by contract, and the gate's
+    // count would be one extra scheduled job per batch.
+    if (gate < 0) return verifyCarry(collisions, docsA, docsB)
     val pairTable = graft.ops.StageCache.persisted(
       collisions.groupBy("id_a", "id_b").agg(min(col("__bk")).as("__rv")))
     // size-routed: ONE count over the (persisted, needed-anyway) pair
     // table picks the measured-faster shape — the small side of the
-    // crossover is also the streaming-admission micro-batch case, so
-    // per-batch probes stay on the broadcast-friendly carry plan.
-    // minPairs = 0 forces the rendezvous shape (specs, Tune arms).
-    if (minPairs > 0 && pairTable.count() < minPairs)
+    // crossover is also the one-shot sf0.1-scale case, so those stay
+    // on the broadcast-friendly carry plan.
+    // gate = 0 forces the rendezvous shape (specs, Tune arms).
+    if (gate > 0 && pairTable.count() < gate)
       return verifyCarryOn(pairTable.select("id_a", "id_b"), docsA, docsB)
     val pairs = pairTable
     // (rv, id → sorted hashed shingles) — one row per rendezvous group,
@@ -898,9 +938,20 @@ object Dedup {
     *
     * `staged = None` is the bootstrap batch (within-batch rule only).
     * Returns distinct batch ids to drop, column `id`.
+    *
+    * `verifyMinPairs` defaults to [[VerifyForceCarry]]: a micro-batch's
+    * candidate volume is bounded by |batch| × bands × collisions —
+    * far below the rendezvous crossover for any sane batch size — and
+    * the size gate's pair-table persist + count job would be one
+    * extra scheduled job PER BATCH, the per-batch fixed cost that
+    * dominates continuous ingest (SCALE.md r12: every exchange is its
+    * own scheduled job under AQE, × batch count). A bulk-backfill
+    * caller feeding corpus-scale "batches" should pass
+    * `Dedup.VerifyUseConf` to restore the measured size gate.
     */
   def admissionDrops(batchIdx: MinhashIndex, staged: Option[MinhashIndex],
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      verifyMinPairs: Long = VerifyForceCarry): DataFrame = {
     val batchB = batchIdx.buckets
       .select(col("band"), col("bucket"), col("id").as("id_b"),
         lit(false).as("__staged"))
@@ -932,7 +983,7 @@ object Dedup {
       .filter(col("__staged") || col("id_b") < col("id_a"))
       .select(xxhash64(col("band"), col("bucket")).as("__bk"),
         col("id_a"), col("id_b"))
-    verifyRendezvous(cand, batchIdx.shingles, otherSh)
+    verifyRendezvous(cand, batchIdx.shingles, otherSh, verifyMinPairs)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("id")).distinct()
   }

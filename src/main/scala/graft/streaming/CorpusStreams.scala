@@ -38,10 +38,21 @@ object CorpusStreams {
     * `n` tokens has no shingles, is never indexed, and therefore has
     * NO re-delivery protection — replaying it admits it again. Filter
     * sub-n-token docs upstream if the source can re-deliver.
+    *
+    * `verifyMinPairs` routes the verify stage (see
+    * [[Dedup.verifyRendezvous]]): the default forces the carry shape
+    * WITHOUT the size gate's pair-table persist + count job — one
+    * fewer scheduled job per micro-batch, the fixed cost that
+    * dominates continuous ingest (SCALE.md r12) — and is correct by
+    * contract for micro-batches, which sit far below the rendezvous
+    * crossover. A BULK BACKFILL calling this directly with a
+    * corpus-scale batch should pass [[Dedup.VerifyUseConf]] to
+    * restore the measured size gate.
     */
   def admitBatch(batch: DataFrame, indexDir: String, idCol: String,
       textCol: String, n: Int = 2, k: Int = 16, bands: Int = 8,
-      threshold: Double = 0.3, fastKernel: Boolean = true): DataFrame = {
+      threshold: Double = 0.3, fastKernel: Boolean = true,
+      verifyMinPairs: Long = Dedup.VerifyForceCarry): DataFrame = {
     val spark = batch.sparkSession
     val shPath = s"$indexDir/shingles"
     val bkPath = s"$indexDir/buckets"
@@ -142,7 +153,8 @@ object CorpusStreams {
       if (!hasIndex) None
       else Some(Dedup.MinhashIndex(
         spark.read.parquet(shPath), spark.read.parquet(bkPath)))
-    val drops = Dedup.admissionDrops(batchIdx, staged, threshold)
+    val drops = Dedup.admissionDrops(batchIdx, staged, threshold,
+        verifyMinPairs)
       .withColumnRenamed("id", idCol)
     val admitted = batch.join(drops, Seq(idCol), "left_anti")
     // materialize BEFORE the append: the anti join above lazily reads

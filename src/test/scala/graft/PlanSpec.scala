@@ -435,9 +435,18 @@ class PlanSpec extends SparkTestBase {
       case n => Seq(n)
     }
 
+  // Each cache scan tagged with whether the cache's OWN plan computes
+  // the kernel (nested caches inside it do NOT count — physicalNodes
+  // stops at InMemoryTableScanExec leaves): the sketch-once pins must
+  // require the ≥2-scan sharing of the KERNEL-bearing cache (the
+  // bucket table) specifically. The r14 pair-table cache is scanned
+  // ≥2 times by construction (join spine + rvIds selects), so an
+  // untagged exists(_.size >= 2) would pass even with the bucket
+  // sides split into two separate caches — the sketch running twice,
+  // the exact regression these pins exist to catch.
   private def sketchSitesOutsideCache(name: String,
       isKernel: org.apache.spark.sql.catalyst.expressions.Expression => Boolean)
-      : (Int, Seq[AnyRef]) = {
+      : (Int, Seq[(AnyRef, Boolean)]) = {
     val all = nodesThroughCaches(
       SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
     // kernel sites that are NOT under any cache: walk only the outer
@@ -449,7 +458,9 @@ class PlanSpec extends SparkTestBase {
       n.expressions.map(_.collect { case e if isKernel(e) => e }.size).sum).sum
     val caches = all.collect {
       case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        s.relation.cacheBuilder
+        val kernelBearing = physicalNodes(s.relation.cachedPlan).exists(n =>
+          n.expressions.exists(_.collect { case e if isKernel(e) => e }.nonEmpty))
+        (s.relation.cacheBuilder, kernelBearing)
     }
     (kernelSites, caches)
   }
@@ -467,10 +478,20 @@ class PlanSpec extends SparkTestBase {
       // the bucket cache must be read by BOTH self-join sides (one
       // SHARED cache, scanned >= 2 times — possibly nested inside the
       // r14 pair-table cache); a second distinct cache (the pair
-      // table itself) is expected and fine
-      assert(caches.groupBy(System.identityHashCode).values.exists(_.size >= 2),
-        s"$q: no single cache is read by both bucket self-join sides " +
-          s"(${caches.size} cache scans) — the sketch may run twice")
+      // table itself) is expected and fine. Only KERNEL-bearing
+      // caches can satisfy the pin: the pair-table cache is scanned
+      // ≥2 times by construction, so counting it would make the
+      // assertion vacuous (r14 ADVICE).
+      val kernelCaches = caches.collect { case (cb, true) => cb }
+      assert(kernelCaches.nonEmpty,
+        s"$q: no cache computes the sketch kernel at all " +
+          s"(${caches.size} cache scans)")
+      assert(kernelCaches.groupBy(System.identityHashCode)
+          .values.exists(_.size >= 2),
+        s"$q: no single KERNEL-bearing cache is read by both bucket " +
+          s"self-join sides (${kernelCaches.size} kernel-cache scans of " +
+          s"${kernelCaches.map(System.identityHashCode).distinct.size} " +
+          "distinct caches) — the sketch may run twice")
       graft.ops.StageCache.releaseAll()
     }
   }
@@ -523,9 +544,12 @@ class PlanSpec extends SparkTestBase {
       val (sites, caches) = sketchSitesOutsideCache(q, isKernel)
       assert(sites == 0,
         s"$q computes the per-token kernel outside the cache ($sites sites)")
-      assert(caches.size >= 2 &&
-        caches.map(System.identityHashCode).distinct.size == 1,
-        s"$q join sides do not share one cached bucket build")
+      // the simhash pipelines have exactly ONE cache (the bucket
+      // table) and it carries the kernel; both self-join sides must
+      // scan that same instance
+      assert(caches.size >= 2 && caches.forall(_._2) &&
+        caches.map(c => System.identityHashCode(c._1)).distinct.size == 1,
+        s"$q join sides do not share one kernel-bearing cached bucket build")
       graft.ops.StageCache.releaseAll()
     }
   }

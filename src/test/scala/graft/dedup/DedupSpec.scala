@@ -940,4 +940,74 @@ class DedupSpec extends SparkTestBase {
       graft.ops.StageCache.releaseAll()
     }
   }
+
+  test("rendezvous size gate reads spark.graft.rendezvousMinPairs at call time") {
+    // one routing pin per gate side (r14 task 5): the session conf —
+    // not the compiled-in host constant — decides the shape when the
+    // caller leaves minPairs at its VerifyUseConf default. AQE/
+    // broadcast off so the tiny fixture plans the at-scale SMJ shape
+    // the sh_a-exchange marker distinguishes.
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val idx = Dedup.minhashIndexView(rvFixture, "doc_id", "text")
+      def shAExchanges(): Int = {
+        val ex = Dedup.verifyRendezvous(
+            Dedup.selfCollisions(idx), idx.shingles, idx.shingles)
+          .queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.output.exists(_.name == "sh_a") => e
+          }
+        ex.size
+      }
+      // gate lowered to 1: the fixture's candidate count clears it ->
+      // the rendezvous shape (no exchange carries per-pair arrays)
+      withSQLConf(Dedup.RendezvousMinPairsConfKey -> "1") {
+        assert(shAExchanges() === 0,
+          "conf gate of 1 must route to the rendezvous shape")
+      }
+      // gate raised past any candidate count -> the carry shape (the
+      // per-pair array exchange re-appears)
+      withSQLConf(Dedup.RendezvousMinPairsConfKey -> Long.MaxValue.toString) {
+        assert(shAExchanges() > 0,
+          "a maxed-out conf gate must route to the carry shape")
+      }
+      graft.ops.StageCache.releaseAll()
+    }
+  }
+
+  test("VerifyForceCarry skips the pair-table persist and the count job") {
+    // the admission path's per-batch fixed-cost fix (r14 ADVICE): the
+    // forced-carry sentinel must build a LAZY plan — no StageCache
+    // persist registered, no eager count job scheduled at DataFrame-
+    // construction time (the size gate runs one of each) — and the
+    // result must still be the carry-equivalent pair set.
+    graft.ops.StageCache.releaseAll()
+    val idx = Dedup.minhashIndexView(rvFixture, "doc_id", "text")
+    val coll = Dedup.selfCollisions(idx)
+    val registered0 = graft.ops.StageCache.registeredCount
+    val sc = spark.sparkContext
+    sc.setJobGroup("rv-force-carry-pin", "construction must run no job")
+    val forced =
+      try Dedup.verifyRendezvous(coll, idx.shingles, idx.shingles,
+        minPairs = Dedup.VerifyForceCarry)
+      finally sc.clearJobGroup()
+    assert(sc.statusTracker.getJobIdsForGroup("rv-force-carry-pin").isEmpty,
+      "forced carry scheduled a job during DataFrame construction")
+    assert(graft.ops.StageCache.registeredCount === registered0,
+      "forced carry registered a persisted stage")
+    // ...while the size-gated default DOES count (and persist): the
+    // pin above would be vacuous if construction were always lazy
+    sc.setJobGroup("rv-gated-pin", "gate runs the routing count")
+    try Dedup.verifyRendezvous(coll, idx.shingles, idx.shingles)
+    finally sc.clearJobGroup()
+    assert(sc.statusTracker.getJobIdsForGroup("rv-gated-pin").nonEmpty,
+      "the size gate should schedule its routing count at construction")
+    val carry = Dedup.verifyCarry(coll, idx.shingles, idx.shingles)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = forced.as[(Long, Long, Double)].collect().toSet
+    assert(got === carry)
+    assert(got.nonEmpty)
+    graft.ops.StageCache.releaseAll()
+  }
 }
