@@ -91,6 +91,18 @@ object JobProbe {
     val newIds = measure("NEW(fused-drops)",
       b => graft.streaming.CorpusStreams.admitBatch(
         b, "/tmp/graft_probe_idx_new", "doc_id", "text"))
+    // r15: the default verify routing is the forced-carry sentinel
+    // (no pair-table persist, no routing-count job); this arm re-runs
+    // the same batches with the size gate ACTIVE so the per-batch job
+    // saving of the default is a measured delta, not an assertion
+    freshDir("/tmp/graft_probe_idx_gate")
+    val gateIds = measure("GATED(count+persist)",
+      b => graft.streaming.CorpusStreams.admitBatch(
+        b, "/tmp/graft_probe_idx_gate", "doc_id", "text",
+        verifyMinPairs = Dedup.VerifyUseConf))
+    require(gateIds == newIds,
+      s"gated vs forced-carry admitted sets differ: " +
+        s"only-gated=${(gateIds -- newIds).take(5)}")
     require(oldIds == newIds,
       s"admitted sets differ: only-old=${(oldIds -- newIds).take(5)} " +
         s"only-new=${(newIds -- oldIds).take(5)}")
