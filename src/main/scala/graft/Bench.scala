@@ -204,7 +204,7 @@ object Bench {
       System.err.println("[bench] ---- sf1 warmup pass (uncounted) ----")
       subsetNames.foreach(n => runIn(n, dir))
       System.err.println("[bench] ---- sf1 measured passes ----")
-      subsetNames.map { n =>
+      val measured = subsetNames.map { n =>
         // min-of-2 like the sf0.1 passes: host/GC contention is
         // strictly additive, and a single-shot sf1 number was observed
         // 1.8x off the quiet-machine cost for the same plan
@@ -217,6 +217,17 @@ object Bench {
           "(alpha printed after the main passes)")
         n -> t10
       }
+      // delete the tier before the main passes: leaving ~1 GB of tier
+      // parquet on /tmp through them is a (measured-benign, r15:
+      // 152.21 vs 154.90) environment change vs rounds <= 14 — the
+      // same /tmp-contamination class the r14 watch-list flagged, so
+      // the main passes run against the same /tmp state as before the
+      // sf1 tier existed (r15 ADVICE)
+      val fsDir = new org.apache.hadoop.fs.Path(dir)
+      fsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(fsDir, true)
+      System.err.println(s"[bench] sf1 tier $dir deleted before main passes")
+      measured
     }
 
     // TWO full passes, per-query MIN (r13). The r11/r12 adjudications

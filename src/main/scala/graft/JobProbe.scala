@@ -102,7 +102,8 @@ object JobProbe {
         verifyMinPairs = Dedup.VerifyUseConf))
     require(gateIds == newIds,
       s"gated vs forced-carry admitted sets differ: " +
-        s"only-gated=${(gateIds -- newIds).take(5)}")
+        s"only-gated=${(gateIds -- newIds).take(5)} " +
+        s"only-forced=${(newIds -- gateIds).take(5)}")
     require(oldIds == newIds,
       s"admitted sets differ: only-old=${(oldIds -- newIds).take(5)} " +
         s"only-new=${(newIds -- oldIds).take(5)}")

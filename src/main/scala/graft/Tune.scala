@@ -94,6 +94,30 @@ object Tune {
       .write.mode("overwrite").parquet(s"$t1000/documents.parquet")
   }
 
+  /** The 20M-doc tier (4 super-copies of the 1000× tier): tag e0..e3
+    * keeps shingle spaces disjoint across super-copies (duplicate
+    * density — the true answer — stays linear); doc_id stride 1e10
+    * (sf100 ids < 1e10). Shared by the sf1000 fourth-decade cells and
+    * the spillp partition sweep (its first 2 super-copies = 10M docs).
+    * Returns the tier dir.
+    */
+  private def ensureTier4000(spark: SparkSession): String = {
+    val t4 = "/tmp/graft_sf1000"
+    if (!new java.io.File(s"$t4/documents.parquet/_SUCCESS").exists) {
+      println(s"[tune] building $t4 (4 super-copies of /tmp/graft_sf100)")
+      val d = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
+      (0 until 4).map { k =>
+        d.withColumn("doc_id", col("doc_id") + lit(k * 10000000000L))
+          .withColumn("text", concat_ws(" ",
+            transform(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
+              t => concat(lit(s"e$k"), t))))
+      }.reduce(_.unionByName(_))
+        .repartition(128)
+        .write.mode("overwrite").parquet(s"$t4/documents.parquet")
+    }
+    t4
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -158,6 +182,27 @@ object Tune {
         s"Tune ${mode.get} builds aggregate tables from every " +
           "experiment; a name filter would corrupt the table — drop " +
           s"the '${nameFilter.get}' argument")
+    // heap is a PER-INSTRUMENT env pin (r15 VERDICT task 7 / SCALE.md
+    // r15): 96g (+AlwaysPreTouch) helps allocation-heavy sf1-tier
+    // bench arms but STARVES the page cache that the doc-tier cells'
+    // 26 GB+ shuffles need — identical code measured 321-389 s at 96g
+    // vs 165-232 s at 32g. Committed doc-tier SCALE numbers are 32g
+    // numbers; warn loudly when a tier class runs at the other env so
+    // a session can't silently produce incomparable cells. (Bench owns
+    // the opposite pin: it warns when the sf1 subset runs BELOW 60 GB.)
+    val heapGb = Runtime.getRuntime.maxMemory / 1e9
+    val docTierModes = Set("sf10", "sf100", "sf1000", "mhrv", "mhrv10",
+      "mhrv30", "mh1000", "mhrvd", "mhdiag", "mhbytes", "mhp", "mhagg",
+      "mhwarm", "ss1000", "p100", "ng100", "paranl", "para", "paraskew",
+      "pv1000", "spillp", "admgrow", "annt", "annt5m", "cc", "repr",
+      "fuzzyxo", "fuzzyxo2")
+    if (mode.exists(docTierModes.contains) && heapGb > 64)
+      println(f"[tune] WARNING: mode '${mode.get}' runs doc-tier cells — " +
+        f"32g instruments — on a $heapGb%.0f GB heap. Large heaps " +
+        "starve the page cache big shuffles need (SCALE.md r15: " +
+        "321-389 s at 96g vs 165-232 s at 32g, identical code); this " +
+        "session's cells are NOT comparable to committed doc-tier " +
+        "numbers. Re-run without SPARK_DRIVER_MEM=96g.")
     def time(name: String)(f: => DataFrame): Double = {
       if (nameFilter.exists(s => !name.toLowerCase.contains(s)))
         return Double.NaN
@@ -531,6 +576,13 @@ object Tune {
         ("ivf_inc", c => Ann.ivfTopKIncremental(q0,
           c.filter(col("vec_id") % 2 === 0),
           c.filter(col("vec_id") % 2 === 1), 10, 16,
+          excludeSelf = false)),
+        // r16 task 5: the LSH family had no >=5M-vector evidence —
+        // same geometry as q_ann_lsh/q_ann_lsh2 (8 hyperplanes,
+        // single- and multi-probe)
+        ("lsh", c => Ann.lshTopK(q0, c, 10, nBits = 8, nprobe = 1,
+          excludeSelf = false)),
+        ("lsh2", c => Ann.lshTopK(q0, c, 10, nBits = 8, nprobe = 2,
           excludeSelf = false)))
       val best = Array.fill(arms.size, tiers.size)(Double.MaxValue)
       for (rep <- 1 to 2; ti <- tiers.indices; ai <- arms.indices) {
@@ -551,6 +603,28 @@ object Tune {
             f"alpha $alpha%5.2f$flag")
         }
       }
+      // r16 task 5: recall@5 AT the 5M tier (the recall evidence
+      // previously stopped at the sf0.01 oracle fixtures). Exact brute
+      // top-5 over all 5M vectors is the ground truth; recall = shared
+      // (qid, nid) rows / (|queries| × 5), in basis points like the
+      // q_ann_recall report.
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val c5m = spark.read.parquet(s"$emb5m/embeddings.parquet")
+      val brute = Ann.bruteForceTopK(q0, c5m, 5, excludeSelf = false)
+        .select("qid", "nid").localCheckpoint(true)
+      val denom = brute.count()
+      def recallBp(name: String, got: DataFrame): Unit = {
+        val hits = brute.intersect(got.select("qid", "nid")).count()
+        println(f"[tune] recall@5 @5M $name%-12s ${hits * 10000 / denom}%5d bp " +
+          f"($hits%d/$denom%d)")
+      }
+      recallBp("ivf", Ann.ivfTopK(q0, c5m, 5, nPivots = 16,
+        excludeSelf = false))
+      recallBp("lsh np=1", Ann.lshTopK(q0, c5m, 5, nBits = 8, nprobe = 1,
+        excludeSelf = false))
+      recallBp("lsh np=2", Ann.lshTopK(q0, c5m, 5, nBits = 8, nprobe = 2,
+        excludeSelf = false))
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
       spark.stop(); return
     }
 
@@ -566,25 +640,208 @@ object Tune {
     // cross-session. A daemon samples /tmp free space so peak-disk
     // rides the result line; per-cell gc/shW columns come from time().
     // Usage: runMain graft.Tune /root/testdata/sf0.1 sf1000 [filter]
+    // ---- truncated-hash pre-verify A/B at the 1000× tier (r16 task
+    // 1): one-phase rendezvous verify (spark.graft.verifyPrefilter=
+    // false) vs the two-phase truncated pre-verify (=true), interleaved
+    // in one JVM on the production minhash pipeline. The contested
+    // term is the verify exchange's bytes (~26 GB per 5M docs, the
+    // r15 disk wall): phase 1 ships high-32-bit ints (half the bytes),
+    // phase 2 re-ships full arrays only for pairs whose truncated
+    // Jaccard upper bound clears the threshold. Survivor share =
+    // result rows / candidate pairs (the r14 mhrv candidate counts),
+    // so the expected byte ratio is ~(0.5 + s) : 1. shW/shR per cell
+    // come from time(); dumpStages attributes which exchange moved.
+    // Usage: runMain graft.Tune /root/testdata/sf0.1 pv1000
+    if (args.drop(1).headOption.contains("pv1000")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      ensureTier1000(spark)
+      val d1000 = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      for (block <- 1 to 2) {
+        for ((label, pf) <- Seq(("1phase", "false"), ("2phase", "true"))) {
+          stageLog.synchronized(stageLog.clear())
+          spark.conf.set(graft.dedup.Dedup.VerifyPrefilterConfKey, pf)
+          time(f"mh $label%s @1000x b$block") {
+            Dedup.minhashPairs(d1000, "doc_id", "text", 2, 16, 8, 0.1)
+          }
+          dumpStages(s"$label b$block")
+        }
+      }
+      spark.conf.unset(graft.dedup.Dedup.VerifyPrefilterConfKey)
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.stop(); return
+    }
+
+    // ---- delta+varint encoding adjudication (r16 task 1, option a):
+    // measures what delta+varint-encoding the sorted xxhash64 shingle
+    // arrays would actually save. Expectation from first principles:
+    // the hashes are uniform over 2^64, so a sorted m-element set has
+    // mean gap 2^64/m (~2^57 for m≈100) — the set's entropy is
+    // ~m·(64 − log2 m + 1.44) bits, i.e. the raw 8 B/elem encoding is
+    // already within ~10% of optimal, and 7-bit varints of ~57-bit
+    // deltas need 9 B/elem: EXPANSION. This instrument computes the
+    // exact encoded size (zigzag varint for the first value, unsigned
+    // varints of the wrapped deltas) over the real shingle sets so the
+    // adjudication is measured, not argued. The encoder is a Scala UDF
+    // by design — it is a measuring instrument, never a query path.
+    // Usage: runMain graft.Tune /root/testdata/sf0.1 vbytes
+    if (args.drop(1).headOption.contains("vbytes")) {
+      def varintLen(v: Long): Int = { // unsigned LEB128 length
+        var x = v; var n = 1
+        while ((x >>> 7) != 0) { x = x >>> 7; n += 1 }
+        n
+      }
+      val encBytes = udf((xs: Seq[Long]) => {
+        if (xs.isEmpty) 1L // just the count byte
+        else {
+          val first = xs.head
+          val zz = (first << 1) ^ (first >> 63) // zigzag
+          var total = varintLen(xs.size.toLong) + varintLen(zz).toLong
+          var i = 1
+          while (i < xs.size) {
+            total += varintLen(xs(i) - xs(i - 1)) // wrapped = unsigned delta
+            i += 1
+          }
+          total
+        }
+      })
+      val sh = docs.select(
+        Dedup.hashShingles(Dedup.shingles(col("text"), 2)).as("sh"))
+      val r = sh.agg(
+        sum(size(col("sh")).cast("long") * 8L).as("raw_bytes"),
+        sum(encBytes(col("sh"))).as("varint_bytes"),
+        sum(size(col("sh")).cast("long")).as("elems"),
+        count(lit(1)).as("docs"),
+        avg(size(col("sh"))).as("avg_m")).collect()(0)
+      val (raw, enc, elems) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val avgM = r.getDouble(4)
+      val entropyB = (64.0 - math.log(avgM) / math.log(2.0) + 1.44) / 8.0
+      println(f"[tune] vbytes over ${r.getLong(3)} docs (avg m=$avgM%.1f): " +
+        f"raw ${raw / 1048576.0}%.1f MB (8.00 B/elem) vs delta+varint " +
+        f"${enc / 1048576.0}%.1f MB (${enc.toDouble / elems}%.2f B/elem); " +
+        f"set-entropy floor ≈ $entropyB%.2f B/elem")
+      println(if (enc >= raw)
+        "[tune] vbytes verdict: delta+varint EXPANDS the payload — encoding does not pay"
+      else f"[tune] vbytes verdict: delta+varint saves ${(raw - enc) * 100.0 / raw}%.1f%%")
+      spark.stop(); return
+    }
+
+    // ---- verify-stage shuffle-partition sweep at the 10M-doc tier
+    // (r16 task 2): the r15 fourth-decade cell measured 91.4 GB of
+    // spill at 10M docs / p=256 (2.05× the 5M tier's bytes but 44× its
+    // spill) — per-partition verify payload outgrew the execution
+    // memory per slot. The initial shuffle-partition count is the
+    // per-partition memory cap (AQE coalesces down, never up), so this
+    // sweeps p ∈ {256, 512, 1024} on the production minhash pipeline
+    // at 10M docs, one rep per p (the wall is disk/spill, not JIT —
+    // and a 2-rep sweep would double an ~hour of runtime for noise
+    // this instrument doesn't need). Usage: ... spillp
+    if (args.drop(1).headOption.contains("spillp")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      ensureTier1000(spark)
+      val t4 = ensureTier4000(spark)
+      val d2000 = spark.read.parquet(s"$t4/documents.parquet")
+        .filter(col("doc_id") < 20000000000L) // first 2 super-copies = 10M
+      def freeGb: Double = new java.io.File("/tmp").getUsableSpace / 1e9
+      for (p <- Seq(256, 512, 1024)) {
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        println(f"[tune] /tmp free before p=$p: $freeGb%.1f GB")
+        val t0 = System.nanoTime()
+        val s0 = spill.get(); val (w0, r0, g0) =
+          (shWrite.get(), shRead.get(), gcMs.get())
+        try {
+          val n = Dedup.minhashPairs(d2000, "doc_id", "text", 2, 16, 8, 0.1)
+            .count()
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"[tune] minhash_fast @10M p=$p%-5d ${t}%7.2f s  " +
+            f"$n%9d rows  spill ${(spill.get() - s0) / 1048576}%6d MB  " +
+            f"shW ${(shWrite.get() - w0) / 1048576}%6d MB  " +
+            f"shR ${(shRead.get() - r0) / 1048576}%6d MB  " +
+            f"gc ${(gcMs.get() - g0) / 1000.0}%6.1f s")
+        } catch {
+          case e: Exception =>
+            println(s"[tune] @10M p=$p FAILED: ${e.getMessage.take(200)}")
+        }
+        graft.ops.StageCache.releaseAll()
+        spark.catalog.clearCache()
+        System.gc()
+        println(f"[tune] /tmp free after  p=$p: $freeGb%.1f GB")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.stop(); return
+    }
+
+    // ---- admission cost vs staged-index growth (r16 task 3): fixed
+    // 1k-doc batches (sf0.1 split 5 ways) admitted against staged
+    // indexes of 50k / 500k / 5M docs (the 10×/100×/1000× tiers). The incremental probe is
+    // bucket-pruned, so the HYPOTHESIS is near-flat per-batch wall;
+    // the known linear term is the per-batch SCAN of the staged bucket
+    // + shingle parquet (the broadcast probe join streams the corpus
+    // side map-locally — no corpus shuffle — but a scan is a scan).
+    // Each index is staged directly (bulk write of the index view +
+    // _index_params stamp, the CorpusStreams layout) so the cell
+    // measures admission, not bootstrap. Usage: ... admgrow
+    if (args.drop(1).headOption.contains("admgrow")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf1", 10)
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
+      ensureTier1000(spark)
+      val fs = new org.apache.hadoop.fs.Path("/tmp")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def stageIndex(corpus: DataFrame, dir: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        if (fs.exists(p)) fs.delete(p, true)
+        val idx = Dedup.minhashIndexView(corpus, "doc_id", "text")
+        idx.shingles.select(col("id"),
+            Dedup.hashShingles(col("sh")).as("sh"))
+          .write.parquet(s"$dir/shingles")
+        idx.buckets.write.parquet(s"$dir/buckets")
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$dir/_index_params"), true)
+        try out.write(
+          "n=2,k=16,bands=8,kernel=fast,repr=xxh64".getBytes("UTF-8"))
+        finally out.close()
+      }
+      // identical batch content at every index size: sf0.1 docs,
+      // id-shifted into a space disjoint from every tier's ids
+      val batches = (0 until 5).map { b =>
+        docs.filter(col("doc_id") % 5 === b)
+          .withColumn("doc_id", col("doc_id") + lit(900000000000L))
+          .localCheckpoint(true)
+      }
+      val tiers = Seq(
+        ("50k", "/tmp/graft_sf1/documents.parquet"),
+        ("500k", "/tmp/graft_sf10/documents.parquet"),
+        ("5M", "/tmp/graft_sf100/documents.parquet"))
+      for ((tname, path) <- tiers) {
+        val idxDir = s"/tmp/graft_admgrow_$tname"
+        val corpus = spark.read.parquet(path)
+        println(s"[tune] staging $tname index...")
+        stageIndex(corpus, idxDir)
+        // batches run against a GROWING index by design — admission
+        // appends are the steady state being measured; batch b sees
+        // base + b admitted 1k-batches, a <10% perturbation of even
+        // the smallest tier
+        for ((b, i) <- batches.zipWithIndex) {
+          val j0 = jobs.get()
+          val t0 = System.nanoTime()
+          val admitted = graft.streaming.CorpusStreams
+            .admitBatch(b, idxDir, "doc_id", "text").count()
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"[tune] admit @$tname%-5s batch$i ${t}%6.2f s  " +
+            f"${ListenerSettle.settled(jobs) - j0}%3d jobs  " +
+            f"$admitted%6d admitted")
+          graft.ops.StageCache.releaseAll()
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      }
+      spark.stop(); return
+    }
+
     if (args.drop(1).headOption.contains("sf1000")) {
       ensureDocsTier(spark, sfDir, "/tmp/graft_sf10", 100)
       ensureTier1000(spark)
-      val t4 = "/tmp/graft_sf1000"
-      if (!new java.io.File(s"$t4/documents.parquet/_SUCCESS").exists) {
-        println(s"[tune] building $t4 (4 super-copies of /tmp/graft_sf100)")
-        val d = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
-        // tag e0..e3 keeps shingle spaces disjoint across super-copies
-        // (duplicate density — the true answer — stays linear); doc_id
-        // stride 1e10 (sf100 ids < 1e10)
-        (0 until 4).map { k =>
-          d.withColumn("doc_id", col("doc_id") + lit(k * 10000000000L))
-            .withColumn("text", concat_ws(" ",
-              transform(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
-                t => concat(lit(s"e$k"), t))))
-        }.reduce(_.unionByName(_))
-          .repartition(128)
-          .write.mode("overwrite").parquet(s"$t4/documents.parquet")
-      }
+      val t4 = ensureTier4000(spark)
       val minFree = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
       val sampler = new Thread(() => while (true) {
         minFree.updateAndGet(m =>

@@ -523,6 +523,25 @@ object Dedup {
     if (isHashedShingles(df.schema("sh").dataType)) sort_array(col("sh"))
     else hashedSh(col("sh"))
 
+  /** Truncated pre-verify representation: the HIGH 32 bits of each
+    * sorted xxhash64 shingle hash, as ints — 4 bytes/element, half the
+    * exact form's exchange bytes. `x >> 32` is monotone over signed
+    * longs, so the projection of the sorted array is ALREADY sorted
+    * (no re-sort) and always fits an int exactly (no ANSI overflow).
+    * Truncation preserves equality, so the merge-walk multiset
+    * intersect over these ints is >= the 64-bit intersect (min is
+    * superadditive over preimage counts), making [[jaccard]] over this
+    * form a sound UPPER BOUND on the exact hashed Jaccard: a pair
+    * below threshold here is definitively below threshold — the
+    * pre-verify drop rule of [[verifyRendezvousThresholded]]. (The
+    * bound's slack is a 32-bit collision between DIFFERENT shingles
+    * of the two sides: ~|A|·|B|/2³² per pair, so false survivors are
+    * ~1 per few thousand verified pairs — they cost a phase-2 exact
+    * check, never a wrong answer.)
+    */
+  private def truncSh(df: DataFrame): Column =
+    transform(verifySh(df), x => shiftright(x, 32).cast("int"))
+
   /** MinHash+LSH near-duplicate pairs over `df(idCol, textCol)`:
     * candidates from shared LSH buckets, verified with exact Jaccard on
     * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -670,12 +689,15 @@ object Dedup {
     * also probes and stages them) pair without re-sketching.
     */
   /** Every bucket-collision candidate pair with its exact Jaccard —
-    * the shared candidate+verify stage behind [[minhashPairsFromIndex]]
-    * (threshold filter) and [[minhashEval]] (precision aggregate), so
-    * a fix to the pipeline cannot silently apply to one and not the
-    * other. Verify shape: [[verifyRendezvous]] (the r14 production
-    * path); the r13-and-earlier array-carry shape survives as
-    * [[verifyCarry]] for the A/B harness and the equivalence pins.
+    * the UNthresholded verify behind [[minhashEval]] (its precision
+    * aggregate needs below-threshold scores, so the truncated
+    * pre-verify can never apply here). [[minhashPairsFromIndex]]
+    * shares [[selfCollisions]] with this but routes through
+    * [[verifyRendezvousThresholded]] since r16 — its threshold is
+    * what unlocks the pre-verify. Verify shape: [[verifyRendezvous]]
+    * (the r14 production path); the r13-and-earlier array-carry shape
+    * survives as [[verifyCarry]] for the A/B harness and the
+    * equivalence pins.
     */
   private def scoredCandidates(index: MinhashIndex): DataFrame =
     verifyRendezvous(selfCollisions(index), index.shingles, index.shingles)
@@ -779,6 +801,12 @@ object Dedup {
   /** `minPairs` sentinel: resolve the gate from
     * [[RendezvousMinPairsConfKey]] (default [[RendezvousMinPairs]])
     * at call time.
+    *
+    * `Long.MinValue` is RESERVED as this sentinel: a caller passing it
+    * literally (intending "very negative = force carry") gets conf
+    * routing instead — pass [[VerifyForceCarry]] (any negative value)
+    * for that. The reservation is in-band by design: `minPairs` is a
+    * COUNT threshold, and no real gate sits at -2^63.
     */
   val VerifyUseConf: Long = Long.MinValue
 
@@ -791,14 +819,27 @@ object Dedup {
     */
   val VerifyForceCarry: Long = -1L
 
+  /** Resolve a `minPairs` argument to the effective gate: the
+    * [[VerifyUseConf]] sentinel reads [[RendezvousMinPairsConfKey]]
+    * at call time (parse failure names the conf key — r15 ADVICE);
+    * anything else passes through.
+    */
+  private def resolveVerifyGate(spark: org.apache.spark.sql.SparkSession,
+      minPairs: Long): Long =
+    if (minPairs == VerifyUseConf) {
+      val raw = spark.conf.get(
+        RendezvousMinPairsConfKey, RendezvousMinPairs.toString)
+      try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$RendezvousMinPairsConfKey must be a Long (candidate-pair " +
+            s"gate; 0 forces rendezvous, negative forces carry), got '$raw'")
+      }
+    } else minPairs
+
   private[graft] def verifyRendezvous(collisions: DataFrame,
       docsA: DataFrame, docsB: DataFrame,
       minPairs: Long = VerifyUseConf): DataFrame = {
-    val gate =
-      if (minPairs == VerifyUseConf)
-        collisions.sparkSession.conf.get(
-          RendezvousMinPairsConfKey, RendezvousMinPairs.toString).toLong
-      else minPairs
+    val gate = resolveVerifyGate(collisions.sparkSession, minPairs)
     // forced carry (gate < 0): no pair-table persist, no count job —
     // verifyCarry's own distinct() dedupes collisions in-plan. The
     // micro-batch path: below the crossover by contract, and the gate's
@@ -813,18 +854,36 @@ object Dedup {
     // gate = 0 forces the rendezvous shape (specs, Tune arms).
     if (gate > 0 && pairTable.count() < gate)
       return verifyCarryOn(pairTable.select("id_a", "id_b"), docsA, docsB)
-    val pairs = pairTable
-    // (rv, id → sorted hashed shingles) — one row per rendezvous group,
-    // arrays shipped once per (group, doc). array_distinct before the
-    // map build: a docs source may legitimately carry EXACT duplicate
-    // (id, sh) rows (an admission batch replayed after recovery unions
-    // batch + staged copies of the same doc — the carry path's joins
-    // absorbed those as duplicate verify rows), and map_from_entries
-    // raises on duplicate keys; dropping exact-duplicate ENTRIES keeps
-    // the replay harmless while a same-id-different-content collision
-    // (a real id-uniqueness contract violation) still fails loudly.
+    rendezvousScored(pairTable, docsA, docsB, verifySh)
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
+  /** The rendezvous-verify CORE: bring each distinct pair together
+    * with both sides' shingle representation at the pair's rendezvous
+    * group. `pairTable` = (id_a, id_b, __rv), unique per pair (the
+    * min-__bk agg or a filtered survivor table); `shOf` picks the
+    * representation that crosses the group-map exchange — [[verifySh]]
+    * (full sorted xxhash64 longs, the exact phase) or [[truncSh]]
+    * (high-32-bit ints, the pre-verify phase at half the bytes).
+    * Returns (id_a, id_b, __rv, sh_a, sh_b), missing-doc pairs
+    * dropped. __rv rides through so a filtered survivor set can re-
+    * enter this core for the exact phase without recomputing min(__bk).
+    *
+    * (rv, id → shingle repr) — one row per rendezvous group, arrays
+    * shipped once per (group, doc). array_distinct before the map
+    * build: a docs source may legitimately carry EXACT duplicate
+    * (id, sh) rows (an admission batch replayed after recovery unions
+    * batch + staged copies of the same doc — the carry path's joins
+    * absorbed those as duplicate verify rows), and map_from_entries
+    * raises on duplicate keys; dropping exact-duplicate ENTRIES keeps
+    * the replay harmless while a same-id-different-content collision
+    * (a real id-uniqueness contract violation) still fails loudly.
+    */
+  private def rendezvousScored(pairTable: DataFrame, docsA: DataFrame,
+      docsB: DataFrame, shOf: DataFrame => Column): DataFrame = {
     def groupMap(docs: DataFrame, rvIds: DataFrame, name: String) =
-      docs.select(col("id"), verifySh(docs).as("sh"))
+      docs.select(col("id"), shOf(docs).as("sh"))
         .join(rvIds, Seq("id"))
         .groupBy("__rv")
         .agg(map_from_entries(array_distinct(
@@ -839,8 +898,8 @@ object Dedup {
         val rvIds = pairTable.select(col("__rv"), col("id_a").as("id"))
           .unionByName(pairTable.select(col("__rv"), col("id_b").as("id")))
           .distinct()
-        pairs.join(groupMap(docsA, rvIds, "__shm"), Seq("__rv"))
-          .select(col("id_a"), col("id_b"),
+        pairTable.join(groupMap(docsA, rvIds, "__shm"), Seq("__rv"))
+          .select(col("id_a"), col("id_b"), col("__rv"),
             try_element_at(col("__shm"), col("id_a")).as("sh_a"),
             try_element_at(col("__shm"), col("id_b")).as("sh_b"))
       } else {
@@ -850,15 +909,12 @@ object Dedup {
         val mB = groupMap(docsB,
           pairTable.select(col("__rv"), col("id_b").as("id")).distinct(),
           "__shmb")
-        pairs.join(mA.join(mB, Seq("__rv")), Seq("__rv"))
-          .select(col("id_a"), col("id_b"),
+        pairTable.join(mA.join(mB, Seq("__rv")), Seq("__rv"))
+          .select(col("id_a"), col("id_b"), col("__rv"),
             try_element_at(col("__shma"), col("id_a")).as("sh_a"),
             try_element_at(col("__shmb"), col("id_b")).as("sh_b"))
       }
-    scored
-      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    scored.filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
   }
 
   /** The r13-and-earlier verify shape: dedupe candidate pairs, then
@@ -892,9 +948,100 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
 
+  /** Session conf toggling the truncated-hash pre-verify inside
+    * [[verifyRendezvousThresholded]]'s big-gate path ("true"/"false";
+    * read at call time). Exists so the Tune A/B can interleave the
+    * one-phase and two-phase shapes in one session, and so a corpus
+    * whose LSH candidates are mostly TRUE positives (where phase 2
+    * re-ships nearly everything and the prefilter only adds a pass)
+    * can opt out without touching call sites.
+    */
+  val VerifyPrefilterConfKey: String = "spark.graft.verifyPrefilter"
+
+  /** Default for [[VerifyPrefilterConfKey]] — set by the r16 1000×-tier
+    * interleaved A/B (SCALE.md r16 `pv1000`).
+    */
+  private[graft] val VerifyPrefilterDefault: Boolean = true
+
+  /** THRESHOLDED verify: [[verifyRendezvous]] ∘ `filter(jaccard >=
+    * threshold)` (exact same rows — equivalence pinned in DedupSpec),
+    * but on the big-gate path the threshold unlocks a two-phase
+    * TRUNCATED-HASH PRE-VERIFY that cuts the verify exchange's
+    * bytes/row — the named binding constraint of the whole minhash
+    * family at scale (~26 GB of verify shuffle per 5M docs made the
+    * 20M-doc cell disk-infeasible, SCALE.md r15):
+    *
+    *  - phase 1 runs the rendezvous core with [[truncSh]] (high-32-bit
+    *    ints — HALF the exchange bytes of the sorted-long form) and
+    *    drops every pair whose truncated Jaccard — a sound upper bound
+    *    on the exact hashed Jaccard, see [[truncSh]] — is already
+    *    below `threshold`;
+    *  - phase 2 re-verifies ONLY the survivors with the full 64-bit
+    *    form, routed by the same measured size gate the one-phase
+    *    verify uses (small survivor sets take the broadcast-friendly
+    *    carry; big ones re-enter the rendezvous core via the __rv
+    *    each survivor kept from phase 1).
+    *
+    * Exchange bytes ≈ 0.5·B + s·B (B = one-phase bytes, s = the
+    * survivor share), so the prefilter pays whenever under ~half of
+    * the LSH candidates are true near-dups — the normal regime: LSH
+    * bands are tuned for recall, so candidate precision at the
+    * threshold is low. Results are BIT-IDENTICAL either way: phase 1
+    * can only drop pairs that phase 2/the one-phase verify would have
+    * filtered (upper bound), and survivors get the exact score.
+    *
+    * Routing/sentinels are [[verifyRendezvous]]'s: `minPairs` < 0
+    * forces the carry (no persist, no count job — the micro-batch
+    * path), 0 forces the two-phase rendezvous, [[VerifyUseConf]] reads
+    * the session gate. The pre-verify itself is toggled by
+    * [[VerifyPrefilterConfKey]].
+    */
+  private[graft] def verifyRendezvousThresholded(collisions: DataFrame,
+      docsA: DataFrame, docsB: DataFrame, threshold: Double,
+      minPairs: Long = VerifyUseConf): DataFrame = {
+    val spark = collisions.sparkSession
+    val gate = resolveVerifyGate(spark, minPairs)
+    if (gate < 0)
+      return verifyCarry(collisions, docsA, docsB)
+        .filter(col("jaccard") >= threshold)
+    val pairTable = graft.ops.StageCache.persisted(
+      collisions.groupBy("id_a", "id_b").agg(min(col("__bk")).as("__rv")))
+    if (gate > 0 && pairTable.count() < gate)
+      return verifyCarryOn(pairTable.select("id_a", "id_b"), docsA, docsB)
+        .filter(col("jaccard") >= threshold)
+    val prefilter = spark.conf.get(VerifyPrefilterConfKey,
+      VerifyPrefilterDefault.toString).toBoolean
+    if (!prefilter)
+      return rendezvousScored(pairTable, docsA, docsB, verifySh)
+        .select(col("id_a"), col("id_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    // phase 1: truncated upper bound — drop definitive non-matches.
+    // Persisted: the survivor table is consumed twice on the big
+    // phase-2 path (rvIds derivation + join spine) or once + count on
+    // the gated path; either way it must not recompute the phase-1
+    // group maps per consumer.
+    val survivors = graft.ops.StageCache.persisted(
+      rendezvousScored(pairTable, docsA, docsB, truncSh)
+        .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+        .select("id_a", "id_b", "__rv"))
+    // phase 2: exact verify of the survivors, size-routed like the
+    // one-phase verify (the survivor set is usually far below the
+    // rendezvous crossover — the whole point of phase 1)
+    val exact =
+      if (gate > 0 && survivors.count() < gate)
+        verifyCarryOn(survivors.select("id_a", "id_b"), docsA, docsB)
+      else
+        rendezvousScored(survivors, docsA, docsB, verifySh)
+          .select(col("id_a"), col("id_b"),
+            jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    exact.filter(col("jaccard") >= threshold)
+  }
+
   def minhashPairsFromIndex(index: MinhashIndex,
       threshold: Double): DataFrame =
-    scoredCandidates(index).filter(col("jaccard") >= threshold)
+    verifyRendezvousThresholded(selfCollisions(index),
+      index.shingles, index.shingles, threshold)
 
   /** [[incrementalMinhashPairs]] with the delta's sketches pre-built —
     * the no-resketch probe for callers that need the delta index for
@@ -903,9 +1050,8 @@ object Dedup {
     */
   def incrementalMinhashPairsFromIndex(corpus: MinhashIndex,
       delta: MinhashIndex, threshold: Double): DataFrame =
-    verifyRendezvous(deltaCollisions(corpus, delta),
-      delta.shingles, corpus.shingles)
-      .filter(col("jaccard") >= threshold)
+    verifyRendezvousThresholded(deltaCollisions(corpus, delta),
+      delta.shingles, corpus.shingles, threshold)
 
   /** Delta-vs-corpus bucket collisions with their bucket identity —
     * the [[selfCollisions]] analog for the incremental probe
@@ -983,8 +1129,8 @@ object Dedup {
       .filter(col("__staged") || col("id_b") < col("id_a"))
       .select(xxhash64(col("band"), col("bucket")).as("__bk"),
         col("id_a"), col("id_b"))
-    verifyRendezvous(cand, batchIdx.shingles, otherSh, verifyMinPairs)
-      .filter(col("jaccard") >= threshold)
+    verifyRendezvousThresholded(cand, batchIdx.shingles, otherSh,
+        threshold, verifyMinPairs)
       .select(col("id_a").as("id")).distinct()
   }
 

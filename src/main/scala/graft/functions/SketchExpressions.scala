@@ -269,6 +269,30 @@ object SketchOps {
     n
   }
 
+  /** [[sortedIntersectSizeLong]] over SORTED int arrays — the
+    * truncated-hash pre-verify representation (high 32 bits of each
+    * xxhash64, still sorted because `x >> 32` is monotone over signed
+    * longs). Truncation preserves equality, so for multisets the
+    * truncated intersect is an UPPER BOUND on the 64-bit intersect
+    * (min is superadditive over the preimage counts), which makes the
+    * truncated Jaccard a sound >= bound — the pre-verify's drop rule.
+    */
+  def sortedIntersectSizeInt(a: ArrayData, b: ArrayData): Int = {
+    var i = 0
+    var j = 0
+    var n = 0
+    val na = a.numElements()
+    val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** [[sortedIntersectSize]] over SORTED distinct long arrays — the
     * hashed-verify representation (xxhash64 per shingle): same merge
     * walk, 8-byte fixed-width compares instead of UTF8 string
@@ -397,31 +421,41 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_intersect_size"
-  // polymorphic over the two sorted-distinct representations: raw
-  // shingle strings (the staged-index/oracle form) and xxhash64 longs
-  // (the hashed-verify form — see SketchOps.sortedIntersectSizeLong)
-  private def isLong: Boolean = left.dataType match {
-    case ArrayType(LongType, _) => true
-    case _ => false
+  // polymorphic over the three sorted representations: raw shingle
+  // strings (the staged-index/oracle form), xxhash64 longs (the
+  // hashed-verify form — see SketchOps.sortedIntersectSizeLong), and
+  // truncated ints (the pre-verify bound form —
+  // SketchOps.sortedIntersectSizeInt)
+  private def walkFn: String = left.dataType match {
+    case ArrayType(LongType, _) => "sortedIntersectSizeLong"
+    case ArrayType(IntegerType, _) => "sortedIntersectSizeInt"
+    case _ => "sortedIntersectSize"
   }
   override def checkInputDataTypes(): TypeCheckResult = {
     val asString =
       SketchOps.requireArrayOf(prettyName, StringType, left.dataType, right.dataType)
     if (asString.isSuccess) asString
-    else SketchOps.requireArrayOf(prettyName, LongType, left.dataType, right.dataType)
+    else {
+      val asLong =
+        SketchOps.requireArrayOf(prettyName, LongType, left.dataType, right.dataType)
+      if (asLong.isSuccess) asLong
+      else SketchOps.requireArrayOf(prettyName, IntegerType, left.dataType, right.dataType)
+    }
   }
-  override protected def nullSafeEval(l: Any, r: Any): Any =
-    if (isLong)
+  override protected def nullSafeEval(l: Any, r: Any): Any = walkFn match {
+    case "sortedIntersectSizeLong" =>
       SketchOps.sortedIntersectSizeLong(
         l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-    else
+    case "sortedIntersectSizeInt" =>
+      SketchOps.sortedIntersectSizeInt(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    case _ =>
       SketchOps.sortedIntersectSize(
         l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = if (isLong) "sortedIntersectSizeLong" else "sortedIntersectSize"
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SketchOps.$fn($a, $b)")
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SketchOps.$walkFn($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

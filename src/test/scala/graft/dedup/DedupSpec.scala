@@ -1010,4 +1010,115 @@ class DedupSpec extends SparkTestBase {
     assert(got.nonEmpty)
     graft.ops.StageCache.releaseAll()
   }
+
+  test("verifyRendezvousThresholded ≡ verifyRendezvous∘filter: all routes") {
+    // the r16 pre-verify's equivalence pin: the thresholded verify
+    // must emit EXACTLY the rows of the one-phase verify followed by
+    // the threshold filter — per route (forced carry / small gate /
+    // big gate with the prefilter on AND off), per kernel, and at
+    // thresholds that both drop and keep pairs on this fixture.
+    val corpus = rvFixture
+    for (fast <- Seq(true, false); threshold <- Seq(0.1, 0.5, 0.95)) {
+      val idx = Dedup.minhashIndexView(corpus, "doc_id", "text",
+        fastKernel = fast)
+      val coll = Dedup.selfCollisions(idx)
+      val expect = Dedup.verifyRendezvous(coll, idx.shingles, idx.shingles,
+          minPairs = 0L)
+        .filter($"jaccard" >= threshold)
+        .as[(Long, Long, Double)].collect().toSet
+      for ((route, minPairs, pf) <- Seq(
+          ("forced-carry", Dedup.VerifyForceCarry, "true"),
+          ("small-gate", Long.MaxValue, "true"),
+          ("big-gate+prefilter", 0L, "true"),
+          ("big-gate one-phase", 0L, "false"))) {
+        val got = withSQLConf(Dedup.VerifyPrefilterConfKey -> pf) {
+          Dedup.verifyRendezvousThresholded(coll, idx.shingles,
+              idx.shingles, threshold, minPairs)
+            .as[(Long, Long, Double)].collect().toSet
+        }
+        assert(got === expect,
+          s"route=$route fast=$fast threshold=$threshold")
+      }
+      // at the low threshold the fixture must actually keep pairs, at
+      // the top it must actually drop some — else the pin is vacuous
+      if (threshold == 0.1) assert(expect.size >= 12 * 3)
+      graft.ops.StageCache.releaseAll()
+    }
+  }
+
+  test("thresholded verify: prefilter equivalence on the delta probe, hashed repr") {
+    // two-sided (docsA ne docsB) route of the two-phase core, with the
+    // corpus side in the staged xxh64 representation — the shape the
+    // incremental probe executes at scale
+    val corpus = rvFixture.filter($"doc_id" % 2 === 0)
+    val delta = rvFixture.filter($"doc_id" % 2 === 1)
+    val cIdx = Dedup.minhashIndexView(corpus, "doc_id", "text")
+    val dIdx = Dedup.minhashIndexView(delta, "doc_id", "text")
+    val hIdx = Dedup.MinhashIndex(
+      cIdx.shingles.select($"id", Dedup.hashShingles($"sh").as("sh")),
+      cIdx.buckets)
+    val coll = Dedup.deltaCollisions(hIdx, dIdx)
+    val expect = Dedup.verifyRendezvous(coll, dIdx.shingles, hIdx.shingles,
+        minPairs = 0L)
+      .filter($"jaccard" >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = withSQLConf(Dedup.VerifyPrefilterConfKey -> "true") {
+      Dedup.verifyRendezvousThresholded(coll, dIdx.shingles, hIdx.shingles,
+          0.3, minPairs = 0L)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(got === expect)
+    assert(got.nonEmpty, "cross pairs must survive at 0.3")
+    graft.ops.StageCache.releaseAll()
+  }
+
+  test("verify prefilter conf routes at call time") {
+    // spark.graft.verifyPrefilter is read when the plan is BUILT. Two
+    // independent markers, because the truncation projection hides
+    // inside the persisted survivor stage's cached plan (not printable
+    // from the outer plan string): (1) the two-phase shape registers
+    // TWO StageCache stages (pair table + phase-1 survivors) where the
+    // one-phase shape registers one; (2) the survivor stage's OWN
+    // cached plan — the last registered frame — carries the
+    // shiftright(x, 32) truncation.
+    val idx = Dedup.minhashIndexView(rvFixture, "doc_id", "text")
+    def registrations(pf: String): Int = {
+      graft.ops.StageCache.releaseAll()
+      val before = graft.ops.StageCache.registeredCount
+      withSQLConf(Dedup.VerifyPrefilterConfKey -> pf) {
+        Dedup.verifyRendezvousThresholded(
+            Dedup.selfCollisions(idx), idx.shingles, idx.shingles,
+            0.5, minPairs = 0L)
+          .collect()
+      }
+      graft.ops.StageCache.registeredCount - before
+    }
+    assert(registrations("true") === 2,
+      "prefilter on must persist pair table AND phase-1 survivors")
+    assert(registrations("false") === 1,
+      "prefilter off must persist only the pair table")
+    graft.ops.StageCache.releaseAll()
+  }
+
+  test("thresholded forced carry stays construction-lazy") {
+    // admissionDrops routes through verifyRendezvousThresholded since
+    // r16; the per-micro-batch laziness contract (no persist, no job
+    // at construction) must survive the rerouting
+    graft.ops.StageCache.releaseAll()
+    val idx = Dedup.minhashIndexView(rvFixture, "doc_id", "text")
+    val coll = Dedup.selfCollisions(idx)
+    val registered0 = graft.ops.StageCache.registeredCount
+    val sc = spark.sparkContext
+    sc.setJobGroup("rvt-force-carry-pin", "construction must run no job")
+    val forced =
+      try Dedup.verifyRendezvousThresholded(coll, idx.shingles,
+        idx.shingles, 0.3, minPairs = Dedup.VerifyForceCarry)
+      finally sc.clearJobGroup()
+    assert(sc.statusTracker.getJobIdsForGroup("rvt-force-carry-pin").isEmpty,
+      "thresholded forced carry scheduled a job during construction")
+    assert(graft.ops.StageCache.registeredCount === registered0,
+      "thresholded forced carry registered a persisted stage")
+    assert(forced.as[(Long, Long, Double)].collect().nonEmpty)
+    graft.ops.StageCache.releaseAll()
+  }
 }

@@ -63,6 +63,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("truncated intersect is a sound upper bound on the long intersect") {
+    // the pre-verify drop rule (Dedup.truncSh): over SORTED long
+    // multisets, the merge-walk intersect of the high-32-bit
+    // truncations is >= the 64-bit walk's count — and the truncated
+    // projection of a sorted long array is itself sorted (x >> 32 is
+    // monotone). Exercised with long values CLUSTERED so truncation
+    // collisions actually occur (uniform 64-bit randoms would
+    // essentially never collide and the bound pin would be vacuous),
+    // plus duplicates, since the verify tolerates multiset inputs.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def longs(xs: Seq[Long]) = new GenericArrayData(xs.toArray[Any])
+    def ints(xs: Seq[Int]) = new GenericArrayData(xs.toArray[Any])
+    var collisionsSeen = 0
+    (1 to trials).foreach { _ =>
+      // high 32 bits drawn from a SMALL space (0..7) so distinct longs
+      // often share a truncation; low bits random
+      def gen(n: Int): Seq[Long] = (0 until n).map(_ =>
+        (rnd.nextInt(8).toLong << 32) | (rnd.nextInt(16).toLong & 0xFFFFFFFFL))
+      val a = gen(rnd.nextInt(20)).sorted
+      val b = gen(rnd.nextInt(20)).sorted
+      val ta = a.map(x => (x >> 32).toInt)
+      val tb = b.map(x => (x >> 32).toInt)
+      assert(ta === ta.sorted, "truncation must preserve sortedness")
+      val i64 = SketchOps.sortedIntersectSizeLong(longs(a), longs(b))
+      val i32 = SketchOps.sortedIntersectSizeInt(ints(ta), ints(tb))
+      assert(i32 >= i64, s"bound violated: $a vs $b ($i32 < $i64)")
+      // reference multiset semantics for both walks
+      def multiIntersect[T](x: Seq[T], y: Seq[T]): Int = {
+        val cy = y.groupBy(identity).map { case (k, v) => k -> v.size }
+        x.groupBy(identity).map { case (k, v) =>
+          math.min(v.size, cy.getOrElse(k, 0)) }.sum
+      }
+      assert(i64 === multiIntersect(a, b))
+      assert(i32 === multiIntersect(ta, tb))
+      if (i32 > i64) collisionsSeen += 1
+      // the jaccard bound itself: same sizes, monotone in the count
+      val (na, nb) = (a.size, b.size)
+      if (na + nb > 0) {
+        val j64 = i64.toDouble / (na + nb - i64)
+        val j32 = i32.toDouble / (na + nb - i32)
+        assert(j32 >= j64)
+      }
+    }
+    assert(collisionsSeen > 0,
+      "fixture never produced a truncation collision — bound pin vacuous")
+  }
+
   test("minhash similarity estimates jaccard on related sets") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String

@@ -16,9 +16,23 @@ cd "$(dirname "$0")/.."
 
 msg="${1:-round snapshot: bench/correctness/judge artifacts}"
 
+# per-query bench history (r15 VERDICT task 4): bench_full_last.json
+# (201 per-query mins + jobs + spreads; sums to min_sum) is gitignored
+# as driver churn, so cross-round per-query regression detection needs
+# a round-stamped copy. Stamp it with the highest BENCH_r{N} present —
+# the round whose bench produced it.
+if [ -e bench_full_last.json ]; then
+  round=$(ls BENCH_r*.json 2>/dev/null \
+    | sed -E 's/BENCH_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
+  if [ -n "${round:-}" ]; then
+    cp bench_full_last.json "bench_full_r$(printf '%02d' "$round").json"
+  fi
+fi
+
 artifacts=()
 for f in BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json \
-         VERDICT.md ADVICE.md bench_full_last.json PROGRESS.jsonl; do
+         VERDICT.md ADVICE.md bench_full_last.json bench_full_r*.json \
+         PROGRESS.jsonl; do
   # skip driver-churn files .gitignore excludes on purpose (git add on
   # an ignored path errors, which set -e turns into an abort); the if
   # form also avoids the &&-list set-e hazard on a false condition
