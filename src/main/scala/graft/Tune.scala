@@ -658,7 +658,8 @@ object Tune {
       val d1000 = spark.read.parquet("/tmp/graft_sf100/documents.parquet")
       spark.conf.set("spark.sql.shuffle.partitions", "128")
       for (block <- 1 to 2) {
-        for ((label, pf) <- Seq(("1phase", "false"), ("2phase", "true"))) {
+        for ((label, pf) <- Seq(("1phase", "off"), ("2ph32", "32"),
+            ("2ph16", "16"))) {
           stageLog.synchronized(stageLog.clear())
           spark.conf.set(graft.dedup.Dedup.VerifyPrefilterConfKey, pf)
           time(f"mh $label%s @1000x b$block") {
@@ -769,6 +770,60 @@ object Tune {
         println(f"[tune] /tmp free after  p=$p: $freeGb%.1f GB")
       }
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.stop(); return
+    }
+
+    // ---- q_ngram_prefix variance attribution (r16 task 6; open since
+    // r10): the arm shows one-rep outliers (16 s against a 5-7 s min
+    // in the r15 protocol validation) with no named mechanism. This
+    // runs the REGISTERED query (same plan as the bench arm) at the
+    // 10× tier for 8 visible reps — no min-of-2 masking — printing
+    // per-rep wall/jobs/spill/shW/gc and, for any rep ≥1.5× the
+    // session median, that rep's per-stage task counts and bytes (an
+    // AQE skew-split or replan shows as a task-count delta; a GC/host
+    // stall shows as same-tasks-slower; pair with
+    // SPARK_GRAFT_JVM_OPTS="-Xlog:gc*=info:file=/tmp/gc_ngp.log" to
+    // split those). Usage: runMain graft.Tune /root/testdata/sf0.1 ngp10
+    if (args.drop(1).headOption.contains("ngp10")) {
+      ensureDocsTier(spark, sfDir, "/tmp/graft_sf1", 10)
+      val reps = 8
+      val walls = new Array[Double](reps)
+      val repStages = new Array[Seq[(Int, String, Long, Long, Int)]](reps)
+      for (i <- 0 until reps) {
+        graft.ops.StageCache.releaseAll()
+        spark.catalog.clearCache()
+        System.gc()
+        stageLog.synchronized(stageLog.clear())
+        val j0 = jobs.get()
+        val s0 = spill.get(); val (w0, g0) = (shWrite.get(), gcMs.get())
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries("q_ngram_prefix")(
+          spark, "/tmp/graft_sf1").count()
+        walls(i) = (System.nanoTime() - t0) / 1e9
+        val j = ListenerSettle.settled(jobs) - j0
+        println(f"[tune] ngram_prefix rep$i ${walls(i)}%6.2f s  $j%3d jobs  " +
+          f"$n%8d rows  spill ${(spill.get() - s0) / 1048576}%5d MB  " +
+          f"shW ${(shWrite.get() - w0) / 1048576}%5d MB  " +
+          f"gc ${(gcMs.get() - g0) / 1000.0}%5.1f s")
+        repStages(i) = stageLog.synchronized(stageLog.filter(_._2 != REP_MARK).toList)
+      }
+      val med = walls.sorted.apply(reps / 2)
+      for (i <- 0 until reps if walls(i) >= 1.5 * med) {
+        println(f"[tune] -- outlier rep$i (${walls(i)}%.2f s vs median $med%.2f): " +
+          "stages (id, tasks, shW MB, shR MB) --")
+        repStages(i).sortBy(_._1).foreach { s =>
+          println(f"[tune]   stage ${s._1}%5d  tasks ${s._5}%4d  " +
+            f"shW ${s._3 / 1048576}%5d  shR ${s._4 / 1048576}%5d  ${s._2}%s")
+        }
+        // task-count histogram vs the median-wall rep: a skew-split /
+        // replan difference shows here even when stage ids shift
+        val mi = walls.indexOf(med)
+        val tcount = (st: Seq[(Int, String, Long, Long, Int)]) =>
+          st.map(_._5).sorted.mkString(",")
+        println(s"[tune]   outlier task counts: ${tcount(repStages(i))}")
+        println(s"[tune]   median  task counts: ${tcount(repStages(mi))}")
+      }
+      println(f"[tune] ngram_prefix walls: ${walls.map(w => f"$w%.2f").mkString(" ")}")
       spark.stop(); return
     }
 

@@ -542,6 +542,16 @@ object Dedup {
   private def truncSh(df: DataFrame): Column =
     transform(verifySh(df), x => shiftright(x, 32).cast("int"))
 
+  /** 16-bit tier of [[truncSh]]: high 16 bits as smallints — a QUARTER
+    * of the exact form's bytes/element. Same monotonicity (`x >> 48`
+    * over sorted signed longs) and the same upper-bound soundness; the
+    * looser bound admits ~|A|·|B|/2¹⁶ expected spurious intersections
+    * per pair (~0.04 at the corpus's measured m≈51) — false survivors
+    * that cost one phase-2 exact check each, never a wrong answer.
+    */
+  private def truncSh16(df: DataFrame): Column =
+    transform(verifySh(df), x => shiftright(x, 48).cast("smallint"))
+
   /** MinHash+LSH near-duplicate pairs over `df(idCol, textCol)`:
     * candidates from shared LSH buckets, verified with exact Jaccard on
     * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -881,10 +891,20 @@ object Dedup {
     * (a real id-uniqueness contract violation) still fails loudly.
     */
   private def rendezvousScored(pairTable: DataFrame, docsA: DataFrame,
-      docsB: DataFrame, shOf: DataFrame => Column): DataFrame = {
+      docsB: DataFrame, shOf: DataFrame => Column,
+      broadcastIds: Boolean = false): DataFrame = {
+    // broadcastIds: hint the (id, __rv) routing table into the docs
+    // join so the DOCS SIDE CROSSES NO EXCHANGE — right when the pair
+    // table is a small survivor set over a BIG corpus (the pre-verify
+    // phase 2: measured 2×2,068 MB of full-corpus doc shuffles on the
+    // carry alternative at the 1000× tier vs ~1 GB of survivor-doc
+    // group arrays here). Wrong when the pair table is corpus-scale —
+    // the caller gates on [[PreVerifyBroadcastMaxPairs]].
+    def route(rvIds: DataFrame): DataFrame =
+      if (broadcastIds) broadcast(rvIds) else rvIds
     def groupMap(docs: DataFrame, rvIds: DataFrame, name: String) =
       docs.select(col("id"), shOf(docs).as("sh"))
-        .join(rvIds, Seq("id"))
+        .join(route(rvIds), Seq("id"))
         .groupBy("__rv")
         .agg(map_from_entries(array_distinct(
           collect_list(struct(col("id"), col("sh"))))).as(name))
@@ -948,20 +968,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
 
-  /** Session conf toggling the truncated-hash pre-verify inside
-    * [[verifyRendezvousThresholded]]'s big-gate path ("true"/"false";
-    * read at call time). Exists so the Tune A/B can interleave the
-    * one-phase and two-phase shapes in one session, and so a corpus
-    * whose LSH candidates are mostly TRUE positives (where phase 2
-    * re-ships nearly everything and the prefilter only adds a pass)
-    * can opt out without touching call sites.
+  /** Session conf selecting the truncated-hash pre-verify inside
+    * [[verifyRendezvousThresholded]]'s big-gate path, read at call
+    * time: "16" (high-16-bit smallints, quarter bytes — the measured
+    * default), "32"/"true" (high-32-bit ints, half bytes), or
+    * "off"/"false" (one-phase exact verify). Exists so the Tune A/B
+    * can interleave the shapes in one session, and so a corpus whose
+    * LSH candidates are mostly TRUE positives (where phase 2 re-ships
+    * nearly everything and the prefilter only adds a pass) can opt
+    * out without touching call sites.
     */
   val VerifyPrefilterConfKey: String = "spark.graft.verifyPrefilter"
 
   /** Default for [[VerifyPrefilterConfKey]] — set by the r16 1000×-tier
     * interleaved A/B (SCALE.md r16 `pv1000`).
     */
-  private[graft] val VerifyPrefilterDefault: Boolean = true
+  private[graft] val VerifyPrefilterDefault: String = "16"
+
+  /** Phase-2 routing-table broadcast bound: the survivor pair table's
+    * (id, __rv) rows are ≤ 2 per pair × 16 bytes, so this caps the
+    * broadcast build at ~64 MB of raw entries — comfortably under
+    * executor memory at any sane config, while covering every measured
+    * survivor set (1.29M pairs at the 1000× tier's 106M candidates).
+    * Above it phase 2 runs the un-hinted rendezvous core (AQE decides).
+    */
+  private[graft] val PreVerifyBroadcastMaxPairs: Long = 2000000L
 
   /** THRESHOLDED verify: [[verifyRendezvous]] ∘ `filter(jaccard >=
     * threshold)` (exact same rows — equivalence pinned in DedupSpec),
@@ -971,16 +1002,18 @@ object Dedup {
     * family at scale (~26 GB of verify shuffle per 5M docs made the
     * 20M-doc cell disk-infeasible, SCALE.md r15):
     *
-    *  - phase 1 runs the rendezvous core with [[truncSh]] (high-32-bit
-    *    ints — HALF the exchange bytes of the sorted-long form) and
-    *    drops every pair whose truncated Jaccard — a sound upper bound
-    *    on the exact hashed Jaccard, see [[truncSh]] — is already
-    *    below `threshold`;
+    *  - phase 1 runs the rendezvous core with a truncated form of the
+    *    hashes — high-16-bit smallints ([[truncSh16]], a QUARTER of
+    *    the sorted-long form's bytes; the measured default) or
+    *    high-32-bit ints ([[truncSh]], half) per
+    *    [[VerifyPrefilterConfKey]] — and drops every pair whose
+    *    truncated Jaccard — a sound upper bound on the exact hashed
+    *    Jaccard, see [[truncSh]] — is already below `threshold`;
     *  - phase 2 re-verifies ONLY the survivors with the full 64-bit
-    *    form, routed by the same measured size gate the one-phase
-    *    verify uses (small survivor sets take the broadcast-friendly
-    *    carry; big ones re-enter the rendezvous core via the __rv
-    *    each survivor kept from phase 1).
+    *    form, re-entering the rendezvous core via the __rv each
+    *    survivor kept from phase 1, with the survivor routing table
+    *    broadcast below [[PreVerifyBroadcastMaxPairs]] so the corpus
+    *    side crosses no exchange at all.
     *
     * Exchange bytes ≈ 0.5·B + s·B (B = one-phase bytes, s = the
     * survivor share), so the prefilter pays whenever under ~half of
@@ -1010,31 +1043,41 @@ object Dedup {
       return verifyCarryOn(pairTable.select("id_a", "id_b"), docsA, docsB)
         .filter(col("jaccard") >= threshold)
     val prefilter = spark.conf.get(VerifyPrefilterConfKey,
-      VerifyPrefilterDefault.toString).toBoolean
-    if (!prefilter)
+      VerifyPrefilterDefault) match {
+      case "off" | "false" => None
+      case "32" | "true" => Some(truncSh _)
+      case "16" => Some(truncSh16 _)
+      case other => throw new IllegalArgumentException(
+        s"$VerifyPrefilterConfKey must be one of off/false, 32/true, 16; " +
+          s"got '$other'")
+    }
+    if (prefilter.isEmpty)
       return rendezvousScored(pairTable, docsA, docsB, verifySh)
         .select(col("id_a"), col("id_b"),
           jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     // phase 1: truncated upper bound — drop definitive non-matches.
-    // Persisted: the survivor table is consumed twice on the big
-    // phase-2 path (rvIds derivation + join spine) or once + count on
-    // the gated path; either way it must not recompute the phase-1
-    // group maps per consumer.
+    // Persisted: the survivor table is consumed three times on the
+    // phase-2 path (the broadcast-routing count, rvIds derivation and
+    // the join spine); it must not recompute the phase-1 group maps
+    // per consumer.
     val survivors = graft.ops.StageCache.persisted(
-      rendezvousScored(pairTable, docsA, docsB, truncSh)
+      rendezvousScored(pairTable, docsA, docsB, prefilter.get)
         .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
         .select("id_a", "id_b", "__rv"))
-    // phase 2: exact verify of the survivors, size-routed like the
-    // one-phase verify (the survivor set is usually far below the
-    // rendezvous crossover — the whole point of phase 1)
-    val exact =
-      if (gate > 0 && survivors.count() < gate)
-        verifyCarryOn(survivors.select("id_a", "id_b"), docsA, docsB)
-      else
-        rendezvousScored(survivors, docsA, docsB, verifySh)
-          .select(col("id_a"), col("id_b"),
-            jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    // phase 2: exact verify of the survivors, ALWAYS on the rendezvous
+    // core — on this path the docs side is big by construction (the
+    // candidate count cleared the big gate), and the carry shape's two
+    // full-corpus doc joins are exactly the exchange this operator
+    // exists to avoid (measured 2×2,068 MB vs ~1 GB of survivor-doc
+    // group arrays at the 1000× tier). The broadcast hint on the
+    // survivor routing table removes the docs-side exchange entirely
+    // when the survivor set is small (the normal case — LSH bands are
+    // recall-tuned, so candidate precision at the threshold is low).
+    val exact = rendezvousScored(survivors, docsA, docsB, verifySh,
+        broadcastIds = survivors.count() <= PreVerifyBroadcastMaxPairs)
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
     exact.filter(col("jaccard") >= threshold)
   }
 

@@ -293,6 +293,29 @@ object SketchOps {
     n
   }
 
+  /** [[sortedIntersectSizeInt]] over SORTED short arrays — the 16-bit
+    * pre-verify tier (high 16 bits of each xxhash64): 2 bytes/element,
+    * a quarter of the exact form's exchange bytes, same upper-bound
+    * soundness (truncation preserves equality); the looser bound costs
+    * ~|A|·|B|/2¹⁶ expected spurious intersections per pair (~0.04 at
+    * the measured m≈51), false survivors only, never wrong answers.
+    */
+  def sortedIntersectSizeShort(a: ArrayData, b: ArrayData): Int = {
+    var i = 0
+    var j = 0
+    var n = 0
+    val na = a.numElements()
+    val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getShort(i)
+      val y = b.getShort(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** [[sortedIntersectSize]] over SORTED distinct long arrays — the
     * hashed-verify representation (xxhash64 per shingle): same merge
     * walk, 8-byte fixed-width compares instead of UTF8 string
@@ -421,26 +444,21 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_intersect_size"
-  // polymorphic over the three sorted representations: raw shingle
+  // polymorphic over the four sorted representations: raw shingle
   // strings (the staged-index/oracle form), xxhash64 longs (the
   // hashed-verify form — see SketchOps.sortedIntersectSizeLong), and
-  // truncated ints (the pre-verify bound form —
-  // SketchOps.sortedIntersectSizeInt)
+  // truncated ints/shorts (the pre-verify bound forms —
+  // SketchOps.sortedIntersectSizeInt/Short)
   private def walkFn: String = left.dataType match {
     case ArrayType(LongType, _) => "sortedIntersectSizeLong"
     case ArrayType(IntegerType, _) => "sortedIntersectSizeInt"
+    case ArrayType(ShortType, _) => "sortedIntersectSizeShort"
     case _ => "sortedIntersectSize"
   }
   override def checkInputDataTypes(): TypeCheckResult = {
-    val asString =
-      SketchOps.requireArrayOf(prettyName, StringType, left.dataType, right.dataType)
-    if (asString.isSuccess) asString
-    else {
-      val asLong =
-        SketchOps.requireArrayOf(prettyName, LongType, left.dataType, right.dataType)
-      if (asLong.isSuccess) asLong
-      else SketchOps.requireArrayOf(prettyName, IntegerType, left.dataType, right.dataType)
-    }
+    val attempts = Seq(StringType, LongType, IntegerType, ShortType).map(t =>
+      SketchOps.requireArrayOf(prettyName, t, left.dataType, right.dataType))
+    attempts.find(_.isSuccess).getOrElse(attempts.head)
   }
   override protected def nullSafeEval(l: Any, r: Any): Any = walkFn match {
     case "sortedIntersectSizeLong" =>
@@ -448,6 +466,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
         l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     case "sortedIntersectSizeInt" =>
       SketchOps.sortedIntersectSizeInt(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    case "sortedIntersectSizeShort" =>
+      SketchOps.sortedIntersectSizeShort(
         l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     case _ =>
       SketchOps.sortedIntersectSize(

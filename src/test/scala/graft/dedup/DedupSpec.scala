@@ -1027,10 +1027,11 @@ class DedupSpec extends SparkTestBase {
         .filter($"jaccard" >= threshold)
         .as[(Long, Long, Double)].collect().toSet
       for ((route, minPairs, pf) <- Seq(
-          ("forced-carry", Dedup.VerifyForceCarry, "true"),
-          ("small-gate", Long.MaxValue, "true"),
-          ("big-gate+prefilter", 0L, "true"),
-          ("big-gate one-phase", 0L, "false"))) {
+          ("forced-carry", Dedup.VerifyForceCarry, "16"),
+          ("small-gate", Long.MaxValue, "16"),
+          ("big-gate+prefilter16", 0L, "16"),
+          ("big-gate+prefilter32", 0L, "32"),
+          ("big-gate one-phase", 0L, "off"))) {
         val got = withSQLConf(Dedup.VerifyPrefilterConfKey -> pf) {
           Dedup.verifyRendezvousThresholded(coll, idx.shingles,
               idx.shingles, threshold, minPairs)
@@ -1093,10 +1094,21 @@ class DedupSpec extends SparkTestBase {
       }
       graft.ops.StageCache.registeredCount - before
     }
-    assert(registrations("true") === 2,
-      "prefilter on must persist pair table AND phase-1 survivors")
-    assert(registrations("false") === 1,
+    assert(registrations("16") === 2,
+      "prefilter 16 must persist pair table AND phase-1 survivors")
+    assert(registrations("32") === 2,
+      "prefilter 32 must persist pair table AND phase-1 survivors")
+    assert(registrations("off") === 1,
       "prefilter off must persist only the pair table")
+    // malformed conf fails with the key named, at construction
+    val e = intercept[IllegalArgumentException] {
+      withSQLConf(Dedup.VerifyPrefilterConfKey -> "maybe") {
+        Dedup.verifyRendezvousThresholded(
+          Dedup.selfCollisions(idx), idx.shingles, idx.shingles,
+          0.5, minPairs = 0L)
+      }
+    }
+    assert(e.getMessage.contains(Dedup.VerifyPrefilterConfKey))
     graft.ops.StageCache.releaseAll()
   }
 

@@ -75,21 +75,28 @@ class PropertySpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     def longs(xs: Seq[Long]) = new GenericArrayData(xs.toArray[Any])
     def ints(xs: Seq[Int]) = new GenericArrayData(xs.toArray[Any])
+    def shorts(xs: Seq[Short]) = new GenericArrayData(xs.toArray[Any])
     var collisionsSeen = 0
     (1 to trials).foreach { _ =>
-      // high 32 bits drawn from a SMALL space (0..7) so distinct longs
-      // often share a truncation; low bits random
+      // high 16 bits drawn from a SMALL space (0..7) so distinct longs
+      // often share BOTH truncations; low bits random
       def gen(n: Int): Seq[Long] = (0 until n).map(_ =>
-        (rnd.nextInt(8).toLong << 32) | (rnd.nextInt(16).toLong & 0xFFFFFFFFL))
+        (rnd.nextInt(8).toLong << 48) | rnd.nextInt(16).toLong)
       val a = gen(rnd.nextInt(20)).sorted
       val b = gen(rnd.nextInt(20)).sorted
       val ta = a.map(x => (x >> 32).toInt)
       val tb = b.map(x => (x >> 32).toInt)
+      val sa = a.map(x => (x >> 48).toShort)
+      val sb = b.map(x => (x >> 48).toShort)
       assert(ta === ta.sorted, "truncation must preserve sortedness")
+      assert(sa === sa.sorted, "16-bit truncation must preserve sortedness")
       val i64 = SketchOps.sortedIntersectSizeLong(longs(a), longs(b))
       val i32 = SketchOps.sortedIntersectSizeInt(ints(ta), ints(tb))
+      val i16 = SketchOps.sortedIntersectSizeShort(shorts(sa), shorts(sb))
       assert(i32 >= i64, s"bound violated: $a vs $b ($i32 < $i64)")
-      // reference multiset semantics for both walks
+      assert(i16 >= i32,
+        s"coarser truncation must bound the finer: $a vs $b ($i16 < $i32)")
+      // reference multiset semantics for all walks
       def multiIntersect[T](x: Seq[T], y: Seq[T]): Int = {
         val cy = y.groupBy(identity).map { case (k, v) => k -> v.size }
         x.groupBy(identity).map { case (k, v) =>
@@ -97,6 +104,7 @@ class PropertySpec extends AnyFunSuite {
       }
       assert(i64 === multiIntersect(a, b))
       assert(i32 === multiIntersect(ta, tb))
+      assert(i16 === multiIntersect(sa, sb))
       if (i32 > i64) collisionsSeen += 1
       // the jaccard bound itself: same sizes, monotone in the count
       val (na, nb) = (a.size, b.size)
