@@ -1028,6 +1028,16 @@ object Dedup {
     * path), 0 forces the two-phase rendezvous, [[VerifyUseConf]] reads
     * the session gate. The pre-verify itself is toggled by
     * [[VerifyPrefilterConfKey]].
+    *
+    * PARTITIONING AT SCALE (`spark.sql.shuffle.partitions`; Tune
+    * spillp, SCALE.md r16): the verify's sort/aggregation SPILL is
+    * volume-bound, not partition-fit — at 10M docs/212M candidates it
+    * measured a flat ~41 GB across p ∈ {256, 512, 1024} — but WALL
+    * improves monotonically with p (507/451/372 s), so size p up with
+    * candidate volume rather than to spill: p ≈ candidates / 200k
+    * keeps sort runs short and cores busy (1024 at the 10M-doc tier).
+    * Raising the ObjectHashAggregate fallback threshold instead OOMs
+    * (SCALE.md r15) — the spill IS the memory-safety path.
     */
   private[graft] def verifyRendezvousThresholded(collisions: DataFrame,
       docsA: DataFrame, docsB: DataFrame, threshold: Double,
