@@ -1625,10 +1625,25 @@ object ExtQueries {
             .agg(count(lit(1)).cast("long").as("n_hit"))
             .select(lit(m).as("method"), col("n_hit"))
         val nb = brute.agg(count(lit(1)).cast("long").as("n_brute"))
-        hitsOf("ivf", Ann.ivfTopK(qs, corpus, 5, 10))
-          .unionByName(hitsOf("ivf2", Ann.ivfTopK(qs, corpus, 5, 10, nprobe = 2)))
-          .unionByName(hitsOf("lsh", Ann.lshTopK(qs, corpus, 5, 8)))
-          .unionByName(hitsOf("lsh2", Ann.lshTopK(qs, corpus, 5, 8, nprobe = 2)))
+        // one model + one assigned/bucketed corpus per index FAMILY,
+        // shared by both nprobe settings (r16, guide §1.2/§2.4): the
+        // train-inside entry points re-collected the pivots/normals
+        // (a corpus-wide TakeOrdered + driver job each) and re-ran the
+        // corpus assignment scan once PER PROBE SETTING — ivf/ivf2 and
+        // lsh/lsh2 pairs now share one collect and one persisted
+        // assignment scan each (2 fewer driver jobs, 2 fewer corpus
+        // scans, and the inlined model literals appear once per family
+        // in the plan instead of twice)
+        val im = Ann.ivfModel(corpus, 10)
+        val cells = graft.ops.StageCache.persisted(
+          Ann.assignedCells(corpus, im))
+        val lm = Ann.lshModel(corpus, 8)
+        val lc = graft.ops.StageCache.persisted(
+          Ann.lshCorpusBuckets(lm, corpus))
+        hitsOf("ivf", Ann.ivfTopKCells(im, qs, cells, 5))
+          .unionByName(hitsOf("ivf2", Ann.ivfTopKCells(im, qs, cells, 5, nprobe = 2)))
+          .unionByName(hitsOf("lsh", Ann.lshTopKPrepared(lm, lc, qs, 5)))
+          .unionByName(hitsOf("lsh2", Ann.lshTopKPrepared(lm, lc, qs, 5, nprobe = 2)))
           .unionByName(hitsOf("quant", Ann.quantizedTopK(qs, corpus, 5, rerank = 10)))
           .crossJoin(broadcast(nb))
           .select(col("method"), col("n_brute"), col("n_hit"),
@@ -1786,11 +1801,20 @@ object ExtQueries {
         // report's index-build cost for identical pivots
         val m0 = Ann.ivfModel(corpus, 10)
         val mt = Ann.ivfModelFrom(m0, corpus, trainIters = 2)
-        hitsOf("ivf", Ann.ivfTopKModel(m0, qs, corpus, 5),
-            Ann.ivfCandidatesModel(m0, qs, corpus))
+        // one PERSISTED cell assignment per model (r16, guide §1.2):
+        // the corpus-taking entry points re-ran the nPivots-dot-products
+        // assignment scan once per consumer (search + candidate count =
+        // 2 scans per model) and inlined each model's pivot literals
+        // twice into the plan; sharing the assigned frame halves both
+        val cells0 = graft.ops.StageCache.persisted(
+          Ann.assignedCells(corpus, m0))
+        val cellsT = graft.ops.StageCache.persisted(
+          Ann.assignedCells(corpus, mt))
+        hitsOf("ivf", Ann.ivfTopKCells(m0, qs, cells0, 5),
+            Ann.ivfCandidatesCells(m0, qs, cells0))
           .unionByName(hitsOf("ivf_t",
-            Ann.ivfTopKModel(mt, qs, corpus, 5),
-            Ann.ivfCandidatesModel(mt, qs, corpus)))
+            Ann.ivfTopKCells(mt, qs, cellsT, 5),
+            Ann.ivfCandidatesCells(mt, qs, cellsT)))
           .crossJoin(broadcast(nb))
           .select(col("method"), col("n_brute"), col("n_hit"),
             floor(col("n_hit") * 10000.0 / col("n_brute") + 0.5)
@@ -1837,24 +1861,73 @@ object ExtQueries {
               FROM counted ORDER BY dim"""
       },
       (s, d) => {
+        // FUSED multi-width sweep (r16, guide §1.2/§2.4): previously
+        // FOUR independent brute-force sweeps (full + 3 truncations),
+        // each its own corpus scan, query broadcast, pair cross-join
+        // and per-qid window exchange, then 3 semi-joins against the
+        // persisted full-width answer. All four rankings read the SAME
+        // pair table, so ONE cross-join now computes the 4 guarded
+        // cosines per pair (bit-identical expressions: slice + the
+        // same VecDot fold and zero-norm guard), explodes to (dim,
+        // sim) rows, and ONE WindowGroupLimit-pruned window ranks
+        // every width; hits reduce to a top5⋈top5 self semi-join over
+        // |q|·20 rows. 4 corpus scans -> 1, 4 pair exchanges -> 1,
+        // 3 corpus-side SMJs -> 1 tiny join.
         val full = embeddings(s, d)
-        val qsF = full.filter(col("vec_id") % 50 === 0)
-        val brute = graft.ops.StageCache.persisted(
-          Ann.bruteForceTopK(qsF, full, 5).select("qid", "nid"))
-        val nb = brute.agg(count(lit(1)).cast("long").as("n_brute"))
-        def truncHits(dim: Int) = {
-          def cut(df: org.apache.spark.sql.DataFrame) = df.select(
-            col("vec_id"), slice(col("embedding"), 1, dim).as("embedding"))
-          brute.join(
-              Ann.bruteForceTopK(cut(qsF), cut(full), 5).select("qid", "nid"),
-              Seq("qid", "nid"), "left_semi")
-            .agg(count(lit(1)).cast("long").as("n_hit"))
-            .select(lit(dim).cast("int").as("dim"), col("n_hit"))
-        }
-        truncHits(8).unionByName(truncHits(16)).unionByName(truncHits(32))
-          .crossJoin(broadcast(nb))
-          .select(col("dim"), col("n_brute"), col("n_hit"),
-            floor(col("n_hit") * 10000.0 / col("n_brute") + 0.5)
+        val widths = Seq(8, 16, 32)
+        val dims = 64 +: widths
+        // per-ROW norms and sliced arrays (the bruteForceTopK
+        // convention: norms per row, never per pair; slices
+        // materialize once per row so the pair loop only runs dots)
+        def side(pre: String, idAs: String) =
+          Seq(col("vec_id").as(idAs), col("embedding").as(s"${pre}v64"),
+            Ann.norm(col("embedding")).as(s"${pre}n64")) ++
+            widths.flatMap { w =>
+              val sl = slice(col("embedding"), 1, w)
+              Seq(sl.as(s"${pre}v$w"), Ann.norm(sl).as(s"${pre}n$w"))
+            }
+        val q = broadcast(full.filter(col("vec_id") % 50 === 0)
+          .select(side("q", "qid"): _*))
+        val c = full.select(side("n", "nid"): _*)
+        val quad = q.crossJoin(c).filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"), explode(array(dims.map { w =>
+            struct(lit(w).as("dim"),
+              Ann.cosineGuarded(Ann.dot(col(s"qv$w"), col(s"nv$w")),
+                col(s"qn$w"), col(s"nn$w")).as("sim"))
+          }: _*)).as("ds"))
+          .select(col("qid"), col("nid"),
+            col("ds.dim").as("dim"), col("ds.sim").as("sim"))
+        val w5 = Window.partitionBy("qid", "dim")
+          .orderBy(col("sim").desc, col("nid").asc)
+        val top = quad.withColumn("rk", row_number().over(w5))
+          .filter(col("rk") <= 5).select("qid", "nid", "dim")
+        // membership flags per candidate pair, then ONE global
+        // conditional aggregate — no persist, no self-join: every
+        // intersection count (pair in full-width top5 AND in width-d
+        // top5) reads off the per-pair flags, and the 3 report rows
+        // unfold from the single counts row
+        val flags = top.groupBy("qid", "nid").agg(
+          max(col("dim") === 64).as("has64"),
+          max(col("dim") === 8).as("has8"),
+          max(col("dim") === 16).as("has16"),
+          max(col("dim") === 32).as("has32"))
+        val counts = flags.agg(
+          coalesce(sum(when(col("has64"), 1L).otherwise(0L)), lit(0L))
+            .as("n_brute"),
+          coalesce(sum(when(col("has64") && col("has8"), 1L).otherwise(0L)),
+            lit(0L)).as("h8"),
+          coalesce(sum(when(col("has64") && col("has16"), 1L).otherwise(0L)),
+            lit(0L)).as("h16"),
+          coalesce(sum(when(col("has64") && col("has32"), 1L).otherwise(0L)),
+            lit(0L)).as("h32"))
+        counts.select(explode(array(
+            struct(lit(8).as("dim"), col("h8").as("n_hit")),
+            struct(lit(16).as("dim"), col("h16").as("n_hit")),
+            struct(lit(32).as("dim"), col("h32").as("n_hit")))).as("x"),
+            col("n_brute"))
+          .select(col("x.dim").cast("int").as("dim"), col("n_brute"),
+            col("x.n_hit").as("n_hit"),
+            floor(col("x.n_hit") * 10000.0 / col("n_brute") + 0.5)
               .cast("long").as("recall_bp"))
           .orderBy("dim")
       })

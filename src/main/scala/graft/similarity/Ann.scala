@@ -51,6 +51,15 @@ object Ann {
   private def cosineSim(dp: Column, na: Column, nb: Column): Column =
     when(na =!= 0.0 && nb =!= 0.0, dp / (na * nb))
 
+  /** [[cosineSim]] for fused multi-ranking report queries (q_mrl_recall):
+    * the zero-guarded cosine as a reusable building block, so a report
+    * that scores one pair table at several truncation widths composes
+    * the exact per-width expression the separate search entry points
+    * would have evaluated (bit-identical scores, one pair pass).
+    */
+  private[graft] def cosineGuarded(dp: Column, na: Column, nb: Column): Column =
+    cosineSim(dp, na, nb)
+
   /** Self-pair exclusion shared by every search entry point. All of
     * them expose `excludeSelf` (default true — the corpus-is-queries
     * convention of the registered queries); pass false when the query
@@ -195,7 +204,10 @@ object Ann {
   private[graft] object TrainTelemetry {
     val seedCollects = new java.util.concurrent.atomic.AtomicInteger(0)
     val lloydIters = new java.util.concurrent.atomic.AtomicInteger(0)
-    def reset(): Unit = { seedCollects.set(0); lloydIters.set(0) }
+    val lshCollects = new java.util.concurrent.atomic.AtomicInteger(0)
+    def reset(): Unit = {
+      seedCollects.set(0); lloydIters.set(0); lshCollects.set(0)
+    }
   }
 
   private def collectPivots(pivotDf: DataFrame): Array[(Long, Array[Float], Double)] = {
@@ -318,8 +330,29 @@ object Ann {
 
   /** [[ivfTopK]] over a pre-built [[IvfModel]]. */
   def ivfTopKModel(model: IvfModel, queries: DataFrame, corpus: DataFrame,
+      k: Int, nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame =
+    ivfTopKCells(model, queries, assignedCells(corpus, model), k, nprobe,
+      excludeSelf)
+
+  /** The corpus with its [[IvfModel]] cell assignment — the frame every
+    * IVF consumer (search, candidate count, multi-probe variant) joins
+    * against. Build it ONCE per (model, corpus) and persist it
+    * (StageCache) when a report has several consumers: the assignment
+    * is a full corpus scan evaluating nPivots inlined dot products per
+    * row, so a report that calls two consumers through the
+    * corpus-taking entry points pays that scan once per consumer —
+    * and the inlined pivot literals are repeated once per subtree,
+    * doubling the plan the optimizer must chew through.
+    */
+  def assignedCells(corpus: DataFrame, model: IvfModel): DataFrame =
+    assignInlined(corpus, model.data)
+
+  /** [[ivfTopKModel]] over a PRE-ASSIGNED cell table (from
+    * [[assignedCells]], typically persisted) — the multi-consumer
+    * report shape: nprobe 1 and 2 searches share one assignment scan.
+    */
+  def ivfTopKCells(model: IvfModel, queries: DataFrame, cells: DataFrame,
       k: Int, nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
-    val cells = assignInlined(corpus, model.data)
     val qcells =
       if (nprobe <= 1) assignInlined(queries, model.data)
       else probeInlined(queries, model.data, nprobe)
@@ -377,8 +410,15 @@ object Ann {
     * [[ivfTopKModel]] so the recall-vs-cost report trains once.
     */
   def ivfCandidatesModel(model: IvfModel, queries: DataFrame,
-      corpus: DataFrame, nprobe: Int = 1): DataFrame = {
-    val cells = assignInlined(corpus, model.data)
+      corpus: DataFrame, nprobe: Int = 1): DataFrame =
+    ivfCandidatesCells(model, queries, assignedCells(corpus, model), nprobe)
+
+  /** [[ivfCandidatesModel]] over a PRE-ASSIGNED cell table — pair it
+    * with [[ivfTopKCells]] so the recall-vs-cost report assigns the
+    * corpus once per model, not once per consumer.
+    */
+  def ivfCandidatesCells(model: IvfModel, queries: DataFrame,
+      cells: DataFrame, nprobe: Int = 1): DataFrame = {
     val qcells =
       if (nprobe <= 1) assignInlined(queries, model.data)
       else probeInlined(queries, model.data, nprobe)
@@ -401,9 +441,60 @@ object Ann {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nBits: Int = 8, nprobe: Int = 1,
       excludeSelf: Boolean = true): DataFrame = {
-    val normals: Seq[Array[Float]] = corpus.orderBy("vec_id").limit(nBits)
+    val m = lshModel(corpus, nBits)
+    lshTopKPrepared(m, lshCorpusBuckets(m, corpus), queries, k, nprobe,
+      excludeSelf)
+  }
+
+  /** The collected LSH hyperplane set — the model parameters (nBits ×
+    * dim floats) every LSH consumer inlines. Build it ONCE with
+    * [[lshModel]] and share it across probes: collecting the normals
+    * is a driver job whose input is a corpus-wide TakeOrdered scan,
+    * so a report that calls [[lshTopK]] once per nprobe setting pays
+    * that scan (and the driver round-trip) once per consumer — the
+    * same per-consumer index-build duplication [[IvfModel]] fixes for
+    * the IVF family.
+    */
+  final class LshModel private[similarity] (
+      private[similarity] val normals: Seq[Array[Float]])
+
+  def lshModel(corpus: DataFrame, nBits: Int): LshModel = {
+    TrainTelemetry.lshCollects.incrementAndGet()
+    new LshModel(corpus.orderBy("vec_id").limit(nBits)
       .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray).toSeq
+      .map(_.getSeq[Float](0).toArray).toSeq)
+  }
+
+  /** The corpus with its sign-bucket key — the build side of every LSH
+    * probe. Like [[assignedCells]]: build once per (model, corpus) and
+    * persist when several probes share it (the bucket key evaluates
+    * nBits inlined dot products per corpus row).
+    */
+  def lshCorpusBuckets(model: LshModel, corpus: DataFrame): DataFrame = {
+    val normals = model.normals
+    val bits = normals.length
+    def dotsOf(v: Column): Column =
+      array(normals.map(nv => dot(v, typedlit(nv))): _*)
+    def bucketFrom(dots: Column, flipPos: Column): Column =
+      concat((0 until bits).map { i =>
+        val bit = element_at(dots, i + 1) >= 0
+        when(bit =!= (flipPos === i), lit("1")).otherwise(lit("0"))
+      }: _*)
+    corpus.withColumn("__dots", dotsOf(col("embedding")))
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+        norm(col("embedding")).as("nnrm"),
+        bucketFrom(col("__dots"), lit(-1)).as("bucket"))
+  }
+
+  /** [[lshTopK]] over a pre-built [[LshModel]] and a PRE-BUCKETED
+    * corpus (from [[lshCorpusBuckets]], typically persisted) — the
+    * multi-consumer report shape: nprobe 1 and 2 probes share one
+    * normals collect and one corpus bucket scan.
+    */
+  def lshTopKPrepared(model: LshModel, corpusBuckets: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
+    val normals = model.normals
     val bits = normals.length // < nBits on a tiny corpus
     require(nprobe >= 1 && nprobe <= bits + 1,
       s"nprobe=$nprobe must be in [1, bits+1=${bits + 1}]")
@@ -424,10 +515,7 @@ object Ann {
     def flipOrder(dots: Column): Column = sort_array(
       array((0 until bits).map(i =>
         struct(abs(element_at(dots, i + 1)).as("m"), lit(i).as("i"))): _*))
-    val c = corpus.withColumn("__dots", dotsOf(col("embedding")))
-      .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
-        norm(col("embedding")).as("nnrm"),
-        bucketFrom(col("__dots"), noFlip).as("bucket"))
+    val c = corpusBuckets
     // query probes: own bucket + (nprobe-1) single-bit flips. Probe
     // keys are pairwise distinct and a corpus row lives in exactly one
     // bucket, so multi-probe candidates are distinct by construction.

@@ -299,4 +299,20 @@ class AnnSpec extends SparkTestBase {
     assert(Ann.TrainTelemetry.lloydIters.get() === 2,
       "the trained model must run its 2 Lloyd iterations exactly once")
   }
+
+  test("q_ann_recall builds each index family's model exactly once") {
+    // The r16 sharing refactor: ivf/ivf2 read one IvfModel (one seed
+    // collect) and lsh/lsh2 read one LshModel (one normals collect) —
+    // the per-probe-setting entry points each re-collected their model
+    // (a corpus-wide TakeOrdered + driver job per consumer). Model
+    // builds happen at plan-BUILD time, invisible to plan pins, so the
+    // telemetry counters pin the cost model like the trained report's.
+    Ann.TrainTelemetry.reset()
+    graft.SparkEntry.queries("q_ann_recall")(spark, "/root/testdata/sf0.001")
+    graft.ops.StageCache.releaseAll()
+    assert(Ann.TrainTelemetry.seedCollects.get() === 1,
+      "IVF pivots must be collected exactly once for ivf AND ivf2")
+    assert(Ann.TrainTelemetry.lshCollects.get() === 1,
+      "LSH normals must be collected exactly once for lsh AND lsh2")
+  }
 }
