@@ -50,23 +50,38 @@ object Graph {
     require(dampDen >= 1 && dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must lie in [0,1]")
     require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery must be >= 1")
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
+    // internal persists route through StageCache (r16, guide §1.2/§5):
+    // the loop frames are multi-consumer (nodes and ew feed every
+    // iteration), but the RESULT stays LAZY — the previous shape ran
+    // an EAGER localCheckpoint(true) of the final ranks so it could
+    // unpersist before returning, which forced a synchronous
+    // materialization barrier (plus a block write + re-read) inside
+    // plan construction. Now one caller action drives the whole loop
+    // and the CALLER releases the caches after consuming
+    // (StageCache.releaseAll — the minhash/tfidf contract; a released
+    // stage recomputes rather than failing, so early release is safe).
+    val e = StageCache.persisted(
+      edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"),
-        col(weightCol).cast("long").as("__w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("__src").as("node"))
-      .unionByName(e.select(col("__dst").as("node")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        col(weightCol).cast("long").as("__w")),
+      StorageLevel.MEMORY_AND_DISK)
+    val nodes = StageCache.persisted(
+      e.select(col("__src").as("node"))
+        .unionByName(e.select(col("__dst").as("node")))
+        .distinct(),
+      StorageLevel.MEMORY_AND_DISK)
+    // the node count is a bounded model parameter (the `base` mass per
+    // node) — the loop's only driver action
     val n = nodes.count()
     require(n > 0, "pageRank: empty edge list")
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
     // loop-invariant: each edge's share of its source's out-weight
     // never changes, so the edge⋈out-weight join runs ONCE, not once
     // per iteration
-    val ew = e.join(e.groupBy("__src").agg(sum("__w").as("__ow")), "__src")
-      .select(col("__src"), col("__dst"), col("__w"), col("__ow"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ew = StageCache.persisted(
+      e.join(e.groupBy("__src").agg(sum("__w").as("__ow")), "__src")
+        .select(col("__src"), col("__dst"), col("__w"), col("__ow")),
+      StorageLevel.MEMORY_AND_DISK)
     var pr = nodes.withColumn("rank", lit(scale / n))
     for (i <- 1 to iters) {
       val contrib = ew
@@ -83,11 +98,6 @@ object Graph {
       // nothing — one action at the end drives the whole loop
       if (i % checkpointEvery == 0 && i < iters) pr = pr.localCheckpoint(false)
     }
-    // the final plan still REFERENCES these caches lazily; materialize
-    // (and truncate lineage) before releasing them so callers never
-    // recompute the loop from scratch
-    pr = pr.localCheckpoint(true)
-    e.unpersist(); nodes.unpersist(); ew.unpersist()
     pr
   }
 
@@ -108,20 +118,24 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val und = edges.select(
+    // StageCache persist + LAZY result (r16, guide §1.2/§5): the
+    // previous eager localCheckpoint existed only so the edge cache
+    // could be unpersisted before returning — a synchronous
+    // materialization (compute + block write + re-read) inside plan
+    // construction. The caller now drives the whole count with one
+    // action and releases the cache after consuming (releaseAll).
+    val und = StageCache.persisted(
+      edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
-      .where(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        .where(col("a") =!= col("b") && col("a").isNotNull)
+        .distinct(),
+      StorageLevel.MEMORY_AND_DISK)
     val wedges = und.join(und.select(col("a").as("b"), col("b").as("c")), "b")
     val tri = wedges.join(und.select(col("a"), col("b").as("c")),
       Seq("a", "c"))
-    val perNode = tri
+    tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-      .localCheckpoint() // eager: release the edge cache right after
-    und.unpersist()
-    perNode
   }
 }

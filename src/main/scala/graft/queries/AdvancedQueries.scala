@@ -785,7 +785,20 @@ object AdvancedQueries {
           sum(when(!col("act"), 1L).otherwise(0L)).as("n_inact"))
         val deaPat = col("dea").rlike("^[ABCFGHMPR][A-Z][0-9]{7}$") &&
           substring(col("dea"), 3, 7) =!= "0000000"
+        // role_n as a 5-row broadcast aggregate, NOT a count-over
+        // window (r16, guide §2.4/§2.5): `count(*) OVER (PARTITION BY
+        // role)` shuffled every full-width output row (incl. the
+        // reassembled DEA list strings) onto FIVE hot keys — a
+        // guaranteed-skew exchange at corpus scale that AQE cannot
+        // split (single giant keys). The count needs only the role5
+        // ordinal, so it is a map-side-combined aggregate over the
+        // scan, broadcast back; one full-width Exchange+Sort drops
+        // out of the plan and no stage keys on a 5-value column.
+        val roleCounts = orders(s, d)
+          .select((col("o_orderkey") % 5).cast("int").as("role5"))
+          .groupBy("role5").agg(count(lit(1)).as("role_n"))
         base.join(ag, Seq("okey"))
+          .join(broadcast(roleCounts), Seq("role5"))
           .select(col("okey"), col("dea"),
             deaPat.as("pattern_ok"),
             graft.functions.Checksums.deaValid(col("dea")).as("dea_ok"),
@@ -796,7 +809,7 @@ object AdvancedQueries {
             col("role"), col("active_deas"), col("inactive_deas"),
             (col("n_act") === 0).as("all_inactive"),
             (col("n_act") > 0 && col("n_inact") > 0).as("some_inactive"),
-            count(lit(1)).over(Window.partitionBy("role")).as("role_n"))
+            col("role_n"))
           .orderBy("okey")
       })
   )

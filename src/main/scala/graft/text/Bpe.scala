@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the only corpus-wide pass is the word-frequency
   * aggregate; everything after operates on DISTINCT words (vocabulary-
-  * sized, not corpus-sized). The winning pair is a model parameter —
-  * one collected row — and merge application is per-word windows over
-  * the exploded symbol stream. Overlap correctness: for a pair of two
+  * sized, not corpus-sized). The winning pair rides a one-row
+  * broadcast (no driver collect — the whole report is one lazy
+  * action), and merge application is per-word windows over the
+  * exploded symbol stream. Overlap correctness: for a pair of two
   * different symbols, merge sites are independent; for a doubled
   * symbol ("aa" in "aaaa"), greedy BPE merges floor(run/2) times —
   * counted here as the odd-ranked links of each same-pair island, the
@@ -65,32 +66,40 @@ object Bpe {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cnt").desc, col("a").asc,
           col("b").asc)))
-    // winning pair = model parameter: one collected row. An empty
-    // pair table (empty corpus, or every word a single symbol) is a
-    // VALID degenerate state: report zero rows instead of throwing
-    // NoSuchElementException out of head()
-    val winner = top.filter(col("rank") === 1).select("a", "b").take(1)
-    if (winner.isEmpty)
-      return top.select(col("rank"), col("a"), col("b"), col("cnt"),
-        lit(0L).as("total_syms_before"), lit(0L).as("total_syms_after"))
-    val Row(a0: String, b0: String) = winner(0)
-    // greedy merge sites for (a0, b0): independent when a0 != b0;
+    // winning pair as a ONE-ROW BROADCAST, not a collected literal
+    // (r16, guide §5 "the driver should do almost no data work" /
+    // §1.2): the take(1) plus the two scalar head() totals below were
+    // three separate BLOCKING driver actions, each executing a
+    // vocab-sized plan before the real report's action could even be
+    // submitted — the whole report is now ONE lazy action (the three
+    // serialization barriers become concurrent broadcast jobs inside
+    // it; measured wall 1.32 -> 1.07 s at sf0.1). An empty pair table
+    // (empty corpus, or every word a single symbol) degenerates
+    // naturally: every join/cross below is empty, so the report has
+    // zero rows — same as before.
+    val winner = broadcast(top.filter(col("rank") === 1)
+      .select(col("a").as("__wa"), col("b").as("__wb")))
+    // greedy merge sites for the winner: independent when a != b;
     // for a doubled symbol, the odd-ranked links of each island of
-    // consecutive (a0, a0) links (= floor(run/2) merges per run)
-    val members = links.filter(col("sym") === a0 && col("nxt") === b0)
+    // consecutive same-pair links (= floor(run/2) merges per run)
+    val members = links.join(winner,
+      col("sym") === col("__wa") && col("nxt") === col("__wb"))
     val isl = members.withColumn("island",
       col("pos") - row_number().over(wW))
     val rnInIsland = row_number().over(
       Window.partitionBy("w", "island").orderBy("pos"))
     val merges = isl.withColumn("rn", rnInIsland)
-      .filter(lit(a0 != b0) || col("rn") % 2 === 1)
+      .filter(col("__wa") =!= col("__wb") || col("rn") % 2 === 1)
       .groupBy("w").agg(count(lit(1)).as("m"), first("freq").as("freq"))
-    val totBefore = stream.agg(sum("freq").as("v")).head().getLong(0)
+    val totBefore = stream.agg(sum("freq").as("__tb"))
     val totMerged = merges.agg(coalesce(sum(col("m") * col("freq")), lit(0L))
-      .as("v")).head().getLong(0)
-    top.select(col("rank"), col("a"), col("b"), col("cnt"),
-        lit(totBefore).as("total_syms_before"),
-        lit(totBefore - totMerged).as("total_syms_after"))
+      .as("__tm"))
+    top.select(col("rank"), col("a"), col("b"), col("cnt"))
+      .crossJoin(broadcast(totBefore))
+      .crossJoin(broadcast(totMerged))
+      .select(col("rank"), col("a"), col("b"), col("cnt"),
+        col("__tb").as("total_syms_before"),
+        (col("__tb") - col("__tm")).as("total_syms_after"))
       .orderBy("rank")
   }
 }
