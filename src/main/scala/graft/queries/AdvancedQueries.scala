@@ -550,15 +550,18 @@ object AdvancedQueries {
                      (${dupFracSql("toks")} <= 0.55
                        AND ${dupFracSql("bg")} <= 0.05) AS keep
               FROM b ORDER BY doc_id"""),
+      // sort-first (r16, guide §1.2; see q_mask_tokens): the bigram
+      // zip + dup-fraction HOFs run once, not twice
       (s, d) => documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .withColumn("bg", TextAnalysis.bigramsT(col("toks")))
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
           TextAnalysis.dupFraction(col("toks")).as("dup_word_frac"),
           TextAnalysis.dupFraction(col("bg")).as("dup_bigram_frac"))
         .withColumn("keep",
-          col("dup_word_frac") <= 0.55 && col("dup_bigram_frac") <= 0.05)
-        .orderBy("doc_id")),
+          col("dup_word_frac") <= 0.55 && col("dup_bigram_frac") <= 0.05)),
 
     // batch twin of the stream-stream interval join (EventStreams
     // .clickPurchaseJoin): the oracle pins the semantics the streaming

@@ -547,13 +547,17 @@ object AuditQueries {
                   t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS BIGINT)
                   AS n_sub
               FROM documents ORDER BY doc_id"""),
+      // sort-first (r16, guide §1.2; see q_mask_tokens): the GPT-2
+      // pretokenizer regex sweep runs once, not twice
       (s, d) => {
         import graft.text.TextAnalysis
-        documents(s, d).select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
-          size(TextAnalysis.gptTokens(col("text"))).cast("long").as("n_gpt"),
-          TextAnalysis.subwordCount(col("text")).cast("long").as("n_sub"))
+        documents(s, d)
+          .select(col("doc_id"), col("text"))
           .orderBy("doc_id")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
+            size(TextAnalysis.gptTokens(col("text"))).cast("long").as("n_gpt"),
+            TextAnalysis.subwordCount(col("text")).cast("long").as("n_sub"))
       })
   )
 }

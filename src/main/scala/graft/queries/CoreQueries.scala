@@ -147,11 +147,16 @@ object CoreQueries {
                       WHEN l_linenumber % 10 = 3 THEN 'rd'
                       ELSE 'th' END) AS line_ord
               FROM lineitem ORDER BY okey, line"""),
-      (s, d) => lineitem(s, d).select(
-        col("l_orderkey").as("okey"),
-        col("l_linenumber").as("line"),
-        Normalize.ordinal(col("l_linenumber")).as("line_ord")
-      ).orderBy("okey", "line")),
+      // sort-first (r16, guide §1.2; see q_mask_tokens): projection
+      // above the sort so the ORDER BY's sampling job re-executes only
+      // the two-column scan, not the ordinal expression
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(
+          col("l_orderkey").as("okey"),
+          col("l_linenumber").as("line"),
+          Normalize.ordinal(col("l_linenumber")).as("line_ord"))),
 
     // P15: deterministic exact-n sample (reference `check_masked.py:73`).
     // The sample orders by PORTABLE md5(concat_ws('|', seed)) — DuckDB

@@ -24,12 +24,20 @@ object DateMathQueries {
                      CAST(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')
                        AS DATE) AS reparsed
               FROM orders ORDER BY okey"""),
-      (s, d) => orders(s, d).select(
-        col("o_orderkey").as("okey"),
-        date_format(col("o_orderdate"), mdY).as("mdy"),
-        date_format(col("o_orderdate"), long).as("longfmt"),
-        to_date(date_format(col("o_orderdate"), mdY), mdY).as("reparsed")
-      ).orderBy("okey")),
+      // sort-first (r16, guide §1.2; see q_mask_tokens): the global
+      // ORDER BY's range-sampling job re-executes its child, so the
+      // format/parse projection sits ABOVE the sort and runs once —
+      // same rows, order and values (the sort key is the raw source
+      // column the alias renames). Applies to every scan→project→sort
+      // query in this batch.
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .orderBy("o_orderkey")
+        .select(
+          col("o_orderkey").as("okey"),
+          date_format(col("o_orderdate"), mdY).as("mdy"),
+          date_format(col("o_orderdate"), long).as("longfmt"),
+          to_date(date_format(col("o_orderdate"), mdY), mdY).as("reparsed"))),
 
     // D2: 12-hour clock with no-pad hour + AM/PM through the chrono
     // translation (reference `activity_request.py:128`
@@ -45,12 +53,15 @@ object DateMathQueries {
               FROM e ORDER BY event_id"""),
       (s, d) => {
         val fmt12 = DateFormats.chronoToJdk("%-m/%-d/%Y %-l:%M:%S %p") // M/d/yyyy h:mm:ss a
-        events(s, d).select(
-          col("event_id"),
-          date_format(col("ts"), fmt12).as("s12"),
-          to_timestamp(date_format(col("ts"), fmt12), fmt12)
-            .cast("string").as("reparsed")
-        ).orderBy("event_id")
+        // sort-first (r16): see q_date_roundtrip
+        events(s, d)
+          .select(col("event_id"), col("ts"))
+          .orderBy("event_id")
+          .select(
+            col("event_id"),
+            date_format(col("ts"), fmt12).as("s12"),
+            to_timestamp(date_format(col("ts"), fmt12), fmt12)
+              .cast("string").as("reparsed"))
       }),
 
     // D4/D5/D6: date_add, datediff, month/year extract, between
@@ -87,14 +98,18 @@ object DateMathQueries {
                        AS discount_cents,
                      l_quantity >= 20 AS big_qty
               FROM lineitem ORDER BY okey, line"""),
-      (s, d) => lineitem(s, d).select(
-        col("l_orderkey").as("okey"), col("l_linenumber").as("line"),
-        (col("l_partkey") % 7).as("pk_mod"),
-        floor(col("l_extendedprice") / 100).as("price_cent"),
-        floor(col("l_extendedprice") * col("l_discount") * 100 + 0.5)
-          .as("discount_cents"),
-        (col("l_quantity") >= 20).as("big_qty")
-      ).orderBy("okey", "line")),
+      // sort-first (r16): see q_date_roundtrip
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(
+          col("l_orderkey").as("okey"), col("l_linenumber").as("line"),
+          (col("l_partkey") % 7).as("pk_mod"),
+          floor(col("l_extendedprice") / 100).as("price_cent"),
+          floor(col("l_extendedprice") * col("l_discount") * 100 + 0.5)
+            .as("discount_cents"),
+          (col("l_quantity") >= 20).as("big_qty"))),
 
     // M4: DEA mod-10 checksum over synthesized registration numbers
     // (reference `awarxe_cleanup.py:57-69`)
@@ -111,13 +126,17 @@ object DateMathQueries {
                          + CAST(substr(dea,8,1) AS INT))) % 10
                      = CAST(substr(dea,9,1) AS INT)) AS dea_ok
               FROM t ORDER BY okey"""),
+      // sort-first (r16): see q_date_roundtrip — and the sort now
+      // carries ONE long per row instead of the synthesized strings
       (s, d) => {
         val dea = concat(lit("AB"),
           lpad((col("o_orderkey") % 10000000).cast("string"), 7, "0"))
-        orders(s, d).select(
-          col("o_orderkey").as("okey"), dea.as("dea"),
-          Checksums.deaValid(dea).as("dea_ok")
-        ).orderBy("okey")
+        orders(s, d)
+          .select(col("o_orderkey"))
+          .orderBy("o_orderkey")
+          .select(
+            col("o_orderkey").as("okey"), dea.as("dea"),
+            Checksums.deaValid(dea).as("dea_ok"))
       }),
 
     // M5: NPI Luhn checksum (reference `awarxe_cleanup.py:183-199`)
@@ -135,13 +154,16 @@ object DateMathQueries {
                         ELSE CAST(substr(npi, CAST(i AS INT), 1) AS INT) END))
                       + 24 + CAST(substr(npi, 10, 1) AS INT)) % 10 = 0) AS npi_ok
               FROM t ORDER BY okey"""),
+      // sort-first (r16): see q_date_roundtrip
       (s, d) => {
         val npi = lpad(((col("o_orderkey") * 7919) % 10000000000L).cast("string"),
           10, "0")
-        orders(s, d).select(
-          col("o_orderkey").as("okey"), npi.as("npi"),
-          Checksums.npiValid(npi).as("npi_ok")
-        ).orderBy("okey")
+        orders(s, d)
+          .select(col("o_orderkey"))
+          .orderBy("o_orderkey")
+          .select(
+            col("o_orderkey").as("okey"), npi.as("npi"),
+            Checksums.npiValid(npi).as("npi_ok"))
       }),
 
     // D7 (frame-scale form): business-day deadline per row via the
@@ -168,13 +190,16 @@ object DateMathQueries {
                 rolled + CAST(((wd + 10) // 5) * 7 + ((wd + 10) % 5) - wd AS INT)
                   AS deadline10
               FROM r ORDER BY okey"""),
+      // sort-first (r16): see q_date_roundtrip
       (s, d) => {
         val od = to_date(col("o_orderdate"))
-        orders(s, d).select(
-          col("o_orderkey").as("okey"), od.as("odate"),
-          graft.time.BusinessCalendar.addBusinessDaysCol(od, 5).as("deadline5"),
-          graft.time.BusinessCalendar.addBusinessDaysCol(od, 10).as("deadline10")
-        ).orderBy("okey")
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .orderBy("o_orderkey")
+          .select(
+            col("o_orderkey").as("okey"), od.as("odate"),
+            graft.time.BusinessCalendar.addBusinessDaysCol(od, 5).as("deadline5"),
+            graft.time.BusinessCalendar.addBusinessDaysCol(od, 10).as("deadline10"))
       })
   )
 }

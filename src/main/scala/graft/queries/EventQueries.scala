@@ -351,15 +351,19 @@ object EventQueries {
                      json_extract_string(TRY_CAST(props AS JSON), '$.k') AS k_str,
                      json_extract_string(TRY_CAST(props AS JSON), '$.missing') AS missing
               FROM events ORDER BY event_id"""),
+      // sort-first (r16, guide §1.2; see q_mask_tokens): the ORDER BY's
+      // range-sampling job re-executes its child, so the VARIANT parse
+      // sits above the sort and parses each props string once
       (s, d) => {
         val v = try_parse_json(col("props"))
         events(s, d)
+          .select(col("event_id"), col("props"))
+          .orderBy("event_id")
           .withColumn("v", v)
           .select(col("event_id"),
             try_variant_get(col("v"), "$.k", "bigint").as("k_int"),
             try_variant_get(col("v"), "$.k", "string").as("k_str"),
             try_variant_get(col("v"), "$.missing", "string").as("missing"))
-          .orderBy("event_id")
       }),
 
     // forward fill (fill_null(strategy="forward")): value is observed

@@ -265,13 +265,22 @@ object ExtQueries {
                   AS n_masked
               FROM m ORDER BY doc_id"""),
       (s, d) => documents(s, d)
+        // sort FIRST, mask AFTER (r16, guide §1.2): a global ORDER BY
+        // executes its child twice — once in the range-partitioner
+        // sampling job, once in the shuffle map stage — so an
+        // expensive projection below the sort (here: one md5 PER
+        // TOKEN) runs twice per query. Sorting the raw (doc_id, text)
+        // rows and masking above the sort computes the md5 pass once;
+        // rows, order and values are identical (the mask is per-row
+        // deterministic and the sort key is untouched).
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
           TextAnalysis.maskTokens(col("doc_id"), col("__toks"),
             rate256 = 38).as("__m"))
         .select(col("doc_id"), col("__m.masked").as("masked"),
-          col("__m.n_masked").as("n_masked"))
-        .orderBy("doc_id")),
+          col("__m.n_masked").as("n_masked"))),
 
     QueryDef("q_text_analysis",
       Some(s"""WITH $scoredCtes
@@ -286,6 +295,11 @@ object ExtQueries {
                     (acc, c) -> (acc * 31 + c) % 1000000007) END AS fingerprint
               FROM scored ORDER BY doc_id"""),
       (s, d) => documents(s, d)
+        // sort FIRST, score AFTER (r16, guide §1.2 — same reorder as
+        // q_mask_tokens): the global ORDER BY's sampling job would
+        // otherwise run the whole interpreted-HOF scoring stack twice
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         // materialize tokens once: the HOF consumers run interpreted
         // (no codegen CSE), so an inlined split() would re-evaluate
         // at every use site
@@ -299,7 +313,7 @@ object ExtQueries {
           TextAnalysis.langIdT(col("toks")).as("lang_guess"),
           TextAnalysis.qualityScoreT(col("text"), col("toks")).as("quality"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint")
-        ).orderBy("doc_id")),
+        )),
 
     // ---- corpus preparation capstone: quality filter -> language
     // filter -> exact dedup -> per-source report, the whole extension
@@ -366,7 +380,11 @@ object ExtQueries {
           lit("@ex.org or 602-555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
         val built = concat_ws("\n", col("text"), piiLine, col("text"))
+        // sort-first (r16): see q_mask_tokens — the quadratic
+        // line-dedup HOF and the PII regexes run once, not twice
         documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
           .select(col("doc_id"), built.as("built"))
           .select(col("doc_id"),
             size(split(col("built"), "\n")).cast("long").as("n_lines"),
@@ -374,7 +392,6 @@ object ExtQueries {
           .select(col("doc_id"), col("n_lines"),
             size(split(col("ded"), "\n")).cast("long").as("n_dedup"),
             md5(TextAnalysis.scrubPii(col("ded"))).as("scrubbed_md5"))
-          .orderBy("doc_id")
       }),
 
     // ---- decontamination: corpus docs sharing shingles with the
@@ -1097,12 +1114,19 @@ object ExtQueries {
         // [ \t\n\r\f]+ not \s+: Java \s includes VT where RE2's (the
         // oracle's) does not — the r9 adversarial-gate lesson
         val tk = split(trim(col("text")), "[ \\t\\n\\r\\f]+")
-        val withRep = documents(s, d).withColumn("text",
-          when(col("doc_id") % 4 === 0 && size(tk) >= 5,
-            concat_ws(" ", concat_ws(" ", slice(tk, 1, 5)), col("text")))
-            .otherwise(col("text")))
-        Dedup.paragraphDedupWithinDoc(withRep, "doc_id", "text", k = 5)
+        // sort-first (r16, guide §1.2; see q_mask_tokens): the
+        // within-doc op is documented map-side-only (zero exchanges),
+        // so sorting the raw (doc_id, text) rows first preserves the
+        // total order through it and the O(blocks²) keep-first HOF
+        // runs once instead of re-executing in the sort's sampling job
+        val withRep = documents(s, d)
+          .select(col("doc_id"), col("text"))
           .orderBy("doc_id")
+          .withColumn("text",
+            when(col("doc_id") % 4 === 0 && size(tk) >= 5,
+              concat_ws(" ", concat_ws(" ", slice(tk, 1, 5)), col("text")))
+              .otherwise(col("text")))
+        Dedup.paragraphDedupWithinDoc(withRep, "doc_id", "text", k = 5)
       }),
 
     // ---- dedup: embedding-cosine near-dup within label block ----

@@ -92,13 +92,16 @@ object StringArrayQueries {
                         '(?:^|[^A-Za-z0-9_])(s[a-z]+)', 1) AS m
                     FROM documents)
               ORDER BY doc_id"""),
+      // sort-first (r16, guide §1.2; see q_mask_tokens): the extract
+      // regex sweep runs once, not twice
       (s, d) => documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"),
           regexp_extract_all(col("text"),
             lit("(?:^|[^A-Za-z0-9_])(s[a-z]+)"), lit(1)).as("m"))
         .select(col("doc_id"), size(col("m")).cast("long").as("n_matches"),
-          array_join(col("m"), ",").as("all_matches"))
-        .orderBy("doc_id")),
+          array_join(col("m"), ",").as("all_matches"))),
 
     // F8/L1: split -> explode (reference `unreg_pharmacists.py:113,118`)
     QueryDef("q_split_explode",
