@@ -526,10 +526,14 @@ object AdvancedQueries {
                                       ELSE 0.0 END) + 0.5) AS BIGINT) - 127),
                        ',')) AS q_md5
               FROM q ORDER BY vec_id"""),
-      (s, d) => Quantize.int8(embeddings(s, d), "embedding")
+      // sort-first (r16, guide §1.2; see q_mask_tokens): int8
+      // quantization is a map-side projection, so it runs above the
+      // sort once instead of re-executing in the sampling job
+      (s, d) => Quantize.int8(
+          embeddings(s, d).select(col("vec_id"), col("embedding"))
+            .orderBy("vec_id"), "embedding")
         .select(col("vec_id"), col("mn"), col("mx"),
-          md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
-        .orderBy("vec_id")),
+          md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))),
 
     // within-document repetition signals (the Gopher/MassiveText-style
     // quality rules): repeated-word and repeated-bigram fractions plus

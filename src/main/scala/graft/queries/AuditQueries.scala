@@ -458,12 +458,14 @@ object AuditQueries {
                   ELSE 0.0 END AS simpson,
                 greatest(p1, p2, p3, p4, p5) AS top_share
               FROM p ORDER BY doc_id"""),
+      // sort-first (r16, guide §1.2; see q_mask_tokens)
       (s, d) => documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .withColumn("cd",
           graft.text.TextAnalysis.charClassDiversity(col("text")))
         .select(col("doc_id"), col("cd.simpson").as("simpson"),
-          col("cd.top_share").as("top_share"))
-        .orderBy("doc_id")),
+          col("cd.top_share").as("top_share"))),
 
     // KMV distinct-overlap sketch: per source pair, estimated distinct
     // doc intersection from k-minimum-values sketches (k=16) with the

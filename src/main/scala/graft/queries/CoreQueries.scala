@@ -94,13 +94,16 @@ object CoreQueries {
               CAST(o_orderkey AS VARCHAR) AS okey_str,
               coalesce(nullif(o_orderpriority, '1-URGENT'), 'WAS_URGENT') AS prio
               FROM orders ORDER BY okey"""),
-      (s, d) => orders(s, d).select(
-        col("o_orderkey").as("okey"),
-        col("o_totalprice").cast("bigint").as("price_int"),
-        col("o_orderkey").cast("string").as("okey_str"),
-        coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")),
-          lit("WAS_URGENT")).as("prio")
-      ).orderBy("okey")),
+      // sort-first (r16, guide §1.2; see q_mask_tokens)
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+        .select(
+          col("o_orderkey").as("okey"),
+          col("o_totalprice").cast("bigint").as("price_int"),
+          col("o_orderkey").cast("string").as("okey_str"),
+          coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")),
+            lit("WAS_URGENT")).as("prio"))),
 
     // P12: whole-row distinct (reference `delinquent_data_submitters.py:67`)
     QueryDef("q_distinct",

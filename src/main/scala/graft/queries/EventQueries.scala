@@ -448,13 +448,16 @@ object EventQueries {
       // DuckDB can't slice BLOBs, so the comparison goes through hex:
       // frame i of the binary == hex chars [i*128, i*128+128) (2 hex
       // chars per byte, both engines uppercase)
-      (s, d) => Multimodal.asMedia(documents(s, d))
+      // sort-first (r16, guide §1.2; see q_mask_tokens): asMedia and
+      // the frame sampler are pure map-side projections
+      (s, d) => Multimodal.asMedia(
+          documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+            .orderBy("doc_id"))
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
           Multimodal.sampleFrames(col("payload"), 64, 4).as("frames"))
         .select(col("doc_id"), col("n_bytes"),
           size(col("frames")).cast("long").as("n_sampled"),
-          md5(hex(try_element_at(col("frames"), lit(1)))).as("first_frame_md5"))
-        .orderBy("doc_id")),
+          md5(hex(try_element_at(col("frames"), lit(1)))).as("first_frame_md5"))),
 
     // multimodal: batched decode stub (mapPartitions). Fully oracled:
     // the stub's feature i is u16(md5[2i..2i+1])/65535f, so multiplying

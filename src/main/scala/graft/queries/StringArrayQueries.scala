@@ -28,19 +28,23 @@ object StringArrayQueries {
                      starts_with(p_type, 'STANDARD') AS is_std,
                      contains(p_name, 'red') AS has_red
               FROM part ORDER BY pkey"""),
-      (s, d) => part(s, d).select(
-        col("p_partkey").as("pkey"),
-        Normalize.cleanKey(col("p_name")).as("name_up"),
-        lower(col("p_brand")).as("brand_lo"),
-        substring(col("p_name"), 1, 5).as("name_head"),
-        substring(col("p_name"), -3, 3).as("name_tail"),
-        length(col("p_name")).as("name_len"),
-        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
-        Normalize.zfill(col("p_size").cast("string"), 6).as("size_z"),
-        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
-        col("p_type").startsWith("STANDARD").as("is_std"),
-        col("p_name").contains("red").as("has_red")
-      ).orderBy("pkey")),
+      // sort-first (r16, guide §1.2; see q_mask_tokens)
+      (s, d) => part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size"))
+        .orderBy("p_partkey")
+        .select(
+          col("p_partkey").as("pkey"),
+          Normalize.cleanKey(col("p_name")).as("name_up"),
+          lower(col("p_brand")).as("brand_lo"),
+          substring(col("p_name"), 1, 5).as("name_head"),
+          substring(col("p_name"), -3, 3).as("name_tail"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+          Normalize.zfill(col("p_size").cast("string"), 6).as("size_z"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          col("p_type").startsWith("STANDARD").as("is_std"),
+          col("p_name").contains("red").as("has_red"))),
 
     // F4: strip one trailing suffix from a list, longest-first
     // (reference `mm1.py:35-56` degree stripping)
@@ -126,7 +130,10 @@ object StringArrayQueries {
                      array_to_string(list_transform(ws, x -> upper(x)), ' ') AS all_up,
                      CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS total_chars
               FROM w ORDER BY pkey"""),
+      // sort-first (r16, guide §1.2; see q_mask_tokens)
       (s, d) => part(s, d)
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey")
         .withColumn("ws", split(col("p_name"), " "))
         .select(
           col("p_partkey").as("pkey"),
@@ -139,8 +146,7 @@ object StringArrayQueries {
           array_join(sort_array(array_distinct(col("ws"))), ",").as("uniq_words"),
           size(filter(col("ws"), x => length(x) > 4)).cast("long").as("n_long"),
           array_join(transform(col("ws"), x => upper(x)), " ").as("all_up"),
-          aggregate(col("ws"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"))
-        .orderBy("pkey")),
+          aggregate(col("ws"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"))),
 
     // L7: stride slicing gather_every(2, offset) via index-aware filter
     // (reference `awarxe_cleanup.py:66-67` — the checksum digit split)
@@ -152,13 +158,15 @@ object StringArrayQueries {
                      array_to_string(list_filter(ws, (x, i) -> (i - 1) % 2 = 1), ',')
                        AS odd_words
               FROM w ORDER BY pkey"""),
+      // sort-first (r16, guide §1.2; see q_mask_tokens)
       (s, d) => part(s, d)
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey")
         .withColumn("ws", split(col("p_name"), " "))
         .select(
           col("p_partkey").as("pkey"),
           array_join(filter(col("ws"), (_, i) => i % 2 === 0), ",").as("even_words"),
-          array_join(filter(col("ws"), (_, i) => i % 2 === 1), ",").as("odd_words"))
-        .orderBy("pkey")),
+          array_join(filter(col("ws"), (_, i) => i % 2 === 1), ",").as("odd_words"))),
 
     // F14: concat_list -> dedupe -> join (reference
     // `delinquent_data_submitters.py:99-100` email merge across sources)
